@@ -163,8 +163,10 @@ WAN21_VAE = VAEConfig()
 
 def tiny_dit(num_layers: int = 2) -> WanDiTConfig:
     """Small config for unit tests (structure identical to A14B)."""
+    # head_dim must keep head_dim//3 even for the 3D RoPE split (true for A14B's 128;
+    # 96/4 = 24 here).
     return WanDiTConfig(
-        dim=64, in_dim=36, ffn_dim=128, out_dim=16, text_dim=32, freq_dim=32,
+        dim=96, in_dim=36, ffn_dim=128, out_dim=16, text_dim=32, freq_dim=32,
         num_heads=4, num_layers=num_layers, rope_max_len=64,
     )
 

@@ -1,0 +1,141 @@
+"""Torch state-dict -> pytree converters.
+
+Takes a flat {name: numpy array} dict in the reference's ("civitai") naming
+(/root/reference/diffsynth/models/wan_video_dit.py:499-757 keeps these keys verbatim)
+and produces the layouts goal_force_tpu computes with:
+  - Linear (out, in) -> (in, out)
+  - Conv3d patch embed (D, C, pf, ph, pw) -> (C*pf*ph*pw, D), feature order (c, dy, dx)
+  - per-block tensors stacked along a leading layer axis
+
+This module only depends on numpy; safetensors file loading lives in io/safetensors_io.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Mapping
+
+import numpy as np
+
+from goal_force_tpu.configs import ControlNetConfig, T5Config, WanDiTConfig
+
+
+Array = np.ndarray
+
+
+def _lin(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    out = {"w": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+    if prefix + ".bias" in sd:
+        out["b"] = sd[prefix + ".bias"]
+    else:
+        out["b"] = np.zeros(out["w"].shape[1], out["w"].dtype)
+    return out
+
+
+def _attn(sd: Mapping[str, Array], prefix: str) -> Dict:
+    return {
+        "q": _lin(sd, prefix + ".q"),
+        "k": _lin(sd, prefix + ".k"),
+        "v": _lin(sd, prefix + ".v"),
+        "o": _lin(sd, prefix + ".o"),
+        "norm_q": {"w": sd[prefix + ".norm_q.weight"]},
+        "norm_k": {"w": sd[prefix + ".norm_k.weight"]},
+    }
+
+
+def _block(sd: Mapping[str, Array], prefix: str) -> Dict:
+    return {
+        "self_attn": _attn(sd, prefix + ".self_attn"),
+        "cross_attn": _attn(sd, prefix + ".cross_attn"),
+        "norm3": {"w": sd[prefix + ".norm3.weight"], "b": sd[prefix + ".norm3.bias"]},
+        "ffn": {
+            "fc0": _lin(sd, prefix + ".ffn.0"),
+            "fc2": _lin(sd, prefix + ".ffn.2"),
+        },
+        "modulation": sd[prefix + ".modulation"].reshape(6, -1),
+    }
+
+
+def _stack_blocks(blocks):
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)
+
+
+def patch_embed_from_conv3d(w: Array, b: Array) -> Dict[str, Array]:
+    """(D, C, pf, ph, pw) conv kernel -> (C*pf*ph*pw, D) matmul weight."""
+    d = w.shape[0]
+    return {"w": np.ascontiguousarray(w.reshape(d, -1).T), "b": b}
+
+
+def dit_params_from_torch(sd: Mapping[str, Array], cfg: WanDiTConfig) -> Dict:
+    """Convert a Wan DiT state dict (civitai naming) to the wan_dit param tree."""
+    blocks = [_block(sd, f"blocks.{i}") for i in range(cfg.num_layers)]
+    return {
+        "patch_embedding": patch_embed_from_conv3d(
+            sd["patch_embedding.weight"], sd["patch_embedding.bias"]
+        ),
+        "text_embedding": {
+            "fc0": _lin(sd, "text_embedding.0"),
+            "fc2": _lin(sd, "text_embedding.2"),
+        },
+        "time_embedding": {
+            "fc0": _lin(sd, "time_embedding.0"),
+            "fc2": _lin(sd, "time_embedding.2"),
+        },
+        "time_projection": _lin(sd, "time_projection.1"),
+        "blocks": _stack_blocks(blocks),
+        "head": {
+            **_lin(sd, "head.head"),
+            "modulation": sd["head.modulation"].reshape(2, -1),
+        },
+    }
+
+
+def controlnet_params_from_torch(sd: Mapping[str, Array], cfg: ControlNetConfig) -> Dict:
+    """Convert the goal-force ControlNet checkpoint (keys under controlnet_* after the
+    'pipe.controlnet.' strip — /root/reference/src/goal_force/wan_video_new.py:176-178)."""
+    blocks = [_block(sd, f"controlnet_dit.blocks.{i}") for i in range(cfg.num_layers)]
+    zc_w = np.stack([
+        sd[f"controlnet_zero_convs_after.{i}.weight"][:, :, 0].T  # (out,in,1) -> (in,out)
+        for i in range(cfg.num_layers)
+    ])
+    zc_b = np.stack([sd[f"controlnet_zero_convs_after.{i}.bias"] for i in range(cfg.num_layers)])
+    return {
+        "patch_embedding": patch_embed_from_conv3d(
+            sd["controlnet_patch_embedding.patch_embedding.weight"],
+            sd["controlnet_patch_embedding.patch_embedding.bias"],
+        ),
+        "blocks": _stack_blocks(blocks),
+        "zero_convs": {"w": zc_w, "b": zc_b},
+    }
+
+
+def t5_params_from_torch(sd: Mapping[str, Array], cfg: T5Config) -> Dict:
+    """umt5-xxl encoder (naming from
+    /root/reference/diffsynth/models/wan_video_text_encoder.py:209-254)."""
+    def t5_block(i):
+        p = f"blocks.{i}"
+        return {
+            "norm1": {"w": sd[f"{p}.norm1.weight"]},
+            "norm2": {"w": sd[f"{p}.norm2.weight"]},
+            "attn": {
+                "q": _lin(sd, f"{p}.attn.q"),
+                "k": _lin(sd, f"{p}.attn.k"),
+                "v": _lin(sd, f"{p}.attn.v"),
+                "o": _lin(sd, f"{p}.attn.o"),
+            },
+            "ffn": {
+                "gate": _lin(sd, f"{p}.ffn.gate.0"),
+                "fc1": _lin(sd, f"{p}.ffn.fc1"),
+                "fc2": _lin(sd, f"{p}.ffn.fc2"),
+            },
+            "pos_embedding": sd[f"{p}.pos_embedding.embedding.weight"],
+        }
+
+    blocks = [t5_block(i) for i in range(cfg.num_layers)]
+    return {
+        "token_embedding": sd["token_embedding.weight"],
+        "norm": {"w": sd["norm.weight"]},
+        "blocks": _stack_blocks(blocks),
+    }

@@ -1,0 +1,318 @@
+"""Wan video DiT as pure functions over a param pytree.
+
+Architecture parity with /root/reference/diffsynth/models/wan_video_dit.py:100-411
+(DiTBlock :196-230, SelfAttention :124-147, CrossAttention :150-186, Head :253-269,
+patchify/unpatchify :341-356), rebuilt TPU-first:
+
+- channels-last (B, F, H, W, C) latents; patchify is a reshape+matmul (the reference's
+  Conv3d with kernel==stride collapses to a linear over flattened patches) — pure MXU work.
+- the 40 blocks are *stacked* along a leading layer axis and driven by lax.scan: one block
+  compiles once, params stream layer-by-layer, remat wraps the scan body for training.
+- RoPE from precomputed f32 cos/sin tables (see ops/rope.py); norm statistics in f32.
+
+Param tree (leaf layouts chosen for jnp compute; torch converters in io/torch_convert.py):
+  patch_embedding: {w: (C_in*prod(patch), D), b: (D,)}
+  text_embedding:  {fc0: {w,b}, fc2: {w,b}}
+  time_embedding:  {fc0: {w,b}, fc2: {w,b}}
+  time_projection: {w: (D, 6D), b: (6D,)}
+  blocks: every leaf stacked with leading dim num_layers:
+    self_attn/cross_attn: {q,k,v,o: {w,b}, norm_q: {w}, norm_k: {w}}
+    norm3: {w,b}; ffn: {fc0: {w,b}, fc2: {w,b}}; modulation: (L, 6, D)
+  head: {w: (D, out*prod(patch)), b, modulation: (2, D)}
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.configs import WanDiTConfig
+from goal_force_tpu.ops.attention import attention
+from goal_force_tpu.ops.rope import apply_rope
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def linear(p, x):
+    return jnp.matmul(x, p["w"]) + p["b"]
+
+
+def rms_norm(x, w, eps: float = 1e-6):
+    """Reference RMSNorm (:100-111): normalize in f32, cast to x.dtype, then * weight."""
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return n.astype(x.dtype) * w
+
+
+def layer_norm(x, eps: float = 1e-6, w=None, b=None):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    out = ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    if w is not None:
+        out = out * w + b
+    return out
+
+
+def gelu_tanh(x):
+    xf = x.astype(jnp.float32)
+    out = 0.5 * xf * (1.0 + jnp.tanh(math.sqrt(2.0 / math.pi) * (xf + 0.044715 * xf**3)))
+    return out.astype(x.dtype)
+
+
+def sinusoidal_embedding(dim: int, position: jnp.ndarray) -> jnp.ndarray:
+    """cos||sin table (reference :68-72; f64 there, f32 here — positions <= 1000)."""
+    pos = position.astype(jnp.float32)
+    freqs = jnp.power(10000.0, -jnp.arange(dim // 2, dtype=jnp.float32) / (dim // 2))
+    sinusoid = jnp.outer(pos, freqs)
+    return jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Patchify (Conv3d kernel==stride == matmul over flattened patches)
+# ---------------------------------------------------------------------------
+
+def patchify(p, x, patch_size: Tuple[int, int, int]):
+    """x: (B, F, H, W, C) -> tokens (B, F*h*w, D), grid (F, h, w).
+
+    Patch feature order is (c, dy, dx) to match the reference Conv3d weight layout
+    (D, C, pf, ph, pw) (:307-308) — the converter reshapes accordingly.
+    """
+    pf, ph, pw = patch_size
+    b, f, hh, ww, c = x.shape
+    fo, ho, wo = f // pf, hh // ph, ww // pw
+    x = x.reshape(b, fo, pf, ho, ph, wo, pw, c)
+    # -> (b, fo, ho, wo, c, pf, ph, pw)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    x = x.reshape(b, fo * ho * wo, c * pf * ph * pw)
+    return linear(p, x), (fo, ho, wo)
+
+
+def unpatchify(x, grid: Tuple[int, int, int], patch_size: Tuple[int, int, int], out_dim: int):
+    """(B, S, prod(patch)*out_dim) -> (B, F, H, W, C); feature order (pf, ph, pw, c)
+    matching the reference rearrange '(x y z c)' (:351-356)."""
+    pf, ph, pw = patch_size
+    b = x.shape[0]
+    f, h, w = grid
+    x = x.reshape(b, f, h, w, pf, ph, pw, out_dim)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, f * pf, h * ph, w * pw, out_dim)
+
+
+# ---------------------------------------------------------------------------
+# DiT block
+# ---------------------------------------------------------------------------
+
+def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = "auto"):
+    b, s, d = x.shape
+    q = rms_norm(linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, s, num_heads, -1)
+    k = rms_norm(linear(p["k"], x), p["norm_k"]["w"], eps).reshape(b, s, num_heads, -1)
+    v = linear(p["v"], x).reshape(b, s, num_heads, -1)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = attention(q, k, v, impl=attn_impl).reshape(b, s, d)
+    return linear(p["o"], out)
+
+
+def cross_attention(p, x, context, num_heads: int, eps: float, attn_impl: str = "auto"):
+    b, s, d = x.shape
+    t = context.shape[1]
+    q = rms_norm(linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, s, num_heads, -1)
+    k = rms_norm(linear(p["k"], context), p["norm_k"]["w"], eps).reshape(b, t, num_heads, -1)
+    v = linear(p["v"], context).reshape(b, t, num_heads, -1)
+    out = attention(q, k, v, impl=attn_impl).reshape(b, s, d)
+    return linear(p["o"], out)
+
+
+def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig, attn_impl: str = "auto"):
+    """One DiT block (reference DiTBlock.forward :214-230). t_mod: (B, 6, D)."""
+    mod = p["modulation"].astype(t_mod.dtype)[None] + t_mod  # (B, 6, D)
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+        mod[:, i][:, None, :] for i in range(6)
+    )
+    h = layer_norm(x, cfg.eps) * (1 + scale_msa) + shift_msa
+    x = x + gate_msa * self_attention(p["self_attn"], h, cos, sin, cfg.num_heads, cfg.eps, attn_impl)
+    x = x + cross_attention(
+        p["cross_attn"], layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"]),
+        context, cfg.num_heads, cfg.eps, attn_impl,
+    )
+    h = layer_norm(x, cfg.eps) * (1 + scale_mlp) + shift_mlp
+    h = linear(p["ffn"]["fc2"], gelu_tanh(linear(p["ffn"]["fc0"], h)))
+    return x + gate_mlp * h
+
+
+def run_blocks(
+    blocks,
+    x,
+    context,
+    t_mod,
+    cos,
+    sin,
+    cfg: WanDiTConfig,
+    injections: Optional[jnp.ndarray] = None,
+    collect: bool = False,
+    remat: bool = False,
+    attn_impl: str = "auto",
+):
+    """Scan x through stacked blocks.
+
+    injections: optional (n_inj, B, S, D) residuals added after blocks 0..n_inj-1 —
+    the ControlNet zero-conv outputs (reference injection loop at
+    /root/reference/src/goal_force/wan_video_new.py:1559-1570).
+    collect: return per-block outputs (the ControlNet side-stack collects its states).
+    """
+
+    def body(carry, layer):
+        p, inj = layer
+        out = dit_block(p, carry, context, t_mod, cos, sin, cfg, attn_impl)
+        if inj is not None:
+            out = out + inj.astype(out.dtype)
+        return out, (out if collect else None)
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+
+    def slice_blocks(start, stop):
+        return jax.tree_util.tree_map(lambda a: a[start:stop], blocks)
+
+    if injections is None:
+        x, ys = jax.lax.scan(body, x, (blocks, None))
+        return x, ys
+    n_inj = injections.shape[0]
+    x, ys1 = jax.lax.scan(body, x, (slice_blocks(0, n_inj), injections))
+    if n_inj < n_layers:
+        x, ys2 = jax.lax.scan(body, x, (slice_blocks(n_inj, n_layers), None))
+        if collect:
+            ys1 = jnp.concatenate([ys1, ys2], axis=0)
+    return x, (ys1 if collect else None)
+
+
+def head(p, x, t, eps: float = 1e-6):
+    """Final projection with 2-way modulation (reference Head :253-269). t: (B, D)."""
+    mod = p["modulation"].astype(t.dtype)[None] + t[:, None, :]  # (B, 2, D)
+    shift, scale = mod[:, 0][:, None, :], mod[:, 1][:, None, :]
+    return jnp.matmul(layer_norm(x, eps) * (1 + scale) + shift, p["w"]) + p["b"]
+
+
+def time_embed(params, cfg: WanDiTConfig, timestep: jnp.ndarray, dtype=None):
+    """timestep (B,) -> t (B, D), t_mod (B, 6, D) (reference :368-370)."""
+    emb = sinusoidal_embedding(cfg.freq_dim, timestep)
+    if dtype is not None:
+        emb = emb.astype(dtype)
+    else:
+        emb = emb.astype(params["time_embedding"]["fc0"]["w"].dtype)
+    t = linear(params["time_embedding"]["fc0"], emb)
+    t = linear(params["time_embedding"]["fc2"], jax.nn.silu(t.astype(jnp.float32)).astype(t.dtype))
+    t_mod = linear(params["time_projection"], jax.nn.silu(t.astype(jnp.float32)).astype(t.dtype))
+    return t, t_mod.reshape(t.shape[0], 6, cfg.dim)
+
+
+def text_embed(params, x):
+    h = gelu_tanh(linear(params["text_embedding"]["fc0"], x))
+    return linear(params["text_embedding"]["fc2"], h)
+
+
+def wan_dit_forward(
+    params,
+    cfg: WanDiTConfig,
+    x: jnp.ndarray,
+    timestep: jnp.ndarray,
+    context: jnp.ndarray,
+    y: Optional[jnp.ndarray] = None,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Full denoiser forward, base model (no ControlNet — see pipelines/model_fn.py).
+
+    x: (B, F, H, W, 16) noisy latents; y: (B, F, H, W, 20) mask+first-frame conditioning;
+    timestep: (B,); context: (B, L_txt, text_dim). Returns velocity (B, F, H, W, out_dim).
+    Mirrors WanModel.forward (:358-411).
+    """
+    from goal_force_tpu.ops.rope import assemble_rope, rope_tables_3d
+
+    t, t_mod = time_embed(params, cfg, timestep)
+    context = text_embed(params, context)
+    if y is not None:
+        x = jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
+    tokens, grid = patchify(params["patch_embedding"], x, cfg.patch_size)
+    if rope_cos is None:
+        tables = rope_tables_3d(cfg.head_dim, cfg.rope_max_len)
+        rope_cos, rope_sin = assemble_rope(tables, *grid)
+    tokens, _ = run_blocks(
+        params["blocks"], tokens, context, t_mod, rope_cos, rope_sin, cfg,
+        remat=remat, attn_impl=attn_impl,
+    )
+    out = head(params["head"], tokens, t, cfg.eps)
+    return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, d_in, d_out, dtype):
+    k1, _ = jax.random.split(key)
+    scale = 1.0 / math.sqrt(d_in)
+    return {
+        "w": jax.random.uniform(k1, (d_in, d_out), dtype, -scale, scale),
+        "b": jnp.zeros((d_out,), dtype),
+    }
+
+
+def _init_attn(key, dim, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": _init_linear(ks[0], dim, dim, dtype),
+        "k": _init_linear(ks[1], dim, dim, dtype),
+        "v": _init_linear(ks[2], dim, dim, dtype),
+        "o": _init_linear(ks[3], dim, dim, dtype),
+        "norm_q": {"w": jnp.ones((dim,), dtype)},
+        "norm_k": {"w": jnp.ones((dim,), dtype)},
+    }
+
+
+def init_block(key, cfg: WanDiTConfig, dtype=jnp.bfloat16):
+    ks = jax.random.split(key, 5)
+    return {
+        "self_attn": _init_attn(ks[0], cfg.dim, dtype),
+        "cross_attn": _init_attn(ks[1], cfg.dim, dtype),
+        "norm3": {"w": jnp.ones((cfg.dim,), dtype), "b": jnp.zeros((cfg.dim,), dtype)},
+        "ffn": {
+            "fc0": _init_linear(ks[2], cfg.dim, cfg.ffn_dim, dtype),
+            "fc2": _init_linear(ks[3], cfg.ffn_dim, cfg.dim, dtype),
+        },
+        "modulation": (jax.random.normal(ks[4], (6, cfg.dim), dtype) / cfg.dim**0.5),
+    }
+
+
+def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16):
+    ks = jax.random.split(key, 8)
+    patch_in = cfg.in_dim * math.prod(cfg.patch_size)
+    blocks = [init_block(k, cfg, dtype) for k in jax.random.split(ks[0], cfg.num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    return {
+        "patch_embedding": _init_linear(ks[1], patch_in, cfg.dim, dtype),
+        "text_embedding": {
+            "fc0": _init_linear(ks[2], cfg.text_dim, cfg.dim, dtype),
+            "fc2": _init_linear(ks[3], cfg.dim, cfg.dim, dtype),
+        },
+        "time_embedding": {
+            "fc0": _init_linear(ks[4], cfg.freq_dim, cfg.dim, dtype),
+            "fc2": _init_linear(ks[5], cfg.dim, cfg.dim, dtype),
+        },
+        "time_projection": _init_linear(ks[6], cfg.dim, cfg.dim * 6, dtype),
+        "blocks": stacked,
+        "head": {
+            **_init_linear(ks[7], cfg.dim, cfg.out_dim * math.prod(cfg.patch_size), dtype),
+            "modulation": jax.random.normal(ks[7], (2, cfg.dim), dtype) / cfg.dim**0.5,
+        },
+    }

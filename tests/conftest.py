@@ -4,10 +4,16 @@ without TPU hardware (something the reference cannot do — SURVEY.md §4)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize hook registers the TPU backend and forces jax_platforms to
+# "axon,cpu" regardless of the env var; override via jax.config before any backend init
+# (dialing the TPU tunnel takes ~2 min — tests must stay on CPU).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

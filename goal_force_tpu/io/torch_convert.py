@@ -111,6 +111,99 @@ def controlnet_params_from_torch(sd: Mapping[str, Array], cfg: ControlNetConfig)
     }
 
 
+def _conv3d(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    """torch Conv3d (out,in,kt,kh,kw) -> (kt,kh,kw,in,out)."""
+    return {
+        "w": np.ascontiguousarray(sd[prefix + ".weight"].transpose(2, 3, 4, 1, 0)),
+        "b": sd[prefix + ".bias"],
+    }
+
+
+def _conv2d(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    """torch Conv2d (out,in,kh,kw) -> (kh,kw,in,out)."""
+    return {
+        "w": np.ascontiguousarray(sd[prefix + ".weight"].transpose(2, 3, 1, 0)),
+        "b": sd[prefix + ".bias"],
+    }
+
+
+def _vae_norm(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    p = {"gamma": sd[prefix + ".gamma"].reshape(-1)}
+    if prefix + ".bias" in sd:
+        p["bias"] = sd[prefix + ".bias"].reshape(-1)
+    return p
+
+
+def _vae_res(sd: Mapping[str, Array], prefix: str) -> Dict:
+    p = {
+        "norm1": _vae_norm(sd, prefix + ".residual.0"),
+        "conv1": _conv3d(sd, prefix + ".residual.2"),
+        "norm2": _vae_norm(sd, prefix + ".residual.3"),
+        "conv2": _conv3d(sd, prefix + ".residual.6"),
+    }
+    if prefix + ".shortcut.weight" in sd:
+        p["shortcut"] = _conv3d(sd, prefix + ".shortcut")
+    return p
+
+
+def _vae_attn(sd: Mapping[str, Array], prefix: str) -> Dict:
+    return {
+        "norm": _vae_norm(sd, prefix + ".norm"),
+        "to_qkv": _conv2d(sd, prefix + ".to_qkv"),
+        "proj": _conv2d(sd, prefix + ".proj"),
+    }
+
+
+def _vae_plan_params(sd, plan, prefix: str):
+    params = []
+    for idx, op in enumerate(plan):
+        kind = op[0]
+        mp = f"{prefix}.{idx}"
+        if kind == "res":
+            params.append(_vae_res(sd, mp))
+        elif kind == "attn":
+            params.append(_vae_attn(sd, mp))
+        elif kind in ("down2d", "down3d", "up2d", "up3d"):
+            p = {"conv": _conv2d(sd, mp + ".resample.1")}
+            if kind in ("down3d", "up3d"):
+                p["time_conv"] = _conv3d(sd, mp + ".time_conv")
+            params.append(p)
+    return params
+
+
+def vae_params_from_torch(sd: Mapping[str, Array], cfg) -> Dict:
+    """Wan2.1_VAE state dict (no 'model.' prefix — the reference converter adds one at
+    /root/reference/diffsynth/models/wan_video_vae.py:1260-1266; strip it before calling)."""
+    from goal_force_tpu.models.vae import decoder_plan, encoder_plan
+
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    enc = {
+        "conv1": _conv3d(sd, "encoder.conv1"),
+        "down": _vae_plan_params(sd, encoder_plan(cfg), "encoder.downsamples"),
+        "mid_res1": _vae_res(sd, "encoder.middle.0"),
+        "mid_attn": _vae_attn(sd, "encoder.middle.1"),
+        "mid_res2": _vae_res(sd, "encoder.middle.2"),
+        "head_norm": _vae_norm(sd, "encoder.head.0"),
+        "head_conv": _conv3d(sd, "encoder.head.2"),
+    }
+    dec = {
+        "conv1": _conv3d(sd, "decoder.conv1"),
+        "mid_res1": _vae_res(sd, "decoder.middle.0"),
+        "mid_attn": _vae_attn(sd, "decoder.middle.1"),
+        "mid_res2": _vae_res(sd, "decoder.middle.2"),
+        "up": _vae_plan_params(sd, decoder_plan(cfg), "decoder.upsamples"),
+        "head_norm": _vae_norm(sd, "decoder.head.0"),
+        "head_conv": _conv3d(sd, "decoder.head.2"),
+    }
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "conv1": _conv3d(sd, "conv1"),
+        "conv2": _conv3d(sd, "conv2"),
+    }
+
+
 def t5_params_from_torch(sd: Mapping[str, Array], cfg: T5Config) -> Dict:
     """umt5-xxl encoder (naming from
     /root/reference/diffsynth/models/wan_video_text_encoder.py:209-254)."""

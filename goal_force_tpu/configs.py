@@ -180,3 +180,19 @@ def tiny_t5(num_layers: int = 2) -> T5Config:
 
 def tiny_vae() -> VAEConfig:
     return VAEConfig(dim=8, z_dim=4, dim_mult=(1, 2, 4, 4), num_res_blocks=1)
+
+
+def tiny_pipeline_configs(num_layers: int = 2, cn_layers: int = 1):
+    """Mutually consistent tiny configs for end-to-end pipeline tests.
+
+    VAE z=4 -> DiT in_dim = z + 4 (mask) + z = 12, out_dim = z.
+    """
+    vae_cfg = tiny_vae()
+    z = vae_cfg.z_dim
+    t5_cfg = tiny_t5()
+    dit_cfg = WanDiTConfig(
+        dim=96, in_dim=2 * z + 4, ffn_dim=128, out_dim=z, text_dim=t5_cfg.dim,
+        freq_dim=32, num_heads=4, num_layers=num_layers, rope_max_len=64,
+    )
+    cn_cfg = ControlNetConfig(num_layers=cn_layers, in_channels=z)
+    return dit_cfg, t5_cfg, vae_cfg, cn_cfg

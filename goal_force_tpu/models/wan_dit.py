@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from goal_force_tpu.configs import WanDiTConfig
 from goal_force_tpu.ops.attention import attention
 from goal_force_tpu.ops.rope import apply_rope
+from goal_force_tpu.parallel.mesh import constrain
 
 
 # ---------------------------------------------------------------------------
@@ -109,13 +110,19 @@ def unpatchify(x, grid: Tuple[int, int, int], patch_size: Tuple[int, int, int], 
 # ---------------------------------------------------------------------------
 
 def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = "auto"):
+    """Tokens arrive sp-sharded; q/k/v are resharded to head-parallel over ("sp","tp") —
+    GSPMD inserts the Ulysses all-to-alls the reference did by hand via xfuser."""
     b, s, d = x.shape
     q = rms_norm(linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, s, num_heads, -1)
     k = rms_norm(linear(p["k"], x), p["norm_k"]["w"], eps).reshape(b, s, num_heads, -1)
     v = linear(p["v"], x).reshape(b, s, num_heads, -1)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    out = attention(q, k, v, impl=attn_impl).reshape(b, s, d)
+    q = constrain(q, "dp", None, ("sp", "tp"), None)
+    k = constrain(k, "dp", None, ("sp", "tp"), None)
+    v = constrain(v, "dp", None, ("sp", "tp"), None)
+    out = attention(q, k, v, impl=attn_impl)
+    out = constrain(out, "dp", "sp", None, None).reshape(b, s, d)
     return linear(p["o"], out)
 
 
@@ -125,6 +132,7 @@ def cross_attention(p, x, context, num_heads: int, eps: float, attn_impl: str = 
     q = rms_norm(linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, s, num_heads, -1)
     k = rms_norm(linear(p["k"], context), p["norm_k"]["w"], eps).reshape(b, t, num_heads, -1)
     v = linear(p["v"], context).reshape(b, t, num_heads, -1)
+    # text KV is tiny (512 tokens): keep q token-sharded, replicate KV — no collective.
     out = attention(q, k, v, impl=attn_impl).reshape(b, s, d)
     return linear(p["o"], out)
 
@@ -169,6 +177,7 @@ def run_blocks(
 
     def body(carry, layer):
         p, inj = layer
+        carry = constrain(carry, "dp", "sp", None)
         out = dit_block(p, carry, context, t_mod, cos, sin, cfg, attn_impl)
         if inj is not None:
             out = out + inj.astype(out.dtype)

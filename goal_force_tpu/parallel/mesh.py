@@ -1,0 +1,62 @@
+"""Device mesh + activation-sharding helpers.
+
+Replaces the reference's NCCL/xfuser Ulysses sequence parallel
+(/root/reference/diffsynth/distributed/xdit_context_parallel.py:1-131 and the inline SP
+branches at /root/reference/src/goal_force/wan_video_new.py:1422-1438,1526-1531,1582-1585)
+with ONE jitted computation over a named mesh: tokens are sharded over "sp" between blocks,
+heads over ("sp","tp") inside attention, and XLA inserts the all-to-alls/all-gathers that
+xfuser performed by hand over NCCL.
+
+Axes:
+  dp — data (batches / clips); gradients psum here implicitly.
+  sp — sequence (tokens) outside attention, heads inside (Ulysses via GSPMD).
+  tp — tensor (attention heads / ffn columns).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MESH_AXES = ("dp", "sp", "tp")
+
+_current_mesh: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "gf_mesh", default=None
+)
+
+
+def make_mesh(dp: int = 1, sp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = dp * sp * tp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(dp, sp, tp)
+    return Mesh(grid, MESH_AXES)
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Optional[Mesh]):
+    """Make `mesh` ambient: constrain() calls inside traced code become GSPMD hints."""
+    token = _current_mesh.set(mesh)
+    try:
+        yield mesh
+    finally:
+        _current_mesh.reset(token)
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _current_mesh.get()
+
+
+def constrain(x, *spec):
+    """with_sharding_constraint against the ambient mesh; no-op without one."""
+    mesh = current_mesh()
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))

@@ -1,0 +1,93 @@
+"""Param sharding specs.
+
+Replaces DeepSpeed ZeRO-2 (optimizer-state sharding; accelerate YAMLs at
+/root/reference/scripts/accelerate/) and the AutoWrapped VRAM offload layer
+(/root/reference/diffsynth/vram_management/layers.py) with NamedSharding placement:
+tensor-parallel specs for inference, FSDP-style largest-dim sharding for training state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _dit_leaf_spec(path: str, ndim: int) -> P:
+    """Tensor-parallel spec for a DiT/ControlNet leaf (stacked-block leaves have a
+    leading layer dim that must stay unsharded for scan)."""
+    stacked = path.startswith("blocks") or path.startswith("zero_convs")
+    # Column-parallel: qkv + ffn-in project dim -> shard output dim over tp.
+    col = any(s in path for s in (".q.w", ".k.w", ".v.w", "fc0.w"))
+    row = any(s in path for s in (".o.w", "fc2.w"))
+    if ndim >= 2 and col:
+        return P(*([None] * (ndim - 1)), "tp")
+    if ndim >= 2 and row:
+        return P(*([None] * (ndim - 2)), "tp", None)
+    if col and ndim == 1:  # biases of column-parallel layers
+        return P("tp") if not stacked else P(None, "tp")
+    return P()
+
+
+def _flatten_path(kp) -> str:
+    parts = []
+    for k in kp:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+    return ".".join(parts)
+
+
+def inference_param_specs(params) -> dict:
+    """Tensor-parallel PartitionSpecs for DiT-shaped param trees."""
+    def spec(kp, leaf):
+        path = _flatten_path(kp)
+        # strip leading container names (dit/controlnet/...)
+        for prefix in ("dit.", "dit2.", "controlnet.", "controlnet2."):
+            if path.startswith(prefix):
+                path = path[len(prefix):]
+        return _dit_leaf_spec(path, leaf.ndim)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15) -> dict:
+    """Shard each leaf's largest divisible non-layer dim over `axes` (FSDP-style;
+    replaces ZeRO sharding of params/grads/optimizer state)."""
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+
+    def spec(kp, leaf):
+        if leaf.size < min_size or leaf.ndim == 0:
+            return P()
+        path = _flatten_path(kp)
+        stacked = ".blocks." in f".{path}." or path.startswith("blocks")
+        start = 1 if (stacked and leaf.ndim > 1) else 0
+        dims = list(range(start, leaf.ndim))
+        if not dims:
+            return P()
+        best = max(dims, key=lambda d: leaf.shape[d])
+        if leaf.shape[best] % n != 0:
+            return P()
+        out = [None] * leaf.ndim
+        out[best] = axes
+        return P(*out)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def place(tree, mesh: Optional[Mesh], specs=None):
+    """device_put the tree with NamedShardings (replicated where spec is None/empty)."""
+    if mesh is None:
+        return tree
+
+    def put(leaf, spec):
+        s = NamedSharding(mesh, spec if spec is not None else P())
+        return jax.device_put(leaf, s)
+
+    if specs is None:
+        specs = jax.tree_util.tree_map(lambda _: P(), tree)
+    return jax.tree_util.tree_map(put, tree, specs)

@@ -1,0 +1,156 @@
+"""ControlNet training: loss, optimizer, and the jitted train step.
+
+Mirrors the reference harness semantics:
+  - timestep sampled uniformly in [min_b, max_b) of the 1000-entry *descending* training
+    schedule (high-noise window; /root/reference/src/goal_force/wan_video_new.py:180-193,
+    boundary 0.358 from scripts/train/train_goal_force.sh:40)
+  - x_t = (1-sigma) x0 + sigma eps; target v = eps - x0; Gaussian-bell step weight
+  - AdamW lr 1e-5 wd 0.01, constant LR, global grad-clip 1.0
+    (/root/reference/src/goal_force/utils.py:755-756,812-813)
+  - only the ControlNet trains (freeze_except(["controlnet"]),
+    /root/reference/scripts/train/train.py via utils.py:550-590)
+
+TPU-native differences: the whole step — three VAE encodes, text encode, denoiser with
+per-block remat, loss, grads, optimizer — is ONE jitted, donated computation; DDP/ZeRO
+collectives become GSPMD (batch over "dp", FSDP specs for state; parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from goal_force_tpu.configs import ControlNetConfig, T5Config, VAEConfig, WanDiTConfig
+from goal_force_tpu.models import t5 as t5m
+from goal_force_tpu.models import vae as vaem
+from goal_force_tpu.pipelines.goal_force import build_i2v_mask
+from goal_force_tpu.pipelines.model_fn import denoise_forward
+from goal_force_tpu.schedulers import flow_match as fm
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Dict           # trainable (controlnet)
+    opt_state: object
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.01, grad_clip: float = 1.0):
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay),
+    )
+
+
+def training_loss(
+    dit_params,
+    cn_params,
+    dit_cfg: WanDiTConfig,
+    cn_cfg: Optional[ControlNetConfig],
+    x0: jnp.ndarray,              # (B, L, h, w, z) clean latents
+    noise: jnp.ndarray,
+    sigma: jnp.ndarray,           # scalar
+    timestep: jnp.ndarray,        # (B,)
+    weight: jnp.ndarray,          # scalar step weight
+    context: jnp.ndarray,
+    y: jnp.ndarray,
+    control_latents: Optional[jnp.ndarray],
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    latents = fm.add_noise(x0, noise, sigma)
+    target = fm.training_target(x0, noise)
+    v = denoise_forward(
+        dit_params, dit_cfg, latents, timestep, context, y=y,
+        controlnet_params=cn_params, controlnet_cfg=cn_cfg,
+        control_latents=control_latents, remat=True, attn_impl=attn_impl,
+    )
+    loss = jnp.mean((v.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+    return loss * weight
+
+
+def make_train_step(
+    dit_cfg: WanDiTConfig,
+    t5_cfg: T5Config,
+    vae_cfg: VAEConfig,
+    cn_cfg: ControlNetConfig,
+    optimizer,
+    num_frames: int = 81,
+    max_timestep_boundary: float = 0.358,
+    min_timestep_boundary: float = 0.0,
+    attn_impl: str = "auto",
+) -> Callable:
+    """Returns jitted step(state, frozen, batch, rng) -> (state, metrics).
+
+    frozen: {dit, t5, vae} (non-trainable). batch (host pixels, channels-last):
+      video:   (B, T, H, W, 3) in [-1, 1]
+      control: (B, T, H, W, 3) in [-1, 1]
+      ids/mask: (B, 512) int32
+    """
+    schedule = fm.make_schedule(
+        num_steps=1000, shift=5.0, sigma_min=0.0, extra_one_step=True, training=True
+    )
+    sigmas = jnp.asarray(schedule.sigmas)
+    timesteps = jnp.asarray(schedule.timesteps)
+    weights = jnp.asarray(schedule.training_weights)
+    lo = int(min_timestep_boundary * schedule.num_train_timesteps)
+    hi = int(max_timestep_boundary * schedule.num_train_timesteps)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, frozen: Dict, batch: Dict, rng: jax.Array):
+        k_t, k_n = jax.random.split(rng)
+        video = batch["video"]
+        b, t = video.shape[:2]
+
+        # Conditioning (inside the step, as the reference does on-GPU — SURVEY §3.2)
+        x0 = vaem.encode_video(frozen["vae"], vae_cfg, video)
+        control_latents = vaem.encode_video(frozen["vae"], vae_cfg, batch["control"])
+        first = jnp.concatenate(
+            [video[:, :1], jnp.zeros_like(video[:, 1:])], axis=1
+        )
+        cond = vaem.encode_video(frozen["vae"], vae_cfg, first)
+        lat_f = (t - 1) // 4 + 1
+        mask = jnp.asarray(build_i2v_mask(t, lat_f, cond.shape[2], cond.shape[3]))
+        y = jnp.concatenate([jnp.broadcast_to(mask[None], (*cond.shape[:-1], 4)), cond], axis=-1)
+        context = t5m.t5_encode(frozen["t5"], t5_cfg, batch["ids"], batch["mask"])
+        context = context * (batch["mask"][..., None] > 0)
+
+        # One timestep per step (reference samples a single id per rank :183)
+        tid = jax.random.randint(k_t, (), lo, hi)
+        sigma = sigmas[tid]
+        timestep = jnp.full((b,), timesteps[tid], x0.dtype)
+        weight = weights[tid]
+        noise = jax.random.normal(k_n, x0.shape, x0.dtype)
+
+        def loss_fn(cn_params):
+            return training_loss(
+                frozen["dit"], cn_params, dit_cfg, cn_cfg,
+                x0, noise, sigma, timestep, weight, context, y, control_latents,
+                attn_impl=attn_impl,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": gnorm, "timestep": timesteps[tid]}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def host_batch(video: np.ndarray, control: np.ndarray, ids: np.ndarray, mask: np.ndarray) -> Dict:
+    """Assemble a device batch from host arrays (pixels already in [-1, 1])."""
+    return {
+        "video": jnp.asarray(video),
+        "control": jnp.asarray(control),
+        "ids": jnp.asarray(ids),
+        "mask": jnp.asarray(mask),
+    }

@@ -1,0 +1,31 @@
+"""Pallas flash-attention kernel vs XLA attention (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from goal_force_tpu.ops.attention import _xla_attention
+from goal_force_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("s,skv", [(256, 256), (300, 300), (300, 40), (128, 512)])
+def test_matches_xla(s, skv):
+    B, N, H = 1, 2, 128
+    q, k, v = _rand((B, s, N, H), 0), _rand((B, skv, N, H), 1), _rand((B, skv, N, H), 2)
+    ref = _xla_attention(q, k, v, H**-0.5)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, scale=H**-0.5, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_rejects_non_128_head_dim():
+    q = jnp.zeros((1, 128, 2, 64))
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, scale=1.0)

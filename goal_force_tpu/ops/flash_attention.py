@@ -81,7 +81,7 @@ def _pad_to(x, axis, multiple):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def flash_attention(q, k, v, scale: float, block_q: int = 1024, block_k: int = 512):
+def flash_attention(q, k, v, scale: float, block_q: int = 1024, block_k: int = 1024):
     """q: (B, Sq, N, H); k/v: (B, Skv, N, H) -> (B, Sq, N, H). H must be 128."""
     b, sq, n, h = q.shape
     skv = k.shape[1]

@@ -69,6 +69,89 @@ class GoalForcePipeline:
     # ------------------------------------------------------------------
 
     @classmethod
+    def from_pretrained(
+        cls,
+        high_noise_model,                 # safetensors path/glob/list (civitai naming)
+        low_noise_model=None,
+        t5_path: Optional[str] = None,    # .pth or .safetensors
+        vae_path: Optional[str] = None,
+        controlnet_checkpoint: Optional[str] = None,
+        controlnet_num_layers: int = 10,
+        controlnet_stride: Optional[int] = None,
+        tokenizer_path: Optional[str] = None,
+        dit_cfg: Optional[WanDiTConfig] = None,
+        t5_cfg: Optional[T5Config] = None,
+        vae_cfg: Optional[VAEConfig] = None,
+        pipe_cfg: Optional[PipelineConfig] = None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ) -> "GoalForcePipeline":
+        """Build the pipeline from reference-format weight files.
+
+        Replaces ModelManager's hash-detection load path
+        (/root/reference/diffsynth/models/model_manager.py:395-461) with explicit files.
+        The ControlNet is initialized by slicing the expert DiTs (reference
+        wan_video_new.py:558-571) and optionally overlaid with a trained checkpoint.
+        """
+        from goal_force_tpu.io import torch_convert as tc
+        from goal_force_tpu.io.safetensors_io import (
+            load_goalforce_controlnet,
+            load_safetensors,
+            load_torch_pth,
+        )
+        from goal_force_tpu.models import controlnet as cnm
+
+        dit_cfg = dit_cfg or configs.WAN22_A14B
+        t5_cfg = t5_cfg or configs.UMT5_XXL
+        vae_cfg = vae_cfg or configs.WAN21_VAE
+        pipe_cfg = pipe_cfg or PipelineConfig()
+        cn_cfg = ControlNetConfig(num_layers=controlnet_num_layers, stride=controlnet_stride,
+                                  in_channels=vae_cfg.z_dim)
+
+        def _load_any(path):
+            if path is None:
+                return None
+            if str(path).endswith(".pth") or str(path).endswith(".pt"):
+                return load_torch_pth(path)
+            return load_safetensors(path)
+
+        def to_dev(tree):
+            return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), tree)
+
+        params: Dict = {}
+        key = jax.random.PRNGKey(seed)
+        sd = _load_any(high_noise_model)
+        params["dit"] = to_dev(tc.dit_params_from_torch(sd, dit_cfg))
+        del sd
+        if low_noise_model is not None:
+            sd = _load_any(low_noise_model)
+            params["dit2"] = to_dev(tc.dit_params_from_torch(sd, dit_cfg))
+            del sd
+        if t5_path is not None:
+            params["t5"] = to_dev(tc.t5_params_from_torch(_load_any(t5_path), t5_cfg))
+        if vae_path is not None:
+            params["vae"] = to_dev(tc.vae_params_from_torch(_load_any(vae_path), vae_cfg))
+
+        if controlnet_num_layers > 0:
+            params["controlnet"] = cnm.init_from_dit(key, params["dit"], dit_cfg, cn_cfg, dtype)
+            if "dit2" in params:
+                # controlnet2 keeps zero-init zero-convs (identity): the reference loads
+                # the trained checkpoint ONLY into the high-noise controlnet
+                # (inference_goal_force.py:108; training covers the high-noise window only).
+                params["controlnet2"] = cnm.init_from_dit(
+                    key, params["dit2"], dit_cfg, cn_cfg, dtype
+                )
+            if controlnet_checkpoint is not None:
+                params["controlnet"] = to_dev(
+                    load_goalforce_controlnet(controlnet_checkpoint, cn_cfg)
+                )
+
+        tok = load_tokenizer(tokenizer_path, t5_cfg.vocab, t5_cfg.text_len)
+        return cls(dit_cfg, t5_cfg, vae_cfg,
+                   cn_cfg if controlnet_num_layers > 0 else None,
+                   pipe_cfg, params, tok, dtype)
+
+    @classmethod
     def init_random(
         cls,
         key=None,

@@ -1,0 +1,174 @@
+"""Training harness: epoch/step loop, metrics logging, checkpointing, resume.
+
+Parity with launch_training_task + ModelLogger
+(/root/reference/src/goal_force/utils.py:428-826): AdamW + constant LR, bad-sample skip,
+metrics every `log_every` steps, trainable-only safetensors checkpoints every `save_steps`
+named step-K.safetensors, resume by reloading the latest checkpoint and fast-forwarding the
+step counter. wandb is optional (not in this image); metrics always go to a JSONL file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.io.safetensors_io import (
+    checkpoint_step,
+    export_goalforce_controlnet,
+    find_latest_checkpoint,
+    load_goalforce_controlnet,
+    save_safetensors,
+)
+from goal_force_tpu.training.train_step import TrainState, make_optimizer, make_train_step
+
+
+class MetricsLogger:
+    """JSONL metrics (wandb-compatible record shape); logs every `log_every` steps
+    (reference logs loss/lr/grad_norm every 10 — utils.py:600-614)."""
+
+    def __init__(self, output_dir: str, log_every: int = 10, use_wandb: bool = False,
+                 project: Optional[str] = None, run_name: Optional[str] = None,
+                 config: Optional[dict] = None):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.jsonl")
+        self.log_every = log_every
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(project=project, name=run_name, config=config)
+            except ImportError:
+                print("wandb not installed; logging to JSONL only")
+
+    def log(self, step: int, metrics: Dict):
+        if step % self.log_every != 0:
+            return
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.wandb is not None:
+            self.wandb.log(rec, step=step)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_dir: str = "runs/goal_force"
+    lr: float = 1e-5                    # train_goal_force.sh
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    num_epochs: int = 2
+    save_steps: int = 500
+    log_every: int = 10
+    max_timestep_boundary: float = 0.358
+    min_timestep_boundary: float = 0.0
+    num_frames: int = 81
+    height: int = 480
+    width: int = 832
+    seed: int = 0
+    use_wandb: bool = False
+    wandb_project: Optional[str] = None
+    run_name: Optional[str] = None
+
+
+def train(
+    cfg: TrainerConfig,
+    dit_cfg,
+    t5_cfg,
+    vae_cfg,
+    cn_cfg,
+    frozen: Dict,                  # {dit, t5, vae} param trees
+    cn_params: Dict,               # trainable ControlNet init
+    dataset,                       # yields dicts with video/control_video/prompt
+    tokenizer,
+    resume: bool = False,
+    max_steps: Optional[int] = None,
+    mesh=None,
+) -> TrainState:
+    """Run the training loop; returns the final state."""
+    from goal_force_tpu.data.datasets import should_skip
+    from goal_force_tpu.parallel import use_mesh
+
+    optimizer = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip)
+    step_fn = make_train_step(
+        dit_cfg, t5_cfg, vae_cfg, cn_cfg, optimizer,
+        num_frames=cfg.num_frames,
+        max_timestep_boundary=cfg.max_timestep_boundary,
+        min_timestep_boundary=cfg.min_timestep_boundary,
+    )
+
+    start_step = 0
+    if resume:
+        latest = find_latest_checkpoint(cfg.output_dir)
+        if latest is not None:
+            print(f"resuming from {latest}")
+            cn_params = load_goalforce_controlnet(latest, cn_cfg)
+            cn_params = jax.tree_util.tree_map(jnp.asarray, cn_params)
+            start_step = checkpoint_step(latest)
+
+    state = TrainState(
+        jax.tree_util.tree_map(jnp.asarray, cn_params),
+        optimizer.init(jax.tree_util.tree_map(jnp.asarray, cn_params)),
+        jnp.asarray(start_step, jnp.int32),
+    )
+    logger = MetricsLogger(cfg.output_dir, cfg.log_every, cfg.use_wandb,
+                           cfg.wandb_project, cfg.run_name, dataclasses.asdict(cfg))
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    step = start_step
+    ctx = use_mesh(mesh) if mesh is not None else _nullcontext()
+    with ctx:
+        for epoch in range(cfg.num_epochs):
+            order = np.random.default_rng(cfg.seed + epoch).permutation(len(dataset))
+            for i in order:
+                sample = dataset[int(i)]
+                if should_skip(sample, cfg.num_frames, cfg.height, cfg.width):
+                    continue
+                ids, mask = tokenizer([sample["prompt"]])
+                batch = {
+                    "video": jnp.asarray(sample["video"] * 2.0 - 1.0)[None],
+                    "control": jnp.asarray(sample["control_video"] * 2.0 - 1.0)[None],
+                    "ids": jnp.asarray(ids),
+                    "mask": jnp.asarray(mask),
+                }
+                rng, sub = jax.random.split(rng)
+                t0 = time.time()
+                state, metrics = step_fn(state, frozen, batch, sub)
+                step += 1
+                metrics = {**metrics, "lr": cfg.lr, "step_time": time.time() - t0}
+                logger.log(step, metrics)
+                saved = False
+                if step % cfg.save_steps == 0:
+                    save_checkpoint(state, cn_cfg, cfg.output_dir, step, dit_cfg.patch_size)
+                    saved = True
+                if max_steps is not None and step - start_step >= max_steps:
+                    if not saved:
+                        save_checkpoint(state, cn_cfg, cfg.output_dir, step, dit_cfg.patch_size)
+                    return state
+    save_checkpoint(state, cn_cfg, cfg.output_dir, step, dit_cfg.patch_size)
+    return state
+
+
+def save_checkpoint(state: TrainState, cn_cfg, output_dir: str, step: int, patch=(1, 2, 2)):
+    """Trainable-only, reference-compatible step-K.safetensors (utils.py:600-617)."""
+    host = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), state.params)
+    sd = export_goalforce_controlnet(host, cn_cfg, dit_patch=patch)
+    path = os.path.join(output_dir, f"step-{step}.safetensors")
+    save_safetensors(sd, path)
+    print(f"saved {path}")
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -175,32 +175,27 @@ def run_blocks(
     collect: return per-block outputs (the ControlNet side-stack collects its states).
     """
 
+    n_inj = 0 if injections is None else injections.shape[0]
+
     def body(carry, layer):
-        p, inj = layer
-        carry = constrain(carry, "dp", "sp", None)
-        out = dit_block(p, carry, context, t_mod, cos, sin, cfg, attn_impl)
-        if inj is not None:
-            out = out + inj.astype(out.dtype)
-        return out, (out if collect else None)
+        x_in, i = carry
+        p, _ = layer
+        x_in = constrain(x_in, "dp", "sp", None)
+        out = dit_block(p, x_in, context, t_mod, cos, sin, cfg, attn_impl)
+        if injections is not None:
+            # One scan over ALL layers; layers beyond the injection count add zeros.
+            # (Slicing the stacked params into per-segment scans materializes full
+            # copies of the weight stack in HBM — measured 0.9 GB per slice at A14B.)
+            idx = jnp.minimum(i, n_inj - 1)
+            inj = jax.lax.dynamic_index_in_dim(injections, idx, keepdims=False)
+            out = out + jnp.where(i < n_inj, 1.0, 0.0).astype(out.dtype) * inj.astype(out.dtype)
+        return (out, i + 1), (out if collect else None)
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
 
-    n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
-
-    def slice_blocks(start, stop):
-        return jax.tree_util.tree_map(lambda a: a[start:stop], blocks)
-
-    if injections is None:
-        x, ys = jax.lax.scan(body, x, (blocks, None))
-        return x, ys
-    n_inj = injections.shape[0]
-    x, ys1 = jax.lax.scan(body, x, (slice_blocks(0, n_inj), injections))
-    if n_inj < n_layers:
-        x, ys2 = jax.lax.scan(body, x, (slice_blocks(n_inj, n_layers), None))
-        if collect:
-            ys1 = jnp.concatenate([ys1, ys2], axis=0)
-    return x, (ys1 if collect else None)
+    (x, _), ys = jax.lax.scan(body, (x, jnp.zeros((), jnp.int32)), (blocks, None))
+    return x, ys
 
 
 def head(p, x, t, eps: float = 1e-6):

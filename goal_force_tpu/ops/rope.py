@@ -70,5 +70,9 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     x0, x1 = xf[..., 0], xf[..., 1]
     c = cos.reshape(1, s, 1, d // 2)
     si = sin.reshape(1, s, 1, d // 2)
-    out = jnp.stack([x0 * c - x1 * si, x0 * si + x1 * c], axis=-1)
-    return out.reshape(b, s, n, d).astype(x.dtype)
+    # cast each rotated half back to x.dtype BEFORE assembling: halves the materialized
+    # temp (f32 (B,S,N*D) copies showed up as the largest HBM allocations at A14B scale)
+    out = jnp.stack(
+        [(x0 * c - x1 * si).astype(x.dtype), (x0 * si + x1 * c).astype(x.dtype)], axis=-1
+    )
+    return out.reshape(b, s, n, d)

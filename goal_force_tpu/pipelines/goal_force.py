@@ -37,15 +37,23 @@ from goal_force_tpu.configs import (
 from goal_force_tpu.models import t5 as t5m
 from goal_force_tpu.models import vae as vaem
 from goal_force_tpu.models.tokenizer import load_tokenizer
-from goal_force_tpu.pipelines.model_fn import denoise_forward
+from goal_force_tpu.pipelines.model_fn import (
+    denoise_forward,
+    denoise_forward_skip,
+    temporal_tiled_forward,
+)
 from goal_force_tpu.schedulers import flow_match as fm
 
 
-def build_i2v_mask(num_frames: int, lat_f: int, lat_h: int, lat_w: int) -> np.ndarray:
+def build_i2v_mask(num_frames: int, lat_f: int, lat_h: int, lat_w: int,
+                   last_frame: bool = False) -> np.ndarray:
     """The 4-channel temporal mask (reference WanVideoUnit_ImageEmbedderVAE :899-910):
-    frame 0 repeated 4x then zeros, regrouped (T+3)//4 x 4 -> latent-frame channels."""
+    frame 0 repeated 4x then zeros, regrouped (T+3)//4 x 4 -> latent-frame channels.
+    last_frame=True marks the final frame too (first-last-frame conditioning, :904)."""
     msk = np.zeros((num_frames,), np.float32)
     msk[0] = 1.0
+    if last_frame:
+        msk[-1] = 1.0
     ext = np.concatenate([np.repeat(msk[:1], 4), msk[1:]])  # (T+3,)
     ext = ext.reshape(lat_f, 4)                              # frame 4l+c
     out = np.broadcast_to(ext[:, None, None, :], (lat_f, lat_h, lat_w, 4))
@@ -249,6 +257,55 @@ class GoalForcePipeline:
         return fn
 
     @functools.cached_property
+    def _t_mod(self):
+        dit_cfg = self.dit_cfg
+
+        @jax.jit
+        def fn(dit_params, timestep):
+            from goal_force_tpu.models.wan_dit import time_embed
+
+            return time_embed(dit_params, dit_cfg, timestep)[1]
+
+        return fn
+
+    @functools.cached_property
+    def _denoise_step_tc_full(self):
+        """Merged-CFG step that also returns the TeaCache token residual."""
+        dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
+        attn_impl = self.attn_impl
+
+        @functools.partial(jax.jit, static_argnames=("use_cn",))
+        def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
+               context2, y2, control_latents2, cfg_scale, use_cn):
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.concatenate([timestep, timestep], axis=0)
+            v, (pre, post) = denoise_forward(
+                dit_params, dit_cfg, x2, t2, context2, y=y2,
+                controlnet_params=cn_params if use_cn else None,
+                controlnet_cfg=cn_cfg,
+                control_latents=control_latents2 if use_cn else None,
+                attn_impl=attn_impl, return_token_states=True,
+            )
+            v = v[1:] + cfg_scale * (v[:1] - v[1:])
+            return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next), post - pre
+
+        return fn
+
+    @functools.cached_property
+    def _denoise_step_tc_skip(self):
+        dit_cfg = self.dit_cfg
+
+        @jax.jit
+        def fn(dit_params, latents, timestep, sigma, sigma_next, y2, residual, cfg_scale):
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.concatenate([timestep, timestep], axis=0)
+            v = denoise_forward_skip(dit_params, dit_cfg, x2, t2, y2, residual)
+            v = v[1:] + cfg_scale * (v[:1] - v[1:])
+            return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
+
+        return fn
+
+    @functools.cached_property
     def _denoise_step_nocfg(self):
         dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
         attn_impl = self.attn_impl
@@ -267,6 +324,33 @@ class GoalForcePipeline:
 
         return fn
 
+    @functools.cached_property
+    def _sliding_window_step(self):
+        """Temporal sliding-window denoise step (reference TemporalTiler path at
+        model_fn_wan_video :1381-1405)."""
+        dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
+        attn_impl = self.attn_impl
+
+        @functools.partial(jax.jit, static_argnames=("use_cn", "window", "stride"))
+        def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
+               context2, y, control_latents, cfg_scale, use_cn, window, stride):
+            t2 = jnp.concatenate([timestep, timestep], axis=0)
+
+            def window_fn(lat_w, y_w):
+                x2 = jnp.concatenate([lat_w, lat_w], axis=0)
+                y2 = None if y_w is None else jnp.concatenate([y_w, y_w], axis=0)
+                v = denoise_forward(
+                    dit_params, dit_cfg, x2, t2, context2, y=y2,
+                    controlnet_params=None, controlnet_cfg=cn_cfg,
+                    control_latents=None, attn_impl=attn_impl,
+                )
+                return v[1:] + cfg_scale * (v[:1] - v[1:])
+
+            v = temporal_tiled_forward(window_fn, latents, y, window, stride)
+            return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
+
+        return fn
+
     # ------------------------------------------------------------------
     # Conditioning
     # ------------------------------------------------------------------
@@ -275,16 +359,27 @@ class GoalForcePipeline:
         ids, mask = self.tokenizer(prompts)
         return self._encode_text(self.params["t5"], jnp.asarray(ids), jnp.asarray(mask))
 
-    def encode_first_frame(self, image: np.ndarray, num_frames: int) -> jnp.ndarray:
-        """image (H, W, 3) float in [0,1] -> y (1, L, h, w, 20)."""
+    def encode_first_frame(self, image: np.ndarray, num_frames: int,
+                           end_image: Optional[np.ndarray] = None) -> jnp.ndarray:
+        """image (H, W, 3) float in [0,1] -> y (1, L, h, w, 20).
+
+        end_image enables first-last-frame conditioning (reference
+        WanVideoUnit_ImageEmbedderVAE :901-907: last pixel frame filled, mask[-1]=1)."""
         h, w = image.shape[:2]
         img = jnp.asarray(image, jnp.float32)[None, None] * 2.0 - 1.0  # (1,1,H,W,3)
-        vae_in = jnp.concatenate(
-            [img, jnp.zeros((1, num_frames - 1, h, w, 3), jnp.float32)], axis=1
-        )
+        if end_image is not None:
+            end = jnp.asarray(end_image, jnp.float32)[None, None] * 2.0 - 1.0
+            vae_in = jnp.concatenate(
+                [img, jnp.zeros((1, num_frames - 2, h, w, 3), jnp.float32), end], axis=1
+            )
+        else:
+            vae_in = jnp.concatenate(
+                [img, jnp.zeros((1, num_frames - 1, h, w, 3), jnp.float32)], axis=1
+            )
         cond = self._encode_vae(self.params["vae"], vae_in)
         lat_f = (num_frames - 1) // 4 + 1
-        mask = build_i2v_mask(num_frames, lat_f, cond.shape[2], cond.shape[3])
+        mask = build_i2v_mask(num_frames, lat_f, cond.shape[2], cond.shape[3],
+                              last_frame=end_image is not None)
         y = jnp.concatenate([jnp.asarray(mask)[None], cond.astype(jnp.float32)], axis=-1)
         return y.astype(self.dtype)
 
@@ -305,6 +400,9 @@ class GoalForcePipeline:
         input_image: np.ndarray,              # (H, W, 3) float [0,1]
         control_signal_video: Optional[np.ndarray] = None,  # (F, H, W, 3) float [0,1]
         negative_prompt: Optional[str] = None,
+        end_image: Optional[np.ndarray] = None,             # first-last-frame mode
+        input_video: Optional[np.ndarray] = None,           # (F, H, W, 3) v2v mode
+        denoising_strength: float = 1.0,
         seed: int = 0,
         num_frames: Optional[int] = None,
         num_inference_steps: Optional[int] = None,
@@ -312,6 +410,10 @@ class GoalForcePipeline:
         sigma_shift: Optional[float] = None,
         switch_dit_boundary: Optional[float] = None,
         controlnet: bool = True,
+        tea_cache_l1_thresh: Optional[float] = None,
+        tea_cache_model_id: str = "Wan2.1-I2V-14B-480P",
+        sliding_window_size: Optional[int] = None,
+        sliding_window_stride: Optional[int] = None,
         progress: bool = False,
     ) -> np.ndarray:
         """Returns (F, H, W, 3) float32 frames in [0, 1]."""
@@ -324,11 +426,12 @@ class GoalForcePipeline:
         negative_prompt = pc.negative_prompt if negative_prompt is None else negative_prompt
 
         schedule = fm.make_schedule(num_steps=steps, shift=shift, sigma_min=0.0,
-                                    extra_one_step=True)
+                                    extra_one_step=True,
+                                    denoising_strength=denoising_strength)
 
         # Conditioning
         ctx = self.encode_prompts([prompt, negative_prompt])  # (2, L, text_dim)
-        y = self.encode_first_frame(input_image, num_frames)
+        y = self.encode_first_frame(input_image, num_frames, end_image=end_image)
         use_cn = controlnet and control_signal_video is not None and "controlnet" in self.params
         if use_cn and control_signal_video.shape[0] != num_frames:
             raise ValueError(
@@ -345,9 +448,21 @@ class GoalForcePipeline:
         lat_f = (num_frames - 1) // 4 + 1
         shape = (1, lat_f, h // 8, w // 8, self.vae_cfg.z_dim)
         latents = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32).astype(self.dtype)
+        if input_video is not None:
+            # v2v: start from the noised input video at the first schedule sigma
+            # (reference WanVideoUnit_InputVideoEmbedder :774-788).
+            iv = jnp.asarray(input_video, jnp.float32)[None] * 2.0 - 1.0
+            input_latents = self._encode_vae(self.params["vae"], iv).astype(self.dtype)
+            latents = fm.add_noise(input_latents, latents, schedule.sigmas[0])
 
         y2 = jnp.concatenate([y, y], axis=0)
         cl2 = jnp.concatenate([control_latents] * 2, axis=0) if use_cn else None
+
+        tea_cache = None
+        if tea_cache_l1_thresh is not None:
+            from goal_force_tpu.pipelines.teacache import TeaCache
+
+            tea_cache = TeaCache(steps, tea_cache_l1_thresh, tea_cache_model_id)
 
         switch_t = boundary * schedule.num_train_timesteps
         it = range(len(schedule))
@@ -361,16 +476,37 @@ class GoalForcePipeline:
             dit_p = self.params["dit2" if low_noise else "dit"]
             cn_p = self.params.get("controlnet2" if low_noise else "controlnet") if use_cn else None
             tstep = jnp.full((1,), t_val, self.dtype)
+            sig, sig_n = schedule.sigmas[i], schedule.sigma_next(i)
+
+            if sliding_window_size is not None and sliding_window_stride is not None:
+                latents = self._sliding_window_step(
+                    dit_p, cn_p, latents, tstep, sig, sig_n, ctx, y, control_latents,
+                    cfg_scale, use_cn, sliding_window_size, sliding_window_stride,
+                )
+                continue
+
+            if tea_cache is not None and cfg_scale != 1.0:
+                t_mod = self._t_mod(dit_p, jnp.concatenate([tstep, tstep]))
+                if tea_cache.should_skip(t_mod) and tea_cache.residual is not None:
+                    latents = self._denoise_step_tc_skip(
+                        dit_p, latents, tstep, sig, sig_n, y2, tea_cache.residual, cfg_scale
+                    )
+                else:
+                    latents, residual = self._denoise_step_tc_full(
+                        dit_p, cn_p, latents, tstep, sig, sig_n, ctx, y2, cl2,
+                        cfg_scale, use_cn,
+                    )
+                    tea_cache.residual = residual
+                continue
+
             if cfg_scale != 1.0:
                 latents = self._denoise_step(
-                    dit_p, cn_p, latents, tstep,
-                    schedule.sigmas[i], schedule.sigma_next(i),
-                    ctx, y2, cl2, cfg_scale, use_cn,
+                    dit_p, cn_p, latents, tstep, sig, sig_n, ctx, y2, cl2,
+                    cfg_scale, use_cn,
                 )
             else:
                 latents = self._denoise_step_nocfg(
-                    dit_p, cn_p, latents, tstep,
-                    schedule.sigmas[i], schedule.sigma_next(i),
+                    dit_p, cn_p, latents, tstep, sig, sig_n,
                     ctx[:1], y, control_latents, use_cn,
                 )
 

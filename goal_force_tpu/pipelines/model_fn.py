@@ -38,9 +38,23 @@ def denoise_forward(
     control_latents: Optional[jnp.ndarray] = None,  # (B, F, H, W, 16)
     remat: bool = False,
     attn_impl: str = "auto",
+    return_token_states: bool = False,
+    t_mod_offset: Optional[jnp.ndarray] = None,   # motion controller (B, 6, D)
+    vace_params: Optional[Dict] = None,
+    vace_context: Optional[jnp.ndarray] = None,   # (B, F, H, W, vace_in_dim)
+    vace_scale: float = 1.0,
+    vace_layers: tuple = (),
 ) -> jnp.ndarray:
-    """Velocity prediction (B, F, H, W, out_dim)."""
+    """Velocity prediction (B, F, H, W, out_dim).
+
+    return_token_states: also return (tokens_pre, tokens_post) around the block stack —
+    the TeaCache residual pair (reference :1283-1287).
+    t_mod_offset: motion-controller t_mod shift (reference :1445-1446).
+    vace_*: VACE hint stack injected after blocks in vace_layers (reference :1486-1487,
+    1572-1577)."""
     t, t_mod = time_embed(dit_params, dit_cfg, timestep)
+    if t_mod_offset is not None:
+        t_mod = t_mod + t_mod_offset.astype(t_mod.dtype)
     ctx = text_embed(dit_params, context)
 
     x = latents
@@ -50,6 +64,7 @@ def denoise_forward(
     tables = rope_tables_3d(dit_cfg.head_dim, dit_cfg.rope_max_len)
     cos, sin = assemble_rope(tables, *grid)
 
+    tokens_pre = tokens if return_token_states else None
     use_cn = controlnet_params is not None and control_latents is not None
     stride = controlnet_cfg.stride if (use_cn and controlnet_cfg is not None) else None
 
@@ -85,6 +100,29 @@ def denoise_forward(
                     dit_cfg, remat=remat, attn_impl=attn_impl,
                 )
                 pos = nxt
+    elif vace_params is not None and vace_context is not None:
+        # VACE: hints land after strided layers; run segments between injection points.
+        # (VACE + goal-force ControlNet are mutually exclusive, as in the reference runs.)
+        if use_cn:
+            raise NotImplementedError("VACE and goal-force ControlNet cannot be combined")
+        from goal_force_tpu.models.adapters import vace_hints
+
+        hints = vace_hints(vace_params, dit_cfg, tokens, vace_context.astype(tokens.dtype),
+                           ctx, t_mod, cos, sin, vace_layers=vace_layers)
+        import jax
+
+        def seg(a_, b_):
+            return jax.tree_util.tree_map(lambda t_: t_[a_:b_], dit_params["blocks"])
+
+        pos = 0
+        for n_hint, layer in enumerate(vace_layers):
+            tokens, _ = run_blocks(seg(pos, layer + 1), tokens, ctx, t_mod, cos, sin,
+                                   dit_cfg, remat=remat, attn_impl=attn_impl)
+            tokens = tokens + hints[n_hint].astype(tokens.dtype) * vace_scale
+            pos = layer + 1
+        if pos < dit_cfg.num_layers:
+            tokens, _ = run_blocks(seg(pos, dit_cfg.num_layers), tokens, ctx, t_mod,
+                                   cos, sin, dit_cfg, remat=remat, attn_impl=attn_impl)
     else:
         tokens, _ = run_blocks(
             dit_params["blocks"], tokens, ctx, t_mod, cos, sin, dit_cfg,
@@ -93,4 +131,64 @@ def denoise_forward(
         )
 
     out = head(dit_params["head"], tokens, t, dit_cfg.eps)
+    out = unpatchify(out, grid, dit_cfg.patch_size, dit_cfg.out_dim)
+    if return_token_states:
+        return out, (tokens_pre, tokens)
+    return out
+
+
+def denoise_forward_skip(
+    dit_params: Dict,
+    dit_cfg: WanDiTConfig,
+    latents: jnp.ndarray,
+    timestep: jnp.ndarray,
+    y: Optional[jnp.ndarray],
+    residual: jnp.ndarray,
+) -> jnp.ndarray:
+    """TeaCache skip path: reuse the cached block-stack residual
+    (reference :1532-1533,1290-1292) — patchify, add residual, head, unpatchify."""
+    t, _ = time_embed(dit_params, dit_cfg, timestep)
+    x = latents
+    if y is not None:
+        x = jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
+    tokens, grid = patchify(dit_params["patch_embedding"], x, dit_cfg.patch_size)
+    tokens = tokens + residual.astype(tokens.dtype)
+    out = head(dit_params["head"], tokens, t, dit_cfg.eps)
     return unpatchify(out, grid, dit_cfg.patch_size, dit_cfg.out_dim)
+
+
+def temporal_tiled_forward(
+    model_fn,
+    latents: jnp.ndarray,            # (B, F, H, W, C)
+    y: Optional[jnp.ndarray],
+    window: int,
+    stride: int,
+):
+    """Sliding-window denoising over latent frames with linear blend masks.
+
+    Parity with TemporalTiler_BCTHW (/root/reference/src/goal_force/wan_video_new.py:
+    1296-1345): mask ramps use (i+0.5)/border; windows advance by `stride` and skip
+    once the previous window already covered the tail."""
+    import numpy as np
+
+    f = latents.shape[1]
+    border = window - stride
+    value = jnp.zeros_like(latents, dtype=jnp.float32)
+    weight = np.zeros((1, f, 1, 1, 1), np.float32)
+    for t0 in range(0, f, stride):
+        if t0 - stride >= 0 and t0 - stride + window >= f:
+            continue
+        t1 = min(t0 + window, f)
+        out = model_fn(latents[:, t0:t1], None if y is None else y[:, t0:t1])
+        n = t1 - t0
+        mask = np.ones((n,), np.float32)
+        if border > 0:
+            ramp = (np.arange(border) + 0.5) / border
+            if t0 != 0:
+                mask[:border] = ramp
+            if t1 != f:
+                mask[-border:] = ramp[::-1]
+        m = jnp.asarray(mask).reshape(1, n, 1, 1, 1)
+        value = value.at[:, t0:t1].add(out.astype(jnp.float32) * m)
+        weight[:, t0:t1] += mask.reshape(1, n, 1, 1, 1)
+    return (value / jnp.asarray(weight)).astype(latents.dtype)

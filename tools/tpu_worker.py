@@ -15,11 +15,18 @@ import traceback
 JOBS = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_jobs"
 os.makedirs(JOBS, exist_ok=True)
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import gc  # noqa: E402
+
 import jax  # noqa: E402
 
 print("devices:", jax.devices(), flush=True)
 
 shared: dict = {"jax": jax}
+BASE_KEYS = set(shared)
 
 while True:
     jobs = sorted(f for f in os.listdir(JOBS) if f.endswith(".py"))
@@ -42,6 +49,13 @@ while True:
         status = "ERROR"
     finally:
         sys.stdout = old
+        # Free device memory: drop everything a job defined (except persist_* names)
+        # and clear compiled-executable caches holding constants.
+        for k in list(shared):
+            if k not in BASE_KEYS and not k.startswith("persist_"):
+                del shared[k]
+        gc.collect()
+        jax.clear_caches()
     with open(out_path, "w") as f:
         f.write(f"[{status}]\n" + buf.getvalue())
     os.rename(path, path[:-3] + ".done")

@@ -43,6 +43,9 @@ def _fa_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                           # (bq, bk)
+        # NOTE: keep the mask straight-line. Branching it behind lax.cond (to skip the
+        # two VPU passes on interior tiles) stalls Mosaic's pipeline and costs +70%
+        # (343ms -> 582ms measured at the Wan shape).
         col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, MASK_VALUE)
 

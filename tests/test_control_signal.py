@@ -94,3 +94,16 @@ def test_deterministic_masking_probabilities():
     out = render_control_video(_spec(), F, H, W, min_force=30.0, max_force=400.0,
                                p_mask_out_indirect=1.0, rng=rng)
     assert out[..., 0].max() > 0 and np.all(out[..., 1] == 0)
+
+
+def test_native_backend_matches_numpy():
+    from goal_force_tpu.native import native
+
+    if native() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    spec = _spec()
+    a = render_control_video(spec, 9, 64, 96, min_force=30, max_force=400, backend="native")
+    b = render_control_video(spec, 9, 64, 96, min_force=30, max_force=400, backend="numpy")
+    np.testing.assert_allclose(a, b, atol=1e-6)

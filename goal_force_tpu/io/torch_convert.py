@@ -33,7 +33,7 @@ def _lin(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
 
 
 def _attn(sd: Mapping[str, Array], prefix: str) -> Dict:
-    return {
+    out = {
         "q": _lin(sd, prefix + ".q"),
         "k": _lin(sd, prefix + ".k"),
         "v": _lin(sd, prefix + ".v"),
@@ -41,6 +41,11 @@ def _attn(sd: Mapping[str, Array], prefix: str) -> Dict:
         "norm_q": {"w": sd[prefix + ".norm_q.weight"]},
         "norm_k": {"w": sd[prefix + ".norm_k.weight"]},
     }
+    if prefix + ".k_img.weight" in sd:  # has_image_input cross attention (:164-167)
+        out["k_img"] = _lin(sd, prefix + ".k_img")
+        out["v_img"] = _lin(sd, prefix + ".v_img")
+        out["norm_k_img"] = {"w": sd[prefix + ".norm_k_img.weight"]}
+    return out
 
 
 def _block(sd: Mapping[str, Array], prefix: str) -> Dict:
@@ -71,7 +76,18 @@ def patch_embed_from_conv3d(w: Array, b: Array) -> Dict[str, Array]:
 def dit_params_from_torch(sd: Mapping[str, Array], cfg: WanDiTConfig) -> Dict:
     """Convert a Wan DiT state dict (civitai naming) to the wan_dit param tree."""
     blocks = [_block(sd, f"blocks.{i}") for i in range(cfg.num_layers)]
+    extra: Dict = {}
+    if "img_emb.proj.0.weight" in sd:  # CLIP image MLP (:233-250)
+        extra["img_emb"] = {
+            "norm_in": {"w": sd["img_emb.proj.0.weight"], "b": sd["img_emb.proj.0.bias"]},
+            "fc0": _lin(sd, "img_emb.proj.1"),
+            "fc2": _lin(sd, "img_emb.proj.3"),
+            "norm_out": {"w": sd["img_emb.proj.4.weight"], "b": sd["img_emb.proj.4.bias"]},
+        }
+        if "img_emb.emb_pos" in sd:
+            extra["img_emb"]["emb_pos"] = sd["img_emb.emb_pos"][0]
     return {
+        **extra,
         "patch_embedding": patch_embed_from_conv3d(
             sd["patch_embedding.weight"], sd["patch_embedding.bias"]
         ),

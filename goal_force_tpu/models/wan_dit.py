@@ -126,18 +126,33 @@ def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = 
     return linear(p["o"], out)
 
 
-def cross_attention(p, x, context, num_heads: int, eps: float, attn_impl: str = "auto"):
+def cross_attention(p, x, context, num_heads: int, eps: float, attn_impl: str = "auto",
+                    num_img_tokens: int = 0):
+    """Text cross-attention; with num_img_tokens > 0 the first tokens of `context` are
+    CLIP image tokens attended through separate k_img/v_img projections and ADDED
+    (reference CrossAttention has_image_input :171-186)."""
     b, s, d = x.shape
-    t = context.shape[1]
+    if num_img_tokens:
+        img, ctx = context[:, :num_img_tokens], context[:, num_img_tokens:]
+    else:
+        ctx = context
+    t = ctx.shape[1]
     q = rms_norm(linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, s, num_heads, -1)
-    k = rms_norm(linear(p["k"], context), p["norm_k"]["w"], eps).reshape(b, t, num_heads, -1)
-    v = linear(p["v"], context).reshape(b, t, num_heads, -1)
+    k = rms_norm(linear(p["k"], ctx), p["norm_k"]["w"], eps).reshape(b, t, num_heads, -1)
+    v = linear(p["v"], ctx).reshape(b, t, num_heads, -1)
     # text KV is tiny (512 tokens): keep q token-sharded, replicate KV — no collective.
     out = attention(q, k, v, impl=attn_impl).reshape(b, s, d)
+    if num_img_tokens:
+        ti = img.shape[1]
+        k_img = rms_norm(linear(p["k_img"], img), p["norm_k_img"]["w"], eps).reshape(
+            b, ti, num_heads, -1)
+        v_img = linear(p["v_img"], img).reshape(b, ti, num_heads, -1)
+        out = out + attention(q, k_img, v_img, impl=attn_impl).reshape(b, s, d)
     return linear(p["o"], out)
 
 
-def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig, attn_impl: str = "auto"):
+def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig, attn_impl: str = "auto",
+              num_img_tokens: int = 0):
     """One DiT block (reference DiTBlock.forward :214-230). t_mod: (B, 6, D)."""
     mod = p["modulation"].astype(t_mod.dtype)[None] + t_mod  # (B, 6, D)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
@@ -147,7 +162,7 @@ def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig, attn_impl: str 
     x = x + gate_msa * self_attention(p["self_attn"], h, cos, sin, cfg.num_heads, cfg.eps, attn_impl)
     x = x + cross_attention(
         p["cross_attn"], layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"]),
-        context, cfg.num_heads, cfg.eps, attn_impl,
+        context, cfg.num_heads, cfg.eps, attn_impl, num_img_tokens=num_img_tokens,
     )
     h = layer_norm(x, cfg.eps) * (1 + scale_mlp) + shift_mlp
     h = linear(p["ffn"]["fc2"], gelu_tanh(linear(p["ffn"]["fc0"], h)))
@@ -166,6 +181,7 @@ def run_blocks(
     collect: bool = False,
     remat: bool = False,
     attn_impl: str = "auto",
+    num_img_tokens: int = 0,
 ):
     """Scan x through stacked blocks.
 
@@ -181,7 +197,8 @@ def run_blocks(
         x_in, i = carry
         p, _ = layer
         x_in = constrain(x_in, "dp", "sp", None)
-        out = dit_block(p, x_in, context, t_mod, cos, sin, cfg, attn_impl)
+        out = dit_block(p, x_in, context, t_mod, cos, sin, cfg, attn_impl,
+                        num_img_tokens=num_img_tokens)
         if injections is not None:
             # One scan over ALL layers; layers beyond the injection count add zeros.
             # (Slicing the stacked params into per-segment scans materializes full
@@ -223,6 +240,26 @@ def text_embed(params, x):
     return linear(params["text_embedding"]["fc2"], h)
 
 
+def gelu_erf(x):
+    import math as _math
+
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + jax.lax.erf(xf / _math.sqrt(2.0)))).astype(x.dtype)
+
+
+def img_embed(params, clip_feature):
+    """CLIP tokens -> DiT context tokens (reference MLP :233-250: LN, Linear, GELU(erf),
+    Linear, LN; optional learned pos emb for first-last-frame models)."""
+    p = params["img_emb"]
+    x = clip_feature
+    if "emb_pos" in p:
+        x = x + p["emb_pos"].astype(x.dtype)
+    x = layer_norm(x, 1e-5, p["norm_in"]["w"], p["norm_in"]["b"])
+    x = gelu_erf(linear(p["fc0"], x))
+    x = linear(p["fc2"], x)
+    return layer_norm(x, 1e-5, p["norm_out"]["w"], p["norm_out"]["b"])
+
+
 def wan_dit_forward(
     params,
     cfg: WanDiTConfig,
@@ -230,6 +267,7 @@ def wan_dit_forward(
     timestep: jnp.ndarray,
     context: jnp.ndarray,
     y: Optional[jnp.ndarray] = None,
+    clip_feature: Optional[jnp.ndarray] = None,
     rope_cos: Optional[jnp.ndarray] = None,
     rope_sin: Optional[jnp.ndarray] = None,
     remat: bool = False,
@@ -245,6 +283,11 @@ def wan_dit_forward(
 
     t, t_mod = time_embed(params, cfg, timestep)
     context = text_embed(params, context)
+    num_img_tokens = 0
+    if clip_feature is not None and cfg.has_image_input:
+        img_ctx = img_embed(params, clip_feature)
+        num_img_tokens = img_ctx.shape[1]
+        context = jnp.concatenate([img_ctx, context.astype(img_ctx.dtype)], axis=1)
     if y is not None:
         x = jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
     tokens, grid = patchify(params["patch_embedding"], x, cfg.patch_size)
@@ -253,7 +296,7 @@ def wan_dit_forward(
         rope_cos, rope_sin = assemble_rope(tables, *grid)
     tokens, _ = run_blocks(
         params["blocks"], tokens, context, t_mod, rope_cos, rope_sin, cfg,
-        remat=remat, attn_impl=attn_impl,
+        remat=remat, attn_impl=attn_impl, num_img_tokens=num_img_tokens,
     )
     out = head(params["head"], tokens, t, cfg.eps)
     return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)

@@ -241,6 +241,7 @@ class GoalForcePipeline:
                context2, y2, control_latents2, cfg_scale, use_cn):
             """One Euler step with merged CFG. latents: (1, F, H, W, 16);
             *2 args are posi/nega batches of 2."""
+            b = latents.shape[0]
             x2 = jnp.concatenate([latents, latents], axis=0)
             t2 = jnp.concatenate([timestep, timestep], axis=0)
             v = denoise_forward(
@@ -250,7 +251,7 @@ class GoalForcePipeline:
                 control_latents=control_latents2 if use_cn else None,
                 attn_impl=attn_impl,
             )
-            v_posi, v_nega = v[:1], v[1:]
+            v_posi, v_nega = v[:b], v[b:]
             v = v_nega + cfg_scale * (v_posi - v_nega)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
@@ -277,6 +278,7 @@ class GoalForcePipeline:
         @functools.partial(jax.jit, static_argnames=("use_cn",))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
                context2, y2, control_latents2, cfg_scale, use_cn):
+            b = latents.shape[0]
             x2 = jnp.concatenate([latents, latents], axis=0)
             t2 = jnp.concatenate([timestep, timestep], axis=0)
             v, (pre, post) = denoise_forward(
@@ -286,7 +288,7 @@ class GoalForcePipeline:
                 control_latents=control_latents2 if use_cn else None,
                 attn_impl=attn_impl, return_token_states=True,
             )
-            v = v[1:] + cfg_scale * (v[:1] - v[1:])
+            v = v[b:] + cfg_scale * (v[:b] - v[b:])
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next), post - pre
 
         return fn
@@ -297,10 +299,11 @@ class GoalForcePipeline:
 
         @jax.jit
         def fn(dit_params, latents, timestep, sigma, sigma_next, y2, residual, cfg_scale):
+            b = latents.shape[0]
             x2 = jnp.concatenate([latents, latents], axis=0)
             t2 = jnp.concatenate([timestep, timestep], axis=0)
             v = denoise_forward_skip(dit_params, dit_cfg, x2, t2, y2, residual)
-            v = v[1:] + cfg_scale * (v[:1] - v[1:])
+            v = v[b:] + cfg_scale * (v[:b] - v[b:])
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
         return fn
@@ -337,6 +340,7 @@ class GoalForcePipeline:
             t2 = jnp.concatenate([timestep, timestep], axis=0)
 
             def window_fn(lat_w, y_w):
+                b = lat_w.shape[0]
                 x2 = jnp.concatenate([lat_w, lat_w], axis=0)
                 y2 = None if y_w is None else jnp.concatenate([y_w, y_w], axis=0)
                 v = denoise_forward(
@@ -344,7 +348,7 @@ class GoalForcePipeline:
                     controlnet_params=None, controlnet_cfg=cn_cfg,
                     control_latents=None, attn_impl=attn_impl,
                 )
-                return v[1:] + cfg_scale * (v[:1] - v[1:])
+                return v[b:] + cfg_scale * (v[:b] - v[b:])
 
             v = temporal_tiled_forward(window_fn, latents, y, window, stride)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
@@ -475,7 +479,7 @@ class GoalForcePipeline:
             low_noise = t_val < switch_t and "dit2" in self.params
             dit_p = self.params["dit2" if low_noise else "dit"]
             cn_p = self.params.get("controlnet2" if low_noise else "controlnet") if use_cn else None
-            tstep = jnp.full((1,), t_val, self.dtype)
+            tstep = jnp.full((latents.shape[0],), t_val, self.dtype)
             sig, sig_n = schedule.sigmas[i], schedule.sigma_next(i)
 
             if sliding_window_size is not None and sliding_window_stride is not None:
@@ -512,3 +516,80 @@ class GoalForcePipeline:
 
         video = self._decode_vae(self.params["vae"], latents.astype(jnp.float32))
         return np.asarray((video[0] + 1.0) / 2.0, np.float32)
+
+    def generate_batch(
+        self,
+        prompts,
+        input_images,                       # (B, H, W, 3) float [0,1] or list
+        control_signal_videos=None,         # (B, F, H, W, 3) or list, optional
+        negative_prompt: Optional[str] = None,
+        seeds=None,
+        num_frames: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        cfg_scale: Optional[float] = None,
+        sigma_shift: Optional[float] = None,
+        controlnet: bool = True,
+        progress: bool = False,
+    ) -> np.ndarray:
+        """Multi-clip batched generation: the batch axis maps onto the mesh "dp" axis —
+        this replaces the reference's one-process-per-GPU CSV sharding
+        (scripts/inference/utils.py:26-62) with a single jitted program.
+        Returns (B, F, H, W, 3) float32 in [0, 1]."""
+        pc = self.pipe_cfg
+        num_frames = num_frames or pc.num_frames
+        steps = num_inference_steps or pc.num_inference_steps
+        cfg_scale = pc.cfg_scale if cfg_scale is None else cfg_scale
+        shift = sigma_shift or pc.sigma_shift
+        negative_prompt = pc.negative_prompt if negative_prompt is None else negative_prompt
+
+        images = np.stack([np.asarray(im, np.float32) for im in input_images])
+        bsz = images.shape[0]
+        assert len(prompts) == bsz
+        seeds = seeds if seeds is not None else list(range(bsz))
+
+        schedule = fm.make_schedule(num_steps=steps, shift=shift, sigma_min=0.0,
+                                    extra_one_step=True)
+        ctx_all = self.encode_prompts(list(prompts) + [negative_prompt])
+        ctx2 = jnp.concatenate(
+            [ctx_all[:bsz], jnp.repeat(ctx_all[bsz:], bsz, axis=0)], axis=0
+        )  # (2B, L, D): posi rows then repeated negative
+        y = jnp.concatenate(
+            [self.encode_first_frame(images[i], num_frames) for i in range(bsz)], axis=0
+        )
+        use_cn = (controlnet and control_signal_videos is not None
+                  and "controlnet" in self.params)
+        cl = None
+        if use_cn:
+            cl = jnp.concatenate(
+                [self.encode_control_video(np.asarray(cv, np.float32))
+                 for cv in control_signal_videos], axis=0
+            )
+        h, w = images.shape[1:3]
+        lat_f = (num_frames - 1) // 4 + 1
+        latents = jnp.concatenate([
+            jax.random.normal(jax.random.PRNGKey(int(s)),
+                              (1, lat_f, h // 8, w // 8, self.vae_cfg.z_dim), jnp.float32)
+            for s in seeds
+        ], axis=0).astype(self.dtype)
+        y2 = jnp.concatenate([y, y], axis=0)
+        cl2 = jnp.concatenate([cl, cl], axis=0) if use_cn else None
+
+        switch_t = pc.switch_dit_boundary * schedule.num_train_timesteps
+        it = range(len(schedule))
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(it)
+        for i in it:
+            t_val = float(schedule.timesteps[i])
+            low_noise = t_val < switch_t and "dit2" in self.params
+            dit_p = self.params["dit2" if low_noise else "dit"]
+            cn_p = (self.params.get("controlnet2" if low_noise else "controlnet")
+                    if use_cn else None)
+            tstep = jnp.full((bsz,), t_val, self.dtype)
+            latents = self._denoise_step(
+                dit_p, cn_p, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
+                ctx2, y2, cl2, cfg_scale, use_cn,
+            )
+        video = self._decode_vae(self.params["vae"], latents.astype(jnp.float32))
+        return np.asarray((video + 1.0) / 2.0, np.float32)

@@ -89,3 +89,19 @@ def test_expert_switch_uses_dit2(pipe, inputs):
     finally:
         pipe.params["dit2"] = saved
     assert np.abs(base - perturbed).max() > 1e-6
+
+
+def test_generate_batch_matches_single(pipe, inputs):
+    image, cv = inputs
+    rng = np.random.default_rng(5)
+    image2 = rng.uniform(size=image.shape).astype(np.float32)
+    kwargs = dict(num_frames=5, num_inference_steps=2)
+    single0 = pipe("a ball", image, control_signal_video=cv[:5], seed=0, **kwargs)
+    single1 = pipe("a cat", image2, control_signal_video=cv[:5], seed=1, **kwargs)
+    batch = pipe.generate_batch(
+        ["a ball", "a cat"], np.stack([image, image2]),
+        control_signal_videos=[cv[:5], cv[:5]], seeds=[0, 1], **kwargs,
+    )
+    assert batch.shape == (2, 5, 32, 48, 3)
+    np.testing.assert_allclose(batch[0], single0, atol=2e-4)
+    np.testing.assert_allclose(batch[1], single1, atol=2e-4)

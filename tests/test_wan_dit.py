@@ -149,3 +149,41 @@ def test_patchify_roundtrip():
         jnp.zeros((2, 4 * 3 * 4, cfg.out_dim * 4)), grid, cfg.patch_size, cfg.out_dim
     )
     assert out.shape == (2, 4, 6, 8, cfg.out_dim)
+
+
+def test_image_input_forward_matches_reference():
+    """Wan2.1-I2V style: clip_feature tokens through img_emb + separate image K/V."""
+    import torch
+
+    cfg = configs.tiny_dit(num_layers=2)
+    cfg = configs.WanDiTConfig(**{**cfg.__dict__, "has_image_input": True, "in_dim": 36})
+    torch.manual_seed(3)
+    model = ref_dit.WanModel(
+        dim=cfg.dim, in_dim=cfg.in_dim, ffn_dim=cfg.ffn_dim, out_dim=cfg.out_dim,
+        text_dim=cfg.text_dim, freq_dim=cfg.freq_dim, eps=cfg.eps,
+        patch_size=cfg.patch_size, num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        has_image_input=True,
+    ).eval().float()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                                    dit_params_from_torch(sd, cfg))
+
+    rng = np.random.default_rng(4)
+    b, f, hh, ww = 1, 3, 8, 12
+    x = rng.normal(size=(b, 16, f, hh, ww)).astype(np.float32)
+    y = rng.normal(size=(b, 20, f, hh, ww)).astype(np.float32)
+    ctx = rng.normal(size=(b, 8, cfg.text_dim)).astype(np.float32)
+    clip = rng.normal(size=(b, 257, 1280)).astype(np.float32)
+    t = np.array([400.0], dtype=np.float32)
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(ctx),
+                    clip_feature=torch.from_numpy(clip), y=torch.from_numpy(y)).numpy()
+
+    got = wan_dit.wan_dit_forward(
+        params, cfg, jnp.asarray(np.moveaxis(x, 1, -1)), jnp.asarray(t), jnp.asarray(ctx),
+        y=jnp.asarray(np.moveaxis(y, 1, -1)), clip_feature=jnp.asarray(clip),
+        attn_impl="xla",
+    )
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), ref,
+                               rtol=5e-4, atol=5e-4)

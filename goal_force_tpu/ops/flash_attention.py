@@ -24,6 +24,128 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
+def _fa_kernel_fwd(kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                   *, scale, bk):
+    """Forward with logsumexp residual output (for the custom-vjp backward)."""
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kv_len = kv_len_ref[0]
+
+    @pl.when(kv_idx * bk < kv_len)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, MASK_VALUE)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - jnp.max(m_next, axis=-1, keepdims=True))
+        l_next = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        v = v_ref[0]
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log(jnp.maximum(l, 1e-30))  # lanes replicated
+
+
+def _fa_kernel_dkv(kv_len_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                   dk_ref, dv_ref, dk_scr, dv_scr, *, scale, bk):
+    """dK/dV: outer grid over kv tiles, inner (arbitrary) over q tiles."""
+    q_idx = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    kv_len = kv_len_ref[0]
+    kv_idx = pl.program_id(1)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+    lse_col = lse_ref[0][:, :1]           # (bq, 1), lanes replicated
+    # di = sum(o * do) per row, recomputed in-kernel (cheap vs a (BN,S,128) f32 temp)
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+    col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    p = jnp.where(col < kv_len, jnp.exp(s - lse_col), 0.0)               # (bq, bk)
+    dv_scr[...] += jax.lax.dot_general(p.astype(do.dtype), do,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)          # (bq, bk)
+    ds = (p * (dp - di) * scale).astype(q.dtype)
+    dk_scr[...] += jax.lax.dot_general(ds, q,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _fa_kernel_dq(kv_len_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                  dq_ref, dq_scr, *, scale, bk):
+    """dQ: outer grid over q tiles, inner (arbitrary) over kv tiles."""
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    kv_len = kv_len_ref[0]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+    lse_col = lse_ref[0][:, :1]
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    p = jnp.where(col < kv_len, jnp.exp(s - lse_col), 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - di) * scale).astype(k.dtype)
+    dq_scr[...] += jax.lax.dot(ds, k,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
 def _fa_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, bk):
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
@@ -83,48 +205,172 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def flash_attention(q, k, v, scale: float, block_q: int = 1024, block_k: int = 1024):
-    """q: (B, Sq, N, H); k/v: (B, Skv, N, H) -> (B, Sq, N, H). H must be 128."""
+def _to_bn(x):
+    b, s, n, h = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+
+
+def _from_bn(x, b, n, s):
+    return x[:, :s].reshape(b, n, s, x.shape[-1]).transpose(0, 2, 1, 3)
+
+
+def _fa_forward(q, k, v, scale, block_q, block_k, with_lse):
     b, sq, n, h = q.shape
     skv = k.shape[1]
-    if h != LANES:
-        raise ValueError(f"flash_attention requires head_dim=128, got {h}")
-    block_q = min(block_q, max(LANES, sq))
-    block_k = min(block_k, max(LANES, skv))
-
-    def to_bn(x):  # (B,S,N,H) -> (B*N, S, H)
-        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], h)
-
-    qb = _pad_to(to_bn(q), 1, block_q)
-    kb = _pad_to(to_bn(k), 1, block_k)
-    vb = _pad_to(to_bn(v), 1, block_k)
+    qb = _pad_to(_to_bn(q), 1, block_q)
+    kb = _pad_to(_to_bn(k), 1, block_k)
+    vb = _pad_to(_to_bn(v), 1, block_k)
     sq_p, skv_p = qb.shape[1], kb.shape[1]
-
     grid = (b * n, sq_p // block_q, skv_p // block_k)
-    kernel = functools.partial(_fa_kernel, scale=scale, bk=block_k)
-    out = pl.pallas_call(
+    idx_q = lambda bn, iq, ik, _len: (bn, iq, 0)
+    idx_k = lambda bn, iq, ik, _len: (bn, ik, 0)
+    common = dict(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, h), idx_q),
+            pl.BlockSpec((1, block_k, h), idx_k),
+            pl.BlockSpec((1, block_k, h), idx_k),
+        ],
+    )
+    if not with_lse:
+        kernel = functools.partial(_fa_kernel, scale=scale, bk=block_k)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b * n, sq_p, h), q.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                out_specs=pl.BlockSpec((1, block_q, h), idx_q),
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, LANES), jnp.float32),
+                    pltpu.VMEM((block_q, LANES), jnp.float32),
+                    pltpu.VMEM((block_q, h), jnp.float32),
+                ],
+                **common,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(jnp.asarray([skv], jnp.int32), qb, kb, vb)
+        return _from_bn(out, b, n, sq), None
+    kernel = functools.partial(_fa_kernel_fwd, scale=scale, bk=block_k)
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * n, sq_p, h), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * n, sq_p, h), q.dtype),
+            jax.ShapeDtypeStruct((b * n, sq_p, LANES), jnp.float32),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, h), lambda bn, iq, ik, _len: (bn, iq, 0)),
-                pl.BlockSpec((1, block_k, h), lambda bn, iq, ik, _len: (bn, ik, 0)),
-                pl.BlockSpec((1, block_k, h), lambda bn, iq, ik, _len: (bn, ik, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, h), lambda bn, iq, ik, _len: (bn, iq, 0)),
+            out_specs=(
+                pl.BlockSpec((1, block_q, h), idx_q),
+                pl.BlockSpec((1, block_q, LANES), idx_q),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, h), jnp.float32),
             ],
+            **common,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(jnp.asarray([skv], jnp.int32), qb, kb, vb)
+    return _from_bn(out, b, n, sq), lse  # lse stays padded (BN, Sq_p)
 
-    out = out[:, :sq].reshape(b, n, sq, h).transpose(0, 2, 1, 3)
-    return out
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, block_q, block_k):
+    return _fa_forward(q, k, v, scale, block_q, block_k, with_lse=False)[0]
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _fa_forward(q, k, v, scale, block_q, block_k, with_lse=True)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(scale, block_q, block_k, res, do):
+    q, k, v, out, lse = res
+    b, sq, n, h = q.shape
+    skv = k.shape[1]
+    qb = _pad_to(_to_bn(q), 1, block_q)
+    kb = _pad_to(_to_bn(k), 1, block_k)
+    vb = _pad_to(_to_bn(v), 1, block_k)
+    dob = _pad_to(_to_bn(do), 1, block_q)
+    ob = _pad_to(_to_bn(out), 1, block_q)
+    sq_p, skv_p = qb.shape[1], kb.shape[1]
+    bn = b * n
+    n_q, n_kv = sq_p // block_q, skv_p // block_k
+    kv_len = jnp.asarray([skv], jnp.int32)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fa_kernel_dkv, scale=scale, bk=block_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((bn, skv_p, h), k.dtype),
+            jax.ShapeDtypeStruct((bn, skv_p, h), v.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bn, n_kv, n_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, h), lambda b_, ik, iq, _l: (b_, iq, 0)),
+                pl.BlockSpec((1, block_k, h), lambda b_, ik, iq, _l: (b_, ik, 0)),
+                pl.BlockSpec((1, block_k, h), lambda b_, ik, iq, _l: (b_, ik, 0)),
+                pl.BlockSpec((1, block_q, h), lambda b_, ik, iq, _l: (b_, iq, 0)),
+                pl.BlockSpec((1, block_q, h), lambda b_, ik, iq, _l: (b_, iq, 0)),
+                pl.BlockSpec((1, block_q, LANES), lambda b_, ik, iq, _l: (b_, iq, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_k, h), lambda b_, ik, iq, _l: (b_, ik, 0)),
+                pl.BlockSpec((1, block_k, h), lambda b_, ik, iq, _l: (b_, ik, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, h), jnp.float32),
+                pltpu.VMEM((block_k, h), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_len, qb, kb, vb, ob, dob, lse)
+
+    dq = pl.pallas_call(
+        functools.partial(_fa_kernel_dq, scale=scale, bk=block_k),
+        out_shape=jax.ShapeDtypeStruct((bn, sq_p, h), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bn, n_q, n_kv),
+            in_specs=[
+                pl.BlockSpec((1, block_q, h), lambda b_, iq, ik, _l: (b_, iq, 0)),
+                pl.BlockSpec((1, block_k, h), lambda b_, iq, ik, _l: (b_, ik, 0)),
+                pl.BlockSpec((1, block_k, h), lambda b_, iq, ik, _l: (b_, ik, 0)),
+                pl.BlockSpec((1, block_q, h), lambda b_, iq, ik, _l: (b_, iq, 0)),
+                pl.BlockSpec((1, block_q, h), lambda b_, iq, ik, _l: (b_, iq, 0)),
+                pl.BlockSpec((1, block_q, LANES), lambda b_, iq, ik, _l: (b_, iq, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, h), lambda b_, iq, ik, _l: (b_, iq, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, h), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_len, qb, kb, vb, ob, dob, lse)
+
+    return (_from_bn(dq, b, n, sq), _from_bn(dk, b, n, skv), _from_bn(dv, b, n, skv))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, scale: float, block_q: int = 1024, block_k: int = 1024):
+    """q: (B, Sq, N, H); k/v: (B, Skv, N, H) -> (B, Sq, N, H). H must be 128.
+
+    Differentiable: a custom VJP recomputes attention tile-by-tile in separate dK/dV and
+    dQ kernels from the forward's logsumexp residual — O(S) memory for training at the
+    full 32,760-token Wan sequence (the role of FlashAttention-2's backward in the
+    reference stack)."""
+    if q.shape[-1] != LANES:
+        raise ValueError(f"flash_attention requires head_dim=128, got {q.shape[-1]}")
+    block_q = min(block_q, max(LANES, q.shape[1]))
+    block_k = min(block_k, max(LANES, k.shape[1]))
+    return _flash(q, k, v, scale, block_q, block_k)

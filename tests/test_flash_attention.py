@@ -29,3 +29,21 @@ def test_rejects_non_128_head_dim():
     q = jnp.zeros((1, 128, 2, 64))
     with pytest.raises(ValueError):
         flash_attention(q, q, q, scale=1.0)
+
+
+def test_backward_matches_xla():
+    g = _rand((1, 300, 2, 128), 3)
+    q, k, v = _rand((1, 300, 2, 128), 0), _rand((1, 260, 2, 128), 1), _rand((1, 260, 2, 128), 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, 128**-0.5) * g)
+
+    def loss_fa(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=128**-0.5,
+                                       block_q=128, block_k=128) * g)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)

@@ -60,20 +60,19 @@ def main():
         ctx = jax.random.normal(key, (b, text_len, 4096), jnp.bfloat16)
         t = jnp.full((b,), 900.0, jnp.bfloat16)
 
+        # .mean() folded into the jit: a host-materialized scalar per rep is the only
+        # reliable completion barrier on the axon runtime (block_until_ready can return
+        # early, and identical dispatches are served from a cache).
         fn = jax.jit(lambda d, c, x, ts, cx, yy, cc: denoise_forward(
             d, dit_cfg, x, ts, cx, y=yy, controlnet_params=c, controlnet_cfg=cn_cfg,
-            control_latents=cc, attn_impl=attn_impl))
-        out = fn(dit, cn, latents, t, ctx, y, cl)
-        out.block_until_ready()
+            control_latents=cc, attn_impl=attn_impl).astype(jnp.float32).mean())
+        float(fn(dit, cn, latents, t, ctx, y, cl))  # warm
         reps = 3
         t0 = time.perf_counter()
         for i in range(reps):
-            # vary the timestep so the runtime cannot serve identical dispatches from
-            # any result cache (observed on the axon backend with repeated same-arg calls)
-            out = fn(dit, cn, latents, t + i, ctx, y, cl)
-            out.block_until_ready()
+            float(fn(dit, cn, latents, t + i, ctx, y, cl))
         times[depth] = (time.perf_counter() - t0) / reps
-        del dit, cn, fn, out
+        del dit, cn, fn
 
     d0, d1 = depths
     # blocks measured = dit depth + 1 controlnet block

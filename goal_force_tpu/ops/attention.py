@@ -35,6 +35,10 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None):
         from goal_force_tpu.ops.flash_attention import flash_attention as _pallas
 
         return _pallas(q, k, v, scale=scale)
+    if impl == "pallas_int8":
+        from goal_force_tpu.ops.flash_attention import flash_attention_int8 as _pallas8
+
+        return _pallas8(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale)
 
 

@@ -362,6 +362,108 @@ def _flash_bwd(scale, block_q, block_k, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _fa_kernel_int8(kv_len_ref, sq_all_ref, sk_all_ref, q_ref, k_ref, v_ref, o_ref,
+                    m_scr, l_scr, acc_scr, *, scale, bk):
+    """Int8 q/k variant (SageAttention analog — the reference's optional backend at
+    wan_video_dit.py:49-54): per-tile symmetric quantization outside the kernel, int8
+    MXU for QK^T (2x bf16 peak on v5e), f32 softmax, bf16 PV."""
+    bn_idx = pl.program_id(0)
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kv_len = kv_len_ref[0]
+
+    @pl.when(kv_idx * bk < kv_len)
+    def _compute():
+        q = q_ref[0]                       # (bq, H) int8
+        k = k_ref[0]                       # (bk, H) int8
+        s32 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        tile_scale = scale * sq_all_ref[bn_idx, q_idx] * sk_all_ref[bn_idx, kv_idx]
+        s = s32.astype(jnp.float32) * tile_scale
+        col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, MASK_VALUE)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - jnp.max(m_next, axis=-1, keepdims=True))
+        l_next = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        v = v_ref[0]
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+def _quantize_tiles(x, block):
+    """(BN, S, H) -> int8 values + per-(row-tile) f32 scales (BN, S//block)."""
+    bn, s, h = x.shape
+    xt = x.reshape(bn, s // block, block, h).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xt), axis=(2, 3))
+    sc = jnp.maximum(amax, 1e-6) / 127.0
+    xi = jnp.round(xt / sc[..., None, None]).astype(jnp.int8).reshape(bn, s, h)
+    return xi, sc
+
+
+def flash_attention_int8(q, k, v, scale: float, block_q: int = 1024, block_k: int = 1024):
+    """Int8-QK flash attention (inference-only, near-lossless; not differentiable)."""
+    b, sq, n, h = q.shape
+    skv = k.shape[1]
+    if h != LANES:
+        raise ValueError(f"flash_attention requires head_dim=128, got {h}")
+    block_q = min(block_q, max(LANES, sq))
+    block_k = min(block_k, max(LANES, skv))
+    qb = _pad_to(_to_bn(q), 1, block_q)
+    kb = _pad_to(_to_bn(k), 1, block_k)
+    vb = _pad_to(_to_bn(v), 1, block_k)
+    qi, sqs = _quantize_tiles(qb, block_q)
+    ki, sks = _quantize_tiles(kb, block_k)
+    sq_p, skv_p = qb.shape[1], kb.shape[1]
+    grid = (b * n, sq_p // block_q, skv_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_fa_kernel_int8, scale=scale, bk=block_k),
+        out_shape=jax.ShapeDtypeStruct((b * n, sq_p, h), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # kv_len + per-tile q/k scales live in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, h), lambda bn_, iq, ik, *_: (bn_, iq, 0)),
+                pl.BlockSpec((1, block_k, h), lambda bn_, iq, ik, *_: (bn_, ik, 0)),
+                pl.BlockSpec((1, block_k, h), lambda bn_, iq, ik, *_: (bn_, ik, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, h), lambda bn_, iq, ik, *_: (bn_, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, h), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(jnp.asarray([skv], jnp.int32), sqs, sks, qi, ki, vb)
+    return _from_bn(out, b, n, sq)
+
+
 def flash_attention(q, k, v, scale: float, block_q: int = 1024, block_k: int = 1024):
     """q: (B, Sq, N, H); k/v: (B, Skv, N, H) -> (B, Sq, N, H). H must be 128.
 

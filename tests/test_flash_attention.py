@@ -47,3 +47,17 @@ def test_backward_matches_xla():
         got = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)
+
+
+def test_int8_variant_close_to_exact():
+    B, S, N, H = 1, 256, 2, 128
+    q, k, v = _rand((B, S, N, H), 0), _rand((B, S, N, H), 1), _rand((B, S, N, H), 2)
+    ref = _xla_attention(q, k, v, H**-0.5)
+    from goal_force_tpu.ops.flash_attention import flash_attention_int8
+
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_int8(q, k, v, scale=H**-0.5, block_q=128, block_k=128)
+    # int8 QK: near-lossless, not exact
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.005, err.mean()

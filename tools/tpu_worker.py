@@ -41,6 +41,9 @@ while True:
     buf = io.StringIO()
     old = sys.stdout
     sys.stdout = buf
+    # re-import repo code fresh each job (the repo evolves while the worker lives)
+    for mod in [m for m in sys.modules if m.startswith("goal_force_tpu")]:
+        del sys.modules[mod]
     try:
         exec(compile(src, name, "exec"), shared)
         status = "OK"

@@ -77,6 +77,12 @@ def dit_params_from_torch(sd: Mapping[str, Array], cfg: WanDiTConfig) -> Dict:
     """Convert a Wan DiT state dict (civitai naming) to the wan_dit param tree."""
     blocks = [_block(sd, f"blocks.{i}") for i in range(cfg.num_layers)]
     extra: Dict = {}
+    if "ref_conv.weight" in sd:  # Fun-Reference 2x2 conv (:333)
+        w = sd["ref_conv.weight"]  # (D, 16, 2, 2)
+        extra["ref_conv"] = {
+            "w": np.ascontiguousarray(w.reshape(w.shape[0], -1).T),
+            "b": sd["ref_conv.bias"],
+        }
     if "img_emb.proj.0.weight" in sd:  # CLIP image MLP (:233-250)
         extra["img_emb"] = {
             "norm_in": {"w": sd["img_emb.proj.0.weight"], "b": sd["img_emb.proj.0.bias"]},

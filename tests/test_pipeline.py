@@ -105,3 +105,23 @@ def test_generate_batch_matches_single(pipe, inputs):
     assert batch.shape == (2, 5, 32, 48, 3)
     np.testing.assert_allclose(batch[0], single0, atol=2e-4)
     np.testing.assert_allclose(batch[1], single1, atol=2e-4)
+
+
+def test_fun_control_mode():
+    """Fun-Control: control latents concat into y (in_dim = z + z + mask+cond)."""
+    from goal_force_tpu.configs import ControlNetConfig, WanDiTConfig
+
+    dit_cfg, t5_cfg, vae_cfg, _ = configs.tiny_pipeline_configs()
+    z = vae_cfg.z_dim
+    fun_dit = WanDiTConfig(**{**dit_cfg.__dict__, "in_dim": 3 * z + 4})
+    p = GoalForcePipeline.init_random(
+        jax.random.PRNGKey(0), dit_cfg=fun_dit, t5_cfg=t5_cfg, vae_cfg=vae_cfg,
+        cn_cfg=None, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    image = rng.uniform(size=(32, 48, 3)).astype(np.float32)
+    fun_cv = rng.uniform(size=(5, 32, 48, 3)).astype(np.float32)
+    out = p("x", image, fun_control_video=fun_cv, controlnet=False,
+            seed=0, num_frames=5, num_inference_steps=2)
+    assert out.shape == (5, 32, 48, 3)
+    assert np.isfinite(out).all()

@@ -99,3 +99,44 @@ def test_frame_pack_shapes(tiny):
     toks = js2v.frame_pack_motion(params["frame_packer"], cfg, motion)
     # buckets: post 1f @1x -> 4x4=16 tok; 2x 2f -> 1x2x2=4 tok; 4x 16f -> 4x1x1=4 tok
     assert toks.shape == (1, 16 + 4 + 4, cfg.dim)
+
+
+def test_motion_bucket_rope_matches_reference(tiny):
+    """FramePack pack-path: our bucket cos/sin tables vs reference rope_precompute for
+    x + ref + 1x/2x/4x motion buckets (negative time offsets -> conjugated angles)."""
+    import torch
+
+    cfg, model, params = tiny
+    lh = lw = 8
+    f, h, w = 2, 2, 3
+    rf, rh, rw = 1, 2, 3
+    # reference: grid_sizes for x + ref, then motion buckets from the frame packer
+    grid_x = model.get_grid_sizes((f, h, w), (rf, rh, rw))
+    zb = model.frame_packer.zip_frame_buckets  # [1, 2, 16]
+    gs = []
+    s0 = -int(zb[:1].sum())
+    gs.append([torch.tensor([s0, 0, 0]).unsqueeze(0),
+               torch.tensor([s0 + int(zb[0]), lh // 2, lw // 2]).unsqueeze(0),
+               torch.tensor([int(zb[0]), lh // 2, lw // 2]).unsqueeze(0)])
+    s1 = -int(zb[:2].sum())
+    gs.append([torch.tensor([s1, 0, 0]).unsqueeze(0),
+               torch.tensor([s1 + int(zb[1]) // 2, lh // 4, lw // 4]).unsqueeze(0),
+               torch.tensor([int(zb[1]), lh // 2, lw // 2]).unsqueeze(0)])
+    s2 = -int(zb[:3].sum())
+    gs.append([torch.tensor([s2, 0, 0]).unsqueeze(0),
+               torch.tensor([s2 + int(zb[2]) // 4, lh // 8, lw // 8]).unsqueeze(0),
+               torch.tensor([int(zb[2]), lh // 2, lw // 2]).unsqueeze(0)])
+    grid_all = grid_x + gs
+
+    n_tok = (f * h * w + rf * rh * rw
+             + (lh // 2) * (lw // 2) + (lh // 4) * (lw // 4) + 4 * (lh // 8) * (lw // 8))
+    x = torch.zeros(1, n_tok, cfg.num_heads, cfg.head_dim)
+    ref_freqs = ref_s2v.rope_precompute(x, grid_all, model.freqs, start=None)
+    # reference output: complex rotation factors per token (1, S, 1-or-n, head_dim//2)
+    ref_cos = ref_freqs.real.numpy()[0, :, 0]
+    ref_sin = ref_freqs.imag.numpy()[0, :, 0]
+
+    cos, sin = js2v.s2v_rope_tables(cfg, (f, h, w), (rf, rh, rw), motion_grid=(lh, lw))
+    assert cos.shape[0] == n_tok
+    np.testing.assert_allclose(np.asarray(cos), ref_cos, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sin), ref_sin, rtol=2e-5, atol=2e-5)

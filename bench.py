@@ -35,7 +35,7 @@ def main():
     # Real A14B block geometry; depth reduced to fit one chip.
     full_layers, full_cn_layers = 40, 10
     if on_tpu:
-        depths = [2, 4]
+        depths = [4, 8]  # 5 and 9 measured blocks: cleaner slope (fits since the scan-slice fix)
         b, f, hh, ww = 2, 21, 60, 104          # real 32,760-token clip, merged CFG
         text_len = 512
         dim, heads, ffn = 5120, 40, 13824

@@ -1,0 +1,12 @@
+"""Optional post-processing extensions (reference: diffsynth/extensions/).
+
+ESRGAN (4x super-resolution), RIFE (frame interpolation), FastBlend
+(model-free deflickering). All are host/JAX post-processes decoupled from the
+diffusion pipeline; import lazily.
+"""
+
+from goal_force_tpu.extensions.esrgan import ESRGAN
+from goal_force_tpu.extensions.fastblend import FastBlendSmoother
+from goal_force_tpu.extensions.rife import RIFEInterpolater
+
+__all__ = ["ESRGAN", "FastBlendSmoother", "RIFEInterpolater"]

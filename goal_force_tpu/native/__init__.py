@@ -16,6 +16,39 @@ from functools import lru_cache
 from typing import Optional
 
 _SRC = os.path.join(os.path.dirname(__file__), "control_render.cpp")
+_PM_SRC = os.path.join(os.path.dirname(__file__), "patchmatch.cpp")
+
+
+def _build(src: str, stem: str, extra_flags=()) -> ctypes.CDLL:
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "goal_force_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"{stem}_{digest}.so")
+    if not os.path.exists(so_path):
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               *extra_flags, src, "-o", so_path]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return ctypes.CDLL(so_path)
+
+
+@lru_cache(maxsize=1)
+def patchmatch_native() -> Optional[ctypes.CDLL]:
+    """FastBlend PatchMatch kernels (patchmatch.cpp); None if unavailable."""
+    try:
+        lib = _build(_PM_SRC, "patchmatch", ("-pthread",))
+        import numpy as np
+        from numpy.ctypeslib import ndpointer
+
+        f32 = ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32 = ndpointer(np.int32, flags="C_CONTIGUOUS")
+        ints = [ctypes.c_int] * 6
+        lib.gf_pm_patch_error.argtypes = [*ints, f32, i32, f32, f32]
+        lib.gf_pm_pairwise_error.argtypes = [*ints, f32, i32, f32, i32, f32]
+        lib.gf_pm_remap.argtypes = [*ints, f32, i32, f32]
+        return lib
+    except Exception:
+        return None
 
 
 @lru_cache(maxsize=1)

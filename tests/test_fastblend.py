@@ -56,6 +56,45 @@ def test_bilinear_resize_matches_torch():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_native_backend_matches_numpy():
+    """The C++ kernels (native/patchmatch.cpp) must agree with the numpy
+    reference implementation on all three ops and on the full NNF loop."""
+    from goal_force_tpu.native import patchmatch_native
+
+    if patchmatch_native() is None:
+        pytest.skip("no g++ / native build unavailable")
+    rng = np.random.default_rng(11)
+    h, w, b = 20, 26, 4
+    guide = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    style = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    nnf = np.stack([rng.integers(0, h, (b, h, w)),
+                    rng.integers(0, w, (b, h, w))], -1).astype(np.int32)
+
+    pms = [PatchMatcher(h, w, 3, minimum_patch_size=3, num_iter=2, backend=bk,
+                        rng=np.random.default_rng(0)) for bk in ("numpy", "native")]
+    for pm in pms:
+        pm.patch_size = 5
+    a, c = pms
+    np.testing.assert_allclose(
+        a.get_patch_error(a.pad_image(guide), nnf, a.pad_image(tgt)),
+        c.get_patch_error(c.pad_image(guide), nnf, c.pad_image(tgt)),
+        rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(
+        a.apply_nnf_to_image(nnf, a.pad_image(style)),
+        c.apply_nnf_to_image(nnf, c.pad_image(style)),
+        rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(
+        a.get_pairwise_patch_error(a.pad_image(style), nnf),
+        c.get_pairwise_patch_error(c.pad_image(style), nnf),
+        rtol=1e-4, atol=1e-2)
+    # full loop (same rng seeds -> identical candidate sequences)
+    n0, r0 = a.estimate_nnf(guide, tgt, style, nnf.copy())
+    n1, r1 = c.estimate_nnf(guide, tgt, style, nnf.copy())
+    np.testing.assert_array_equal(n0, n1)
+    np.testing.assert_allclose(r0, r1, rtol=1e-5, atol=1e-3)
+
+
 def test_identity_nnf_is_fixed_point():
     """Identical guides + identity NNF: zero error, remap returns the style
     exactly, and no update can strictly improve — nnf stays identity."""

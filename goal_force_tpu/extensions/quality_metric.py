@@ -35,8 +35,7 @@ local directory with the same layout.
 
 from __future__ import annotations
 
-import os
-from typing import Callable, Dict, List, Optional, Sequence, Union
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -51,7 +50,6 @@ from goal_force_tpu.models.clip import (
     clip_encode_text,
     clip_params_from_hf,
     clip_params_from_open_clip,
-    init_clip,
 )
 
 CLIP_MEAN = np.asarray((0.48145466, 0.4578275, 0.40821073), np.float32)

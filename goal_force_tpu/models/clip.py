@@ -19,7 +19,7 @@ arrays, blocks are stacked on a leading axis and driven by one `lax.scan`
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -258,8 +258,13 @@ def load_preference_model(model_name: str, path: Dict[str, str],
             jnp.asarray, clip_params_from_open_clip(sd, CLIP_H_14))
         cls = CLIPScore if model_name == "CLIP" else HPScore
         if tokenize is None:
-            raise ValueError(f"{model_name} needs a CLIP BPE `tokenize` callable "
-                             "(open_clip tokenizer files)")
+            if "open_clip_bpe" not in path:
+                raise ValueError(f"{model_name} needs either a `tokenize` "
+                                 "callable or path['open_clip_bpe'] "
+                                 "(bpe_simple_vocab_16e6.txt.gz)")
+            from goal_force_tpu.models.clip_bpe import CLIPBPETokenizer
+
+            tokenize = CLIPBPETokenizer.from_gzip(path["open_clip_bpe"])
         return cls(params, CLIP_H_14, tokenize)
     if model_name == "MPS":
         raise NotImplementedError(

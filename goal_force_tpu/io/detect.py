@@ -1,0 +1,155 @@
+"""Structural model detection: state dict -> model kind + inferred config.
+
+The reference's ModelManager identifies what a loose weight file is by an MD5
+hash of its sorted key list (reference: diffsynth/models/model_manager.py:
+56-467 with the hash table in diffsynth/configs/model_config.py:141-178).
+Hashes are brittle (any re-export breaks them) and opaque; here detection is
+structural — signature keys identify the family and the config is inferred
+from the shapes actually present — which handles every file the hash table
+covered for the goal-force path plus files the reference would reject.
+
+`detect_model_kind(sd)` names the family; `infer_dit_config(sd)` recovers the
+full WanDiTConfig from shapes (dim/layers/heads cannot disagree with the
+weights, unlike a hash table entry).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+
+def _has(sd: Mapping, *keys: str) -> bool:
+    return all(k in sd for k in keys)
+
+
+def detect_model_kind(sd: Mapping[str, np.ndarray]) -> str:
+    """Name the model family of a raw (torch-layout) state dict.
+
+    Returns one of: goal_force_controlnet, lora, wan_s2v, wan_dit, wan_vae,
+    wan_vae38, umt5_xxl, wan_image_encoder, motion_controller, vace,
+    hf_clip, open_clip, image_reward, esrgan, rife — or raises ValueError.
+    """
+    keys = set(sd.keys())
+    if any(k.startswith("pipe.controlnet.") for k in keys):
+        return "goal_force_controlnet"          # our/their trained export
+    if any(".lora_A." in k or ".lora_B." in k or k.endswith("lora_A.weight")
+           or "lora_A.default" in k for k in keys):
+        return "lora"
+    if _has(sd, "casual_audio_encoder.weights", "cond_encoder.weight"):
+        return "wan_s2v"
+    if any(k.startswith("vace_blocks.") for k in keys):
+        return "vace"
+    if _has(sd, "controlnet_patch_embedding.patch_embedding.weight"):
+        return "goal_force_controlnet"
+    if _has(sd, "patch_embedding.weight", "blocks.0.self_attn.q.weight"):
+        return "wan_dit"
+    if _has(sd, "token_embedding.weight",
+            "blocks.0.pos_embedding.embedding.weight"):
+        return "umt5_xxl"
+    # VAEs: reference files may or may not carry the 'model.' prefix
+    for pre in ("", "model."):
+        if pre + "encoder.conv1.weight" in keys:
+            # 2.1 VAE: conv1 maps 3->96; 3.8 (TI2V-5B) VAE: 12->160 after
+            # pixel-space patchify(2) — detect by input channels
+            in_ch = sd[pre + "encoder.conv1.weight"].shape[1]
+            return "wan_vae" if in_ch == 3 else "wan_vae38"
+    if any(k.startswith(("model.visual.", "visual.transformer.0.")) for k in keys):
+        return "wan_image_encoder"
+    if _has(sd, "linear.0.weight", "linear.2.weight", "linear.4.weight") \
+            and len(keys) <= 8:
+        return "motion_controller"
+    if any(k.startswith("text_model.embeddings.") for k in keys):
+        return "hf_clip"
+    if _has(sd, "visual.conv1.weight", "token_embedding.weight"):
+        return "open_clip"
+    if any(k.startswith("blip.visual_encoder.") for k in keys):
+        return "image_reward"
+    if any(".rdb1.conv1." in k for k in keys):
+        return "esrgan"
+    if any(k.startswith(("block0.conv0.", "module.block0.")) for k in keys):
+        return "rife"
+    raise ValueError(
+        f"unrecognized state dict ({len(keys)} keys; sample: "
+        f"{sorted(keys)[:5]})")
+
+
+def infer_dit_config(sd: Mapping[str, np.ndarray], head_dim: int = 128):
+    """Recover WanDiTConfig fields from a WanModel state dict's shapes
+    (replaces the reference's per-hash config table entries for Wan DiTs).
+    `head_dim` is the one quantity weights cannot reveal; it is 128 across
+    the entire Wan family (reference: wan_video_dit.py WanModel configs)."""
+    from goal_force_tpu.configs import WanDiTConfig
+
+    dim, in_dim = sd["patch_embedding.weight"].shape[:2]
+    num_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                         if k.startswith("blocks."))
+    ffn_dim = sd["blocks.0.ffn.0.weight"].shape[0]
+    out_dim = sd["head.head.weight"].shape[0] // 4  # patch (1,2,2) -> x4
+    text_dim = sd["text_embedding.0.weight"].shape[1]
+    freq_dim = sd["time_embedding.0.weight"].shape[1]
+    num_heads = dim // head_dim
+    return WanDiTConfig(
+        dim=dim, in_dim=in_dim, ffn_dim=ffn_dim, out_dim=out_dim,
+        text_dim=text_dim, freq_dim=freq_dim, num_heads=num_heads,
+        num_layers=num_layers,
+        has_image_input=any(k.startswith("img_emb.") for k in sd))
+
+
+def convert_detected(sd: Mapping[str, np.ndarray], kind: Optional[str] = None,
+                     **cfg_overrides) -> Dict:
+    """Detect (or take) the kind and run the matching converter, inferring the
+    config from shapes where possible. Returns {"kind", "params", "config"}."""
+    kind = kind or detect_model_kind(sd)
+    if kind == "wan_dit":
+        from goal_force_tpu.io.torch_convert import dit_params_from_torch
+
+        cfg = cfg_overrides.get("config") or infer_dit_config(sd)
+        return {"kind": kind, "config": cfg,
+                "params": dit_params_from_torch(sd, cfg)}
+    if kind == "umt5_xxl":
+        from goal_force_tpu.configs import T5Config
+        from goal_force_tpu.io.torch_convert import t5_params_from_torch
+
+        dim = sd["token_embedding.weight"].shape[1]
+        vocab = sd["token_embedding.weight"].shape[0]
+        num_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                             if k.startswith("blocks."))
+        ffn = sd["blocks.0.ffn.gate.0.weight"].shape[0] \
+            if "blocks.0.ffn.gate.0.weight" in sd else None
+        base = cfg_overrides.get("config") or T5Config(
+            vocab=vocab, dim=dim, dim_attn=dim, num_layers=num_layers,
+            **({"dim_ffn": ffn} if ffn else {}))
+        return {"kind": kind, "config": base,
+                "params": t5_params_from_torch(sd, base)}
+    if kind == "wan_vae":
+        from goal_force_tpu.configs import VAEConfig
+        from goal_force_tpu.io.torch_convert import vae_params_from_torch
+
+        cfg = cfg_overrides.get("config") or VAEConfig()
+        return {"kind": kind, "config": cfg,
+                "params": vae_params_from_torch(sd, cfg)}
+    if kind == "wan_vae38":
+        from goal_force_tpu.models.vae38 import VAE38Config, vae38_params_from_torch
+
+        cfg = cfg_overrides.get("config") or VAE38Config()
+        return {"kind": kind, "config": cfg,
+                "params": vae38_params_from_torch(sd, cfg)}
+    if kind == "wan_image_encoder":
+        from goal_force_tpu.models.image_encoder import VIT_H_14, vit_params_from_torch
+
+        cfg = cfg_overrides.get("config") or VIT_H_14
+        return {"kind": kind, "config": cfg,
+                "params": vit_params_from_torch(sd, cfg)}
+    if kind == "motion_controller":
+        from goal_force_tpu.models.adapters import motion_controller_from_torch
+
+        return {"kind": kind, "config": None,
+                "params": motion_controller_from_torch(sd)}
+    raise ValueError(
+        f"detected {kind!r}: load it through its dedicated loader "
+        "(goal_force_controlnet -> io.safetensors_io.load_goalforce_controlnet, "
+        "lora -> lora.lora_from_peft, wan_s2v -> models.s2v, vace -> "
+        "models.adapters.vace_from_torch, clip family -> models.clip, "
+        "image_reward/esrgan/rife -> extensions)")

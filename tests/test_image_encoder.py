@@ -19,8 +19,12 @@ if reference_available():
     import types
 
     # torchvision isn't in this image; the ViT under test never touches it
-    # (only WanImageEncoder's preprocessing transforms do).
-    if "torchvision" not in sys.modules:
+    # (only WanImageEncoder's preprocessing transforms do). Stub it ONLY for
+    # the duration of the reference import, then remove it: a lingering
+    # spec-less sys.modules entry makes importlib.util.find_spec("torchvision")
+    # raise, which breaks transformers' availability probing in other tests.
+    _stubbed = "torchvision" not in sys.modules
+    if _stubbed:
         tv = types.ModuleType("torchvision")
         tv.transforms = types.ModuleType("torchvision.transforms")
         sys.modules["torchvision"] = tv
@@ -32,6 +36,9 @@ if reference_available():
     pkg.__path__ = ["/root/reference/diffsynth/models"]
     sys.modules.setdefault("refmodels", pkg)
     ref_ie = importlib.import_module("refmodels.wan_video_image_encoder")
+
+    if _stubbed:
+        del sys.modules["torchvision"], sys.modules["torchvision.transforms"]
 
 
 def test_vit_matches_reference_31_blocks():

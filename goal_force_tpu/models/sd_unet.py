@@ -1,0 +1,354 @@
+"""Stable Diffusion 1.5 UNet (epsilon-prediction, 860M), JAX / NHWC.
+
+First member of the non-Wan model zoo (SURVEY §2.3 "other model families").
+The reference implements this as a flat ModuleList of 62 blocks threaded
+through a push/pop residual stack (reference: diffsynth/models/sd_unet.py:
+229-345); here the same topology is a declarative BLOCK PLAN — a tuple of
+("res"|"attn"|"push"|"pop"|"down"|"up", ...) specs — interpreted by one pure
+function over a params list. The plan is data, so tiny test-sized UNets and
+the real SD-1.5 geometry share every code path, and the full graph unrolls
+under one jit (stack push/pop happens at trace time).
+
+TPU-native choices: NHWC activations with HWIO conv weights (XLA's preferred
+conv layout), GroupNorm in f32, attention via one einsum-softmax (token counts
+here are <=4096, far below flash-attention territory).
+
+Weight layout matches the reference's diffsynth-format state dict
+(blocks.{i}.*); the reference converts civitai/diffusers checkpoints into
+that format first (reference: sd_unet.py:348+ SDUNetStateDictConverter), so
+files load here through the same path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Block plan
+# ---------------------------------------------------------------------------
+
+# ("res", in_ch, out_ch) | ("attn", heads, head_dim, ch, ctx_dim)
+# | ("push",) | ("pop",) | ("down", ch) | ("up", ch)
+BlockSpec = Tuple
+
+SD15_PLAN: Tuple[BlockSpec, ...] = (
+    # CrossAttnDownBlock2D x3, DownBlock2D, mid, UpBlock2D, CrossAttnUpBlock2D x3
+    ("res", 320, 320), ("attn", 8, 40, 320, 768), ("push",),
+    ("res", 320, 320), ("attn", 8, 40, 320, 768), ("push",),
+    ("down", 320), ("push",),
+    ("res", 320, 640), ("attn", 8, 80, 640, 768), ("push",),
+    ("res", 640, 640), ("attn", 8, 80, 640, 768), ("push",),
+    ("down", 640), ("push",),
+    ("res", 640, 1280), ("attn", 8, 160, 1280, 768), ("push",),
+    ("res", 1280, 1280), ("attn", 8, 160, 1280, 768), ("push",),
+    ("down", 1280), ("push",),
+    ("res", 1280, 1280), ("push",),
+    ("res", 1280, 1280), ("push",),
+    ("res", 1280, 1280), ("attn", 8, 160, 1280, 768), ("res", 1280, 1280),
+    ("pop",), ("res", 2560, 1280),
+    ("pop",), ("res", 2560, 1280),
+    ("pop",), ("res", 2560, 1280), ("up", 1280),
+    ("pop",), ("res", 2560, 1280), ("attn", 8, 160, 1280, 768),
+    ("pop",), ("res", 2560, 1280), ("attn", 8, 160, 1280, 768),
+    ("pop",), ("res", 1920, 1280), ("attn", 8, 160, 1280, 768), ("up", 1280),
+    ("pop",), ("res", 1920, 640), ("attn", 8, 80, 640, 768),
+    ("pop",), ("res", 1280, 640), ("attn", 8, 80, 640, 768),
+    ("pop",), ("res", 960, 640), ("attn", 8, 80, 640, 768), ("up", 640),
+    ("pop",), ("res", 960, 320), ("attn", 8, 40, 320, 768),
+    ("pop",), ("res", 640, 320), ("attn", 8, 40, 320, 768),
+    ("pop",), ("res", 640, 320), ("attn", 8, 40, 320, 768),
+)
+
+SD15_TIME_DIM = 1280
+SD15_MODEL_DIM = 320
+
+
+def tiny_sd_plan(ctx_dim: int = 24) -> Tuple[BlockSpec, ...]:
+    """Structure-complete miniature (all block types, one down/up level)."""
+    return (
+        ("res", 8, 8), ("attn", 2, 4, 8, ctx_dim), ("push",),
+        ("down", 8), ("push",),
+        ("res", 8, 16), ("push",),
+        ("res", 16, 16), ("attn", 2, 8, 16, ctx_dim), ("res", 16, 16),
+        ("pop",), ("res", 32, 16),
+        ("pop",), ("res", 24, 8), ("up", 8),
+        ("pop",), ("res", 16, 8), ("attn", 2, 4, 8, ctx_dim),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Primitives (NHWC)
+# ---------------------------------------------------------------------------
+
+
+def group_norm(p: Dict, x: jnp.ndarray, groups: int = 32,
+               eps: float = 1e-5) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mu = xf.mean((1, 2, 4), keepdims=True)
+    var = xf.var((1, 2, 4), keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xf.reshape(b, h, w, c) * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def layer_norm(p: Dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def conv2d(p: Dict, x: jnp.ndarray, stride: int = 1,
+           padding="SAME") -> jnp.ndarray:
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + p["b"].astype(x.dtype)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """cat([cos, sin]) sinusoid (reference: sd_unet.py:6-17 — note cos first,
+    the opposite of the usual diffusers order)."""
+    half = dim // 2
+    exponent = -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    ang = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None]
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def _attention(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
+               num_heads: int) -> jnp.ndarray:
+    b, s, _ = x.shape
+    t = ctx.shape[1]
+    q = (x @ p["q_w"]).reshape(b, s, num_heads, -1)
+    k = (ctx @ p["k_w"]).reshape(b, t, num_heads, -1)
+    v = (ctx @ p["v_w"]).reshape(b, t, num_heads, -1)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhc->bqhc", probs, v).reshape(b, s, -1)
+    return out @ p["o_w"] + p["o_b"]
+
+
+def _transformer_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
+                       num_heads: int) -> jnp.ndarray:
+    x = x + _attention(p["attn1"], layer_norm(p["norm1"], x),
+                       layer_norm(p["norm1"], x), num_heads)
+    x = x + _attention(p["attn2"], layer_norm(p["norm2"], x), ctx, num_heads)
+    y = layer_norm(p["norm3"], x) @ p["geglu_w"] + p["geglu_b"]
+    y, gate = jnp.split(y, 2, axis=-1)
+    y = y * jax.nn.gelu(gate, approximate=False)
+    return x + (y @ p["ff_w"] + p["ff_b"])
+
+
+def _resnet(p: Dict, x: jnp.ndarray, temb: jnp.ndarray,
+            groups: int = 32) -> jnp.ndarray:
+    h = jax.nn.silu(group_norm(p["norm1"], x, groups))
+    h = conv2d(p["conv1"], h)
+    h = h + (jax.nn.silu(temb) @ p["temb_w"] + p["temb_b"])[:, None, None, :]
+    h = jax.nn.silu(group_norm(p["norm2"], h, groups))
+    h = conv2d(p["conv2"], h)
+    if "shortcut" in p:
+        x = conv2d(p["shortcut"], x)
+    return x + h
+
+
+def _attn_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray, num_heads: int,
+                groups: int = 32, eps: float = 1e-6) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    res = x
+    t = group_norm(p["norm"], x, groups, eps=eps).reshape(b, h * w, c)
+    t = t @ p["proj_in_w"] + p["proj_in_b"]
+    for tp in p["transformer_blocks"]:
+        t = _transformer_block(tp, t, ctx, num_heads)
+    t = t @ p["proj_out_w"] + p["proj_out_b"]
+    return t.reshape(b, h, w, c) + res
+
+
+def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
+                  timestep: jnp.ndarray, text_emb: jnp.ndarray,
+                  groups: int = 32) -> jnp.ndarray:
+    """sample (B, H, W, 4) NHWC latents + (B,) timestep + (B, 77, ctx) text
+    embeddings -> predicted noise (B, H, W, 4)
+    (reference: sd_unet.py:325-345 SDUNet.forward)."""
+    temb = timestep_embedding(timestep, params["conv_in"]["w"].shape[-1])
+    temb = jax.nn.silu(temb.astype(sample.dtype) @ params["time_w1"]
+                       + params["time_b1"])
+    temb = temb @ params["time_w2"] + params["time_b2"]
+
+    x = conv2d(params["conv_in"], sample)
+    stack: List[jnp.ndarray] = [x]
+    for spec, p in zip(plan, params["blocks"]):
+        kind = spec[0]
+        if kind == "res":
+            x = _resnet(p, x, temb, groups)
+        elif kind == "attn":
+            x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups)
+        elif kind == "push":
+            stack.append(x)
+        elif kind == "pop":
+            x = jnp.concatenate([x, stack.pop()], axis=-1)
+        elif kind == "down":
+            x = conv2d(p["conv"], x, stride=2,
+                       padding=((1, 1), (1, 1)))
+        elif kind == "up":
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+            x = conv2d(p["conv"], x)
+        else:
+            raise ValueError(spec)
+    x = jax.nn.silu(group_norm(params["conv_norm_out"], x, groups))
+    return conv2d(params["conv_out"], x)
+
+
+# ---------------------------------------------------------------------------
+# Converter + init
+# ---------------------------------------------------------------------------
+
+
+def _lin(sd, pre, transpose=True):
+    w = np.asarray(sd[pre + ".weight"])
+    out = {"w": np.ascontiguousarray(w.T) if transpose else w}
+    if pre + ".bias" in sd:
+        out["b"] = np.asarray(sd[pre + ".bias"])
+    return out
+
+
+def _conv(sd, pre):
+    return {"w": np.ascontiguousarray(
+        np.transpose(np.asarray(sd[pre + ".weight"]), (2, 3, 1, 0))),
+        "b": np.asarray(sd[pre + ".bias"])}
+
+
+def _norm(sd, pre):
+    return {"scale": np.asarray(sd[pre + ".weight"]),
+            "bias": np.asarray(sd[pre + ".bias"])}
+
+
+def sd_unet_params_from_torch(sd, plan: Sequence[BlockSpec] = SD15_PLAN,
+                              num_transformer_layers: int = 1) -> Dict:
+    """Convert the reference's diffsynth-format SDUNet state dict
+    (blocks.{i}.* naming, reference: sd_unet.py:229-323)."""
+    blocks = []
+    for i, spec in enumerate(plan):
+        pre = f"blocks.{i}"
+        kind = spec[0]
+        if kind == "res":
+            p = {
+                "norm1": _norm(sd, pre + ".norm1"),
+                "conv1": _conv(sd, pre + ".conv1"),
+                "temb_w": np.asarray(sd[pre + ".time_emb_proj.weight"]).T,
+                "temb_b": np.asarray(sd[pre + ".time_emb_proj.bias"]),
+                "norm2": _norm(sd, pre + ".norm2"),
+                "conv2": _conv(sd, pre + ".conv2"),
+            }
+            if pre + ".conv_shortcut.weight" in sd:
+                p["shortcut"] = _conv(sd, pre + ".conv_shortcut")
+            blocks.append(p)
+        elif kind == "attn":
+            tbs = []
+            for j in range(num_transformer_layers):
+                tp = f"{pre}.transformer_blocks.{j}"
+                tbs.append({
+                    "norm1": _norm(sd, tp + ".norm1"),
+                    "attn1": {
+                        "q_w": np.asarray(sd[tp + ".attn1.to_q.weight"]).T,
+                        "k_w": np.asarray(sd[tp + ".attn1.to_k.weight"]).T,
+                        "v_w": np.asarray(sd[tp + ".attn1.to_v.weight"]).T,
+                        "o_w": np.asarray(sd[tp + ".attn1.to_out.weight"]).T,
+                        "o_b": np.asarray(sd[tp + ".attn1.to_out.bias"]),
+                    },
+                    "norm2": _norm(sd, tp + ".norm2"),
+                    "attn2": {
+                        "q_w": np.asarray(sd[tp + ".attn2.to_q.weight"]).T,
+                        "k_w": np.asarray(sd[tp + ".attn2.to_k.weight"]).T,
+                        "v_w": np.asarray(sd[tp + ".attn2.to_v.weight"]).T,
+                        "o_w": np.asarray(sd[tp + ".attn2.to_out.weight"]).T,
+                        "o_b": np.asarray(sd[tp + ".attn2.to_out.bias"]),
+                    },
+                    "norm3": _norm(sd, tp + ".norm3"),
+                    "geglu_w": np.asarray(sd[tp + ".act_fn.proj.weight"]).T,
+                    "geglu_b": np.asarray(sd[tp + ".act_fn.proj.bias"]),
+                    "ff_w": np.asarray(sd[tp + ".ff.weight"]).T,
+                    "ff_b": np.asarray(sd[tp + ".ff.bias"]),
+                })
+            blocks.append({
+                "norm": _norm(sd, pre + ".norm"),
+                "proj_in_w": np.asarray(sd[pre + ".proj_in.weight"]).T,
+                "proj_in_b": np.asarray(sd[pre + ".proj_in.bias"]),
+                "transformer_blocks": tbs,
+                "proj_out_w": np.asarray(sd[pre + ".proj_out.weight"]).T,
+                "proj_out_b": np.asarray(sd[pre + ".proj_out.bias"]),
+            })
+        elif kind in ("down", "up"):
+            blocks.append({"conv": _conv(sd, pre + ".conv")})
+        else:
+            blocks.append({})
+    return {
+        "time_w1": np.asarray(sd["time_embedding.0.weight"]).T,
+        "time_b1": np.asarray(sd["time_embedding.0.bias"]),
+        "time_w2": np.asarray(sd["time_embedding.2.weight"]).T,
+        "time_b2": np.asarray(sd["time_embedding.2.bias"]),
+        "conv_in": _conv(sd, "conv_in"),
+        "blocks": blocks,
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+
+
+def init_sd_unet(key, plan: Sequence[BlockSpec] = SD15_PLAN,
+                 model_dim: int = SD15_MODEL_DIM, time_dim: int = SD15_TIME_DIM,
+                 in_channels: int = 4, groups: int = 32,
+                 dtype=jnp.float32) -> Dict:
+    ks = iter(jax.random.split(key, 4 * len(plan) + 16))
+    n = lambda *s: jax.random.normal(next(ks), s, dtype) * 0.02
+    norm = lambda c: {"scale": jnp.ones(c, dtype), "bias": jnp.zeros(c, dtype)}
+    conv = lambda ci, co, k=3: {"w": n(k, k, ci, co), "b": jnp.zeros(co, dtype)}
+
+    blocks = []
+    for spec in plan:
+        kind = spec[0]
+        if kind == "res":
+            _, ci, co = spec
+            p = {"norm1": norm(ci), "conv1": conv(ci, co),
+                 "temb_w": n(time_dim, co), "temb_b": jnp.zeros(co, dtype),
+                 "norm2": norm(co), "conv2": conv(co, co)}
+            if ci != co:
+                p["shortcut"] = conv(ci, co, 1)
+            blocks.append(p)
+        elif kind == "attn":
+            _, heads, hd, ch, ctx = spec
+            inner = heads * hd
+            tb = {"norm1": norm(inner),
+                  "attn1": {"q_w": n(inner, inner), "k_w": n(inner, inner),
+                            "v_w": n(inner, inner), "o_w": n(inner, inner),
+                            "o_b": jnp.zeros(inner, dtype)},
+                  "norm2": norm(inner),
+                  "attn2": {"q_w": n(inner, inner), "k_w": n(ctx, inner),
+                            "v_w": n(ctx, inner), "o_w": n(inner, inner),
+                            "o_b": jnp.zeros(inner, dtype)},
+                  "norm3": norm(inner),
+                  "geglu_w": n(inner, 8 * inner),
+                  "geglu_b": jnp.zeros(8 * inner, dtype),
+                  "ff_w": n(4 * inner, inner), "ff_b": jnp.zeros(inner, dtype)}
+            blocks.append({"norm": norm(ch), "proj_in_w": n(ch, inner),
+                           "proj_in_b": jnp.zeros(inner, dtype),
+                           "transformer_blocks": [tb],
+                           "proj_out_w": n(inner, ch),
+                           "proj_out_b": jnp.zeros(ch, dtype)})
+        elif kind in ("down", "up"):
+            blocks.append({"conv": conv(spec[1], spec[1])})
+        else:
+            blocks.append({})
+    return {"time_w1": n(model_dim, time_dim), "time_b1": jnp.zeros(time_dim, dtype),
+            "time_w2": n(time_dim, time_dim), "time_b2": jnp.zeros(time_dim, dtype),
+            "conv_in": conv(in_channels, model_dim),
+            "blocks": blocks,
+            "conv_norm_out": norm(model_dim),
+            "conv_out": conv(model_dim, in_channels)}

@@ -273,7 +273,7 @@ def clip_params_from_open_clip(sd: Dict[str, np.ndarray], cfg: CLIPConfig) -> Di
 
 def init_clip(key, cfg: CLIPConfig, dtype=jnp.float32) -> Dict:
     """Random init with the right shapes (tests / shape-checking)."""
-    ks = iter(jax.random.split(key, 64))
+    ks = iter(jax.random.split(key, 8 * (cfg.text_layers + cfg.vision_layers) + 16))
     n = lambda *s: (jax.random.normal(next(ks), s, dtype) * 0.02)
 
     def block(dim):

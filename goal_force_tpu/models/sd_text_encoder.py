@@ -1,0 +1,70 @@
+"""SD-1.5 text encoder: CLIP ViT-L/14 text tower with clip_skip.
+
+The reference implements it standalone (reference: diffsynth/models/
+sd_text_encoder.py:39-77); architecturally it is exactly the CLIP text tower
+already in goal_force_tpu/models/clip.py (causal self-attention, quick_gelu,
+final LayerNorm) returning ALL 77 token states (no EOS pooling, no
+projection), plus `clip_skip`: stop `clip_skip - 1` layers before the end,
+then still apply the final LayerNorm (reference: sd_text_encoder.py:64-72).
+This module is a thin adapter over the shared tower.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.clip import CLIPConfig, _ln, _tower
+
+SD_TEXT_CONFIG = CLIPConfig(vocab_size=49408, text_dim=768, text_heads=12,
+                            text_layers=12, max_positions=77,
+                            hidden_act="quick_gelu")
+
+
+def sd_text_encode(params: Dict, input_ids: jnp.ndarray,
+                   cfg: CLIPConfig = SD_TEXT_CONFIG,
+                   clip_skip: int = 1) -> jnp.ndarray:
+    """(B, 77) ids -> (B, 77, 768) final-LN token states."""
+    p = params["text"]
+    x = p["tok_emb"][input_ids] + p["pos_emb"][:input_ids.shape[1]]
+    blocks = p["blocks"]
+    if clip_skip > 1:
+        keep = cfg.text_layers - (clip_skip - 1)
+        blocks = jax.tree_util.tree_map(lambda a: a[:keep], blocks)
+    x = _tower(blocks, x, cfg.text_heads, cfg.hidden_act, cfg.eps, causal=True)
+    return _ln(p["ln_final"], x, cfg.eps)
+
+
+def sd_text_params_from_torch(sd, cfg: CLIPConfig = SD_TEXT_CONFIG) -> Dict:
+    """Convert the reference SDTextEncoder state dict (encoders.{i}.* naming,
+    fused Attention module with to_q/to_k/to_v/to_out)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def block(i):
+        g = lambda k: sd[f"encoders.{i}.{k}"]
+        return {
+            "ln1": {"scale": g("layer_norm1.weight"), "bias": g("layer_norm1.bias")},
+            "ln2": {"scale": g("layer_norm2.weight"), "bias": g("layer_norm2.bias")},
+            "attn": {
+                "q_w": g("attn.to_q.weight").T, "q_b": g("attn.to_q.bias"),
+                "k_w": g("attn.to_k.weight").T, "k_b": g("attn.to_k.bias"),
+                "v_w": g("attn.to_v.weight").T, "v_b": g("attn.to_v.bias"),
+                "o_w": g("attn.to_out.weight").T, "o_b": g("attn.to_out.bias"),
+            },
+            "fc1_w": g("fc1.weight").T, "fc1_b": g("fc1.bias"),
+            "fc2_w": g("fc2.weight").T, "fc2_b": g("fc2.bias"),
+        }
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *[block(i) for i in range(cfg.text_layers)])
+    return {"text": {
+        "tok_emb": sd["token_embedding.weight"],
+        "pos_emb": sd["position_embeds"][0],
+        "blocks": stacked,
+        "ln_final": {"scale": sd["final_layer_norm.weight"],
+                     "bias": sd["final_layer_norm.bias"]},
+    }}

@@ -126,9 +126,12 @@ def _attention(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
                num_heads: int) -> jnp.ndarray:
     b, s, _ = x.shape
     t = ctx.shape[1]
-    q = (x @ p["q_w"]).reshape(b, s, num_heads, -1)
-    k = (ctx @ p["k_w"]).reshape(b, t, num_heads, -1)
-    v = (ctx @ p["v_w"]).reshape(b, t, num_heads, -1)
+    q = x @ p["q_w"] + p["q_b"] if "q_b" in p else x @ p["q_w"]
+    k = ctx @ p["k_w"] + p["k_b"] if "k_b" in p else ctx @ p["k_w"]
+    v = ctx @ p["v_w"] + p["v_b"] if "v_b" in p else ctx @ p["v_w"]
+    q = q.reshape(b, s, num_heads, -1)
+    k = k.reshape(b, t, num_heads, -1)
+    v = v.reshape(b, t, num_heads, -1)
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * scale
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
@@ -147,11 +150,11 @@ def _transformer_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
     return x + (y @ p["ff_w"] + p["ff_b"])
 
 
-def _resnet(p: Dict, x: jnp.ndarray, temb: jnp.ndarray,
-            groups: int = 32) -> jnp.ndarray:
+def _resnet(p: Dict, x: jnp.ndarray, temb, groups: int = 32) -> jnp.ndarray:
     h = jax.nn.silu(group_norm(p["norm1"], x, groups))
     h = conv2d(p["conv1"], h)
-    h = h + (jax.nn.silu(temb) @ p["temb_w"] + p["temb_b"])[:, None, None, :]
+    if temb is not None:
+        h = h + (jax.nn.silu(temb) @ p["temb_w"] + p["temb_b"])[:, None, None, :]
     h = jax.nn.silu(group_norm(p["norm2"], h, groups))
     h = conv2d(p["conv2"], h)
     if "shortcut" in p:

@@ -1,0 +1,101 @@
+"""SD text encoder + SD VAE golden parity vs the reference torch modules."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.clip import CLIPConfig
+from goal_force_tpu.models.sd_text_encoder import (
+    sd_text_encode,
+    sd_text_params_from_torch,
+)
+from goal_force_tpu.models.sd_vae import (
+    sd_vae_decode,
+    sd_vae_decoder_params_from_torch,
+    sd_vae_encode,
+    sd_vae_encoder_params_from_torch,
+)
+
+from conftest import reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference repo not mounted")
+
+if reference_available():
+    import importlib
+    import importlib.machinery
+    import sys
+
+    pkg = importlib.util.module_from_spec(
+        importlib.machinery.ModuleSpec("refmodels", None, is_package=True))
+    pkg.__path__ = ["/root/reference/diffsynth/models"]
+    sys.modules.setdefault("refmodels", pkg)
+    ref_te = importlib.import_module("refmodels.sd_text_encoder")
+    ref_enc = importlib.import_module("refmodels.sd_vae_encoder")
+    ref_dec = importlib.import_module("refmodels.sd_vae_decoder")
+
+
+def test_text_encoder_matches_reference():
+    import torch
+
+    torch.manual_seed(0)
+    # tiny geometry; the reference constructor is fully parameterized
+    model = ref_te.SDTextEncoder(
+        embed_dim=48, vocab_size=120, max_position_embeddings=12,
+        num_encoder_layers=3, encoder_intermediate_size=96).eval().float()
+    # the reference hardcodes 12 heads/64 head_dim in CLIPEncoderLayer;
+    # rebuild with matching small heads via its own layer class
+    model.encoders = torch.nn.ModuleList([
+        ref_te.CLIPEncoderLayer(48, 96, num_heads=4, head_dim=12)
+        for _ in range(3)]).eval().float()
+
+    cfg = CLIPConfig(vocab_size=120, text_dim=48, text_heads=4, text_layers=3,
+                     max_positions=12, hidden_act="quick_gelu")
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    sd_text_params_from_torch(sd, cfg))
+
+    ids = np.random.default_rng(0).integers(0, 120, (2, 12)).astype(np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).numpy()
+        ref_skip = model(torch.from_numpy(ids), clip_skip=2).numpy()
+    got = sd_text_encode(params, jnp.asarray(ids), cfg)
+    got_skip = sd_text_encode(params, jnp.asarray(ids), cfg, clip_skip=2)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_skip), ref_skip,
+                               rtol=1e-4, atol=1e-4)
+    assert not np.allclose(np.asarray(got), np.asarray(got_skip))
+
+
+def test_vae_encoder_matches_reference():
+    import torch
+
+    torch.manual_seed(0)
+    model = ref_enc.SDVAEEncoder().eval().float()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    sd_vae_encoder_params_from_torch(sd))
+    img = np.random.default_rng(0).uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(img)).numpy()
+    got = sd_vae_encode(params, jnp.asarray(np.moveaxis(img, 1, -1)))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), ref,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_vae_decoder_matches_reference():
+    import torch
+
+    torch.manual_seed(1)
+    model = ref_dec.SDVAEDecoder().eval().float()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    sd_vae_decoder_params_from_torch(sd))
+    z = np.random.default_rng(1).normal(size=(1, 4, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(z)).numpy()
+    got = sd_vae_decode(params, jnp.asarray(np.moveaxis(z, 1, -1)))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), ref,
+                               rtol=2e-4, atol=2e-4)

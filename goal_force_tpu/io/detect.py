@@ -29,6 +29,7 @@ def detect_model_kind(sd: Mapping[str, np.ndarray]) -> str:
 
     Returns one of: goal_force_controlnet, lora, wan_s2v, wan_dit, wan_vae,
     wan_vae38, umt5_xxl, wan_image_encoder, motion_controller, vace,
+    sd_civitai (bundled LDM checkpoint), sd_unet (diffsynth format),
     hf_clip, open_clip, image_reward, esrgan, rife — or raises ValueError.
     """
     keys = set(sd.keys())
@@ -45,6 +46,12 @@ def detect_model_kind(sd: Mapping[str, np.ndarray]) -> str:
         return "goal_force_controlnet"
     if _has(sd, "patch_embedding.weight", "blocks.0.self_attn.q.weight"):
         return "wan_dit"
+    if any(k.startswith("model.diffusion_model.") for k in keys):
+        # civitai/LDM SD checkpoint (bundles unet + text encoder + vae)
+        return "sd_civitai"
+    if _has(sd, "conv_in.weight", "blocks.1.proj_in.weight",
+            "time_embedding.0.weight"):
+        return "sd_unet"
     if _has(sd, "token_embedding.weight",
             "blocks.0.pos_embedding.embedding.weight"):
         return "umt5_xxl"

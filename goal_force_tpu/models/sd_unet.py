@@ -355,3 +355,122 @@ def init_sd_unet(key, plan: Sequence[BlockSpec] = SD15_PLAN,
             "blocks": blocks,
             "conv_norm_out": norm(model_dim),
             "conv_out": conv(model_dim, in_channels)}
+
+
+# ---------------------------------------------------------------------------
+# civitai / LDM checkpoint converter (algorithmic)
+# ---------------------------------------------------------------------------
+
+
+def _ldm_prefixes(plan: Sequence[BlockSpec]) -> List[str]:
+    """Derive the LDM (`model.diffusion_model.*`) module prefix for every
+    non-push/pop entry of a block plan. The correspondence is structural:
+    each "push" closes one `input_blocks.{i}`, the stretch between the last
+    push and the first pop is `middle_block`, and each "pop" opens one
+    `output_blocks.{i}` (an "up" stays inside the current output block).
+    Works for any plan of this family, not just SD-1.5 (the reference instead
+    ships a literal ~700-entry rename table: sd_unet.py:412+ from_civitai)."""
+    first_pop = next(i for i, s in enumerate(plan) if s[0] == "pop")
+    last_push = max(i for i, s in enumerate(plan) if s[0] == "push")
+    prefixes: List[str] = []
+    in_i, j = 1, 0
+    for spec in plan[:last_push + 1]:
+        if spec[0] == "push":
+            in_i += 1
+            j = 0
+        else:
+            prefixes.append(f"input_blocks.{in_i}.{j}")
+            j += 1
+    for j, spec in enumerate(plan[last_push + 1:first_pop]):
+        prefixes.append(f"middle_block.{j}")
+    out_i, j = -1, 0
+    for spec in plan[first_pop:]:
+        if spec[0] == "pop":
+            out_i += 1
+            j = 0
+        else:
+            prefixes.append(f"output_blocks.{out_i}.{j}")
+            j += 1
+    return prefixes
+
+
+def sd_unet_params_from_civitai(sd, plan: Sequence[BlockSpec] = SD15_PLAN,
+                                num_transformer_layers: int = 1) -> Dict:
+    """Convert an LDM/civitai SD checkpoint (`model.diffusion_model.*`,
+    in_layers/emb_layers/out_layers resblocks, SpatialTransformer with 1x1
+    conv proj_in/proj_out) directly — no intermediate rename pass."""
+    pre0 = "model.diffusion_model."
+    if not any(k.startswith(pre0) for k in sd):
+        pre0 = ""
+    g = lambda k: np.asarray(sd[pre0 + k])
+
+    def norm(p):
+        return {"scale": g(p + ".weight"), "bias": g(p + ".bias")}
+
+    def conv(p):
+        return {"w": np.ascontiguousarray(
+            np.transpose(g(p + ".weight"), (2, 3, 1, 0))),
+            "b": g(p + ".bias")}
+
+    def lin1x1(p):
+        # SpatialTransformer proj convs are (O, I, 1, 1); as a linear: (I, O)
+        return np.squeeze(g(p + ".weight"), (2, 3)).T
+
+    prefixes = iter(_ldm_prefixes(plan))
+    blocks = []
+    for spec in plan:
+        kind = spec[0]
+        if kind in ("push", "pop"):
+            blocks.append({})
+            continue
+        base = next(prefixes)
+        if kind == "res":
+            p = {"norm1": norm(base + ".in_layers.0"),
+                 "conv1": conv(base + ".in_layers.2"),
+                 "temb_w": g(base + ".emb_layers.1.weight").T,
+                 "temb_b": g(base + ".emb_layers.1.bias"),
+                 "norm2": norm(base + ".out_layers.0"),
+                 "conv2": conv(base + ".out_layers.3")}
+            if pre0 + base + ".skip_connection.weight" in sd:
+                p["shortcut"] = conv(base + ".skip_connection")
+            blocks.append(p)
+        elif kind == "attn":
+            tbs = []
+            for j in range(num_transformer_layers):
+                tp = f"{base}.transformer_blocks.{j}"
+                attn = lambda a: {
+                    "q_w": g(f"{tp}.{a}.to_q.weight").T,
+                    "k_w": g(f"{tp}.{a}.to_k.weight").T,
+                    "v_w": g(f"{tp}.{a}.to_v.weight").T,
+                    "o_w": g(f"{tp}.{a}.to_out.0.weight").T,
+                    "o_b": g(f"{tp}.{a}.to_out.0.bias"),
+                }
+                tbs.append({
+                    "norm1": norm(tp + ".norm1"), "attn1": attn("attn1"),
+                    "norm2": norm(tp + ".norm2"), "attn2": attn("attn2"),
+                    "norm3": norm(tp + ".norm3"),
+                    "geglu_w": g(tp + ".ff.net.0.proj.weight").T,
+                    "geglu_b": g(tp + ".ff.net.0.proj.bias"),
+                    "ff_w": g(tp + ".ff.net.2.weight").T,
+                    "ff_b": g(tp + ".ff.net.2.bias"),
+                })
+            blocks.append({
+                "norm": norm(base + ".norm"),
+                "proj_in_w": lin1x1(base + ".proj_in"),
+                "proj_in_b": g(base + ".proj_in.bias"),
+                "transformer_blocks": tbs,
+                "proj_out_w": lin1x1(base + ".proj_out"),
+                "proj_out_b": g(base + ".proj_out.bias"),
+            })
+        elif kind == "down":
+            blocks.append({"conv": conv(base + ".op")})
+        elif kind == "up":
+            blocks.append({"conv": conv(base + ".conv")})
+    return {
+        "time_w1": g("time_embed.0.weight").T, "time_b1": g("time_embed.0.bias"),
+        "time_w2": g("time_embed.2.weight").T, "time_b2": g("time_embed.2.bias"),
+        "conv_in": conv("input_blocks.0.0"),
+        "blocks": blocks,
+        "conv_norm_out": norm("out.0"),
+        "conv_out": conv("out.2"),
+    }

@@ -164,3 +164,49 @@ def test_init_and_apply_shapes():
                         jnp.zeros((1,)), jnp.zeros((1, 7, 24)), groups=4)
     assert out.shape == (1, 16, 16, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_civitai_converter_matches_reference_table():
+    """The ALGORITHMIC civitai converter must agree with the reference's
+    literal ~700-entry rename table: rename a full random SDUNet state dict
+    into civitai naming via the INVERTED reference table, convert through
+    sd_unet_params_from_civitai, and compare with the diffsynth-format
+    converter output tensor-for-tensor."""
+    import torch
+
+    from goal_force_tpu.models.sd_unet import sd_unet_params_from_civitai
+
+    with torch.device("meta"):
+        ref = ref_sd.SDUNet()
+    shapes = {k: tuple(v.shape) for k, v in ref.state_dict().items()}
+    rng = np.random.default_rng(0)
+    ours_sd = {k: rng.normal(size=s).astype(np.float16) for k, s in shapes.items()}
+
+    # invert: reference table maps civitai -> diffsynth names
+    probe = {}
+    import inspect
+    src = inspect.getsource(ref_sd.SDUNetStateDictConverter.from_civitai)
+    # build the civitai-named dict through the reference converter itself:
+    # feed identity-tagged tensors and observe where they land
+    civ_names = [line.split('"')[1] for line in src.splitlines()
+                 if line.strip().startswith('"model.diffusion_model.')]
+    tagged = {name: torch.full((1,), i, dtype=torch.float32)
+              for i, name in enumerate(civ_names)}
+    renamed = ref_sd.SDUNetStateDictConverter().from_civitai(tagged)
+    inv = {}
+    for ours_name, tag in renamed.items():
+        inv[ours_name] = civ_names[int(tag.flatten()[0])]
+    assert set(inv) == set(shapes), "reference table does not cover SDUNet"
+
+    civitai_sd = {inv[k]: v for k, v in ours_sd.items()}
+    # proj_in/proj_out are 1x1 convs in civitai checkpoints
+    for k in list(civitai_sd):
+        if (".proj_in.weight" in k or ".proj_out.weight" in k) \
+                and civitai_sd[k].ndim == 2:
+            civitai_sd[k] = civitai_sd[k][:, :, None, None]
+
+    a = sd_unet_params_from_torch(ours_sd, SD15_PLAN)
+    b = sd_unet_params_from_civitai(civitai_sd, SD15_PLAN)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b)

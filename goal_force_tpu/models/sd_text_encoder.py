@@ -68,3 +68,39 @@ def sd_text_params_from_torch(sd, cfg: CLIPConfig = SD_TEXT_CONFIG) -> Dict:
         "ln_final": {"scale": sd["final_layer_norm.weight"],
                      "bias": sd["final_layer_norm.bias"]},
     }}
+
+
+def sd_text_params_from_civitai(sd, cfg: CLIPConfig = SD_TEXT_CONFIG) -> Dict:
+    """Convert the text tower of a bundled civitai SD checkpoint
+    (`cond_stage_model.transformer.text_model.*` — HF CLIPTextModel naming;
+    the reference ships a literal rename table instead:
+    sd_text_encoder.py:115+ from_civitai)."""
+    pre = "cond_stage_model.transformer.text_model."
+    if not any(k.startswith(pre) for k in sd):
+        pre = "text_model."
+    g = lambda k: np.asarray(sd[pre + k])
+
+    def block(i):
+        b = lambda k: np.asarray(sd[f"{pre}encoder.layers.{i}.{k}"])
+        return {
+            "ln1": {"scale": b("layer_norm1.weight"), "bias": b("layer_norm1.bias")},
+            "ln2": {"scale": b("layer_norm2.weight"), "bias": b("layer_norm2.bias")},
+            "attn": {
+                "q_w": b("self_attn.q_proj.weight").T, "q_b": b("self_attn.q_proj.bias"),
+                "k_w": b("self_attn.k_proj.weight").T, "k_b": b("self_attn.k_proj.bias"),
+                "v_w": b("self_attn.v_proj.weight").T, "v_b": b("self_attn.v_proj.bias"),
+                "o_w": b("self_attn.out_proj.weight").T, "o_b": b("self_attn.out_proj.bias"),
+            },
+            "fc1_w": b("mlp.fc1.weight").T, "fc1_b": b("mlp.fc1.bias"),
+            "fc2_w": b("mlp.fc2.weight").T, "fc2_b": b("mlp.fc2.bias"),
+        }
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *[block(i) for i in range(cfg.text_layers)])
+    return {"text": {
+        "tok_emb": g("embeddings.token_embedding.weight"),
+        "pos_emb": g("embeddings.position_embedding.weight"),
+        "blocks": stacked,
+        "ln_final": {"scale": g("final_layer_norm.weight"),
+                     "bias": g("final_layer_norm.bias")},
+    }}

@@ -157,3 +157,108 @@ def sd_vae_decoder_params_from_torch(sd, plan=SD_VAE_DECODER_PLAN) -> Dict:
         "conv_norm_out": _norm(sd, "conv_norm_out"),
         "conv_out": _conv(sd, "conv_out"),
     }
+
+
+# ---------------------------------------------------------------------------
+# civitai / LDM VAE converter (algorithmic; the reference ships literal
+# rename tables: sd_vae_encoder.py:160+, sd_vae_decoder.py from_civitai)
+# ---------------------------------------------------------------------------
+
+
+def _ldm_vae_prefixes(plan, is_encoder: bool):
+    """LDM prefixes per plan entry. Encoder: down.{i}.block.{j} with
+    down.{i}.downsample after each stage; decoder: up.{i} in REVERSED order
+    (up.3 first) with up.{i}.upsample; mid.block_1/attn_1/block_2 around the
+    'vattn' entry on the encoder tail / decoder head."""
+    n_levels = sum(1 for s in plan if s[0] in ("downe", "up")) + 1
+    mid = tuple(s[0] for s in (plan[-3:] if is_encoder else plan[:3]))
+    if mid != ("res", "vattn", "res"):
+        raise ValueError(f"LDM mapping expects a (res, vattn, res) mid "
+                         f"section, got {mid}")
+    if is_encoder:
+        # down levels first; the last three plan entries are the mid section
+        out = []
+        level, j = 0, 0
+        mid_start = len(plan) - 3
+        for i, spec in enumerate(plan):
+            if i >= mid_start:
+                out.append({"res": f"mid.block_{1 if i == mid_start else 2}",
+                            "vattn": "mid.attn_1"}[spec[0]])
+            elif spec[0] == "downe":
+                out.append(f"down.{level}.downsample")
+                level += 1
+                j = 0
+            else:
+                out.append(f"down.{level}.block.{j}")
+                j += 1
+        return out
+    # decoder: plan head is (res, vattn, res) = mid; then levels from highest
+    out = []
+    level = n_levels - 1
+    j = 0
+    for i, spec in enumerate(plan):
+        if i < 3:
+            out.append({"res": f"mid.block_{1 if i == 0 else 2}",
+                        "vattn": "mid.attn_1"}[spec[0]])
+        elif spec[0] == "up":
+            out.append(f"up.{level}.upsample")
+            level -= 1
+            j = 0
+        else:
+            out.append(f"up.{level}.block.{j}")
+            j += 1
+    return out
+
+
+def _vae_params_from_ldm(sd, plan, pre0, is_encoder):
+    g = lambda k: np.asarray(sd[pre0 + k])
+    norm = lambda p: {"scale": g(p + ".weight"), "bias": g(p + ".bias")}
+    conv = lambda p: {"w": np.ascontiguousarray(
+        np.transpose(g(p + ".weight"), (2, 3, 1, 0))), "b": g(p + ".bias")}
+    lin1x1 = lambda p: np.squeeze(g(p + ".weight"), (2, 3)).T
+
+    blocks = []
+    for spec, base in zip(plan, _ldm_vae_prefixes(plan, is_encoder)):
+        kind = spec[0]
+        if kind == "res":
+            p = {"norm1": norm(base + ".norm1"), "conv1": conv(base + ".conv1"),
+                 "norm2": norm(base + ".norm2"), "conv2": conv(base + ".conv2")}
+            if pre0 + base + ".nin_shortcut.weight" in sd:
+                p["shortcut"] = conv(base + ".nin_shortcut")
+            blocks.append(p)
+        elif kind == "vattn":
+            blocks.append({"norm": norm(base + ".norm"), "attn": {
+                "q_w": lin1x1(base + ".q"), "q_b": g(base + ".q.bias"),
+                "k_w": lin1x1(base + ".k"), "k_b": g(base + ".k.bias"),
+                "v_w": lin1x1(base + ".v"), "v_b": g(base + ".v.bias"),
+                "o_w": lin1x1(base + ".proj_out"), "o_b": g(base + ".proj_out.bias"),
+            }})
+        elif kind in ("downe", "up"):
+            blocks.append({"conv": conv(base + ".conv")})
+    return blocks, g, norm, conv
+
+
+def sd_vae_encoder_params_from_civitai(sd, plan=SD_VAE_ENCODER_PLAN) -> Dict:
+    pre0 = "first_stage_model." if any(
+        k.startswith("first_stage_model.") for k in sd) else ""
+    blocks, g, norm, conv = _vae_params_from_ldm(sd, plan, pre0 + "encoder.",
+                                                 is_encoder=True)
+    top = lambda p: {"w": np.ascontiguousarray(np.transpose(
+        np.asarray(sd[pre0 + p + ".weight"]), (2, 3, 1, 0))),
+        "b": np.asarray(sd[pre0 + p + ".bias"])}
+    return {"conv_in": conv("conv_in"), "blocks": blocks,
+            "conv_norm_out": norm("norm_out"), "conv_out": conv("conv_out"),
+            "quant_conv": top("quant_conv")}
+
+
+def sd_vae_decoder_params_from_civitai(sd, plan=SD_VAE_DECODER_PLAN) -> Dict:
+    pre0 = "first_stage_model." if any(
+        k.startswith("first_stage_model.") for k in sd) else ""
+    blocks, g, norm, conv = _vae_params_from_ldm(sd, plan, pre0 + "decoder.",
+                                                 is_encoder=False)
+    top = lambda p: {"w": np.ascontiguousarray(np.transpose(
+        np.asarray(sd[pre0 + p + ".weight"]), (2, 3, 1, 0))),
+        "b": np.asarray(sd[pre0 + p + ".bias"])}
+    return {"post_quant_conv": top("post_quant_conv"),
+            "conv_in": conv("conv_in"), "blocks": blocks,
+            "conv_norm_out": norm("norm_out"), "conv_out": conv("conv_out")}

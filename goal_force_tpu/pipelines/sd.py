@@ -215,3 +215,29 @@ def _init_tiny_vae(key, dtype):
     enc = _init_vae(ks[0], enc_plan, 3, 8, 8, 8, True, dtype)
     dec = _init_vae(ks[1], dec_plan, 4, 3, 8, 8, False, dtype)
     return enc, dec, enc_plan, dec_plan
+
+
+def sd_pipeline_from_civitai(path: str, tokenize=None,
+                             dtype=jnp.float32) -> SDPipeline:
+    """Build an SDPipeline from ONE bundled civitai SD-1.5 checkpoint
+    (safetensors or pth: `model.diffusion_model.*` UNet +
+    `cond_stage_model.*` CLIP text + `first_stage_model.*` VAE — the format
+    the reference's ModelManager splits by hash; here split by prefix)."""
+    from goal_force_tpu.io.safetensors_io import load_safetensors, load_torch_pth
+    from goal_force_tpu.models.sd_text_encoder import sd_text_params_from_civitai
+    from goal_force_tpu.models.sd_unet import sd_unet_params_from_civitai
+    from goal_force_tpu.models.sd_vae import (
+        sd_vae_decoder_params_from_civitai,
+        sd_vae_encoder_params_from_civitai,
+    )
+
+    sd = (load_safetensors(path) if path.endswith(".safetensors")
+          else load_torch_pth(path))
+    to_dev = lambda tree: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype), tree)
+    return SDPipeline(
+        unet=to_dev(sd_unet_params_from_civitai(sd)),
+        text_encoder=to_dev(sd_text_params_from_civitai(sd)),
+        vae_encoder=to_dev(sd_vae_encoder_params_from_civitai(sd)),
+        vae_decoder=to_dev(sd_vae_decoder_params_from_civitai(sd)),
+        tokenize=tokenize, dtype=dtype)

@@ -99,3 +99,81 @@ def test_vae_decoder_matches_reference():
     got = sd_vae_decode(params, jnp.asarray(np.moveaxis(z, 1, -1)))
     np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), ref,
                                rtol=2e-4, atol=2e-4)
+
+
+def _invert_reference_table(converter, civ_prefix):
+    """Extract the reference's literal civitai rename table by feeding
+    identity-tagged tensors through from_civitai."""
+    import inspect
+
+    import torch
+
+    src = inspect.getsource(converter.from_civitai)
+    civ_names = [line.split('"')[1] for line in src.splitlines()
+                 if line.strip().startswith(f'"{civ_prefix}')]
+    # (1,1,1,1) survives the converter's reshape/squeeze ops on any key
+    tagged = {n: torch.full((1, 1, 1, 1), i, dtype=torch.float32)
+              for i, n in enumerate(civ_names)}
+    renamed = converter.from_civitai(tagged)
+    return {ours: civ_names[int(t.flatten()[0])] for ours, t in renamed.items()}
+
+
+def test_text_civitai_converter_matches_reference_table():
+    import torch
+
+    from goal_force_tpu.models.sd_text_encoder import (
+        SD_TEXT_CONFIG,
+        sd_text_params_from_civitai,
+        sd_text_params_from_torch,
+    )
+
+    torch.manual_seed(0)
+    model = ref_te.SDTextEncoder().eval()
+    ours_sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    inv = _invert_reference_table(ref_te.SDTextEncoderStateDictConverter(),
+                                  "cond_stage_model.")
+    # position_embeds is our (1, 77, 768); civitai stores (77, 768)
+    civ_sd = {}
+    for ours_name, civ_name in inv.items():
+        v = ours_sd[ours_name]
+        civ_sd[civ_name] = v[0] if ours_name == "position_embeds" else v
+    a = sd_text_params_from_torch(ours_sd, SD_TEXT_CONFIG)
+    b = sd_text_params_from_civitai(civ_sd, SD_TEXT_CONFIG)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b)
+
+
+def test_vae_civitai_converters_match_reference_tables():
+    import torch
+
+    from goal_force_tpu.models.sd_vae import (
+        sd_vae_decoder_params_from_civitai,
+        sd_vae_encoder_params_from_civitai,
+    )
+
+    torch.manual_seed(0)
+    for ref_mod, cls_name, ours_conv, civ_conv in [
+        (ref_enc, "SDVAEEncoder", sd_vae_encoder_params_from_torch,
+         sd_vae_encoder_params_from_civitai),
+        (ref_dec, "SDVAEDecoder", sd_vae_decoder_params_from_torch,
+         sd_vae_decoder_params_from_civitai),
+    ]:
+        model = getattr(ref_mod, cls_name)().eval()
+        ours_sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        conv_cls = getattr(ref_mod, cls_name + "StateDictConverter")()
+        inv = _invert_reference_table(conv_cls, "first_stage_model.")
+        civ_sd = {}
+        for ours_name, civ_name in inv.items():
+            v = ours_sd[ours_name]
+            # LDM attention q/k/v/proj_out are 1x1 convs (norm stays 1-D)
+            if ".attn_1." in civ_name and civ_name.endswith(".weight") \
+                    and v.ndim == 2:
+                v = v[:, :, None, None]
+            civ_sd[civ_name] = v
+        a = ours_conv(ours_sd)
+        b = civ_conv(civ_sd)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                       np.asarray(y)),
+            a, b)

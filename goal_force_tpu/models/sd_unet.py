@@ -34,8 +34,8 @@ import jax.numpy as jnp
 # Block plan
 # ---------------------------------------------------------------------------
 
-# ("res", in_ch, out_ch) | ("attn", heads, head_dim, ch, ctx_dim)
-# | ("push",) | ("pop",) | ("down", ch) | ("up", ch)
+# ("res", in_ch, out_ch) | ("attn", heads, head_dim, ch, ctx_dim[, depth])
+# | ("push",) | ("pop",) | ("down", ch) | ("up", ch)   (depth defaults to 1)
 BlockSpec = Tuple
 
 SD15_PLAN: Tuple[BlockSpec, ...] = (
@@ -234,14 +234,14 @@ def _norm(sd, pre):
             "bias": np.asarray(sd[pre + ".bias"])}
 
 
-def sd_unet_params_from_torch(sd, plan: Sequence[BlockSpec] = SD15_PLAN,
-                              num_transformer_layers: int = 1) -> Dict:
+def sd_unet_params_from_torch(sd, plan: Sequence[BlockSpec] = SD15_PLAN) -> Dict:
     """Convert the reference's diffsynth-format SDUNet state dict
     (blocks.{i}.* naming, reference: sd_unet.py:229-323)."""
     blocks = []
     for i, spec in enumerate(plan):
         pre = f"blocks.{i}"
         kind = spec[0]
+        num_transformer_layers = spec[5] if kind == "attn" and len(spec) > 5 else 1
         if kind == "res":
             p = {
                 "norm1": _norm(sd, pre + ".norm1"),
@@ -309,7 +309,9 @@ def init_sd_unet(key, plan: Sequence[BlockSpec] = SD15_PLAN,
                  model_dim: int = SD15_MODEL_DIM, time_dim: int = SD15_TIME_DIM,
                  in_channels: int = 4, groups: int = 32,
                  dtype=jnp.float32) -> Dict:
-    ks = iter(jax.random.split(key, 4 * len(plan) + 16))
+    n_keys = sum(8 * (s[5] if s[0] == "attn" and len(s) > 5 else 1) + 8
+                 for s in plan) + 16
+    ks = iter(jax.random.split(key, n_keys))
     n = lambda *s: jax.random.normal(next(ks), s, dtype) * 0.02
     norm = lambda c: {"scale": jnp.ones(c, dtype), "bias": jnp.zeros(c, dtype)}
     conv = lambda ci, co, k=3: {"w": n(k, k, ci, co), "b": jnp.zeros(co, dtype)}
@@ -326,23 +328,27 @@ def init_sd_unet(key, plan: Sequence[BlockSpec] = SD15_PLAN,
                 p["shortcut"] = conv(ci, co, 1)
             blocks.append(p)
         elif kind == "attn":
-            _, heads, hd, ch, ctx = spec
+            heads, hd, ch, ctx = spec[1:5]
+            depth = spec[5] if len(spec) > 5 else 1
             inner = heads * hd
-            tb = {"norm1": norm(inner),
-                  "attn1": {"q_w": n(inner, inner), "k_w": n(inner, inner),
-                            "v_w": n(inner, inner), "o_w": n(inner, inner),
-                            "o_b": jnp.zeros(inner, dtype)},
-                  "norm2": norm(inner),
-                  "attn2": {"q_w": n(inner, inner), "k_w": n(ctx, inner),
-                            "v_w": n(ctx, inner), "o_w": n(inner, inner),
-                            "o_b": jnp.zeros(inner, dtype)},
-                  "norm3": norm(inner),
-                  "geglu_w": n(inner, 8 * inner),
-                  "geglu_b": jnp.zeros(8 * inner, dtype),
-                  "ff_w": n(4 * inner, inner), "ff_b": jnp.zeros(inner, dtype)}
+
+            def tb():
+                return {"norm1": norm(inner),
+                        "attn1": {"q_w": n(inner, inner), "k_w": n(inner, inner),
+                                  "v_w": n(inner, inner), "o_w": n(inner, inner),
+                                  "o_b": jnp.zeros(inner, dtype)},
+                        "norm2": norm(inner),
+                        "attn2": {"q_w": n(inner, inner), "k_w": n(ctx, inner),
+                                  "v_w": n(ctx, inner), "o_w": n(inner, inner),
+                                  "o_b": jnp.zeros(inner, dtype)},
+                        "norm3": norm(inner),
+                        "geglu_w": n(inner, 8 * inner),
+                        "geglu_b": jnp.zeros(8 * inner, dtype),
+                        "ff_w": n(4 * inner, inner), "ff_b": jnp.zeros(inner, dtype)}
+
             blocks.append({"norm": norm(ch), "proj_in_w": n(ch, inner),
                            "proj_in_b": jnp.zeros(inner, dtype),
-                           "transformer_blocks": [tb],
+                           "transformer_blocks": [tb() for _ in range(depth)],
                            "proj_out_w": n(inner, ch),
                            "proj_out_b": jnp.zeros(ch, dtype)})
         elif kind in ("down", "up"):
@@ -394,8 +400,7 @@ def _ldm_prefixes(plan: Sequence[BlockSpec]) -> List[str]:
     return prefixes
 
 
-def sd_unet_params_from_civitai(sd, plan: Sequence[BlockSpec] = SD15_PLAN,
-                                num_transformer_layers: int = 1) -> Dict:
+def sd_unet_params_from_civitai(sd, plan: Sequence[BlockSpec] = SD15_PLAN) -> Dict:
     """Convert an LDM/civitai SD checkpoint (`model.diffusion_model.*`,
     in_layers/emb_layers/out_layers resblocks, SpatialTransformer with 1x1
     conv proj_in/proj_out) directly — no intermediate rename pass."""
@@ -424,6 +429,7 @@ def sd_unet_params_from_civitai(sd, plan: Sequence[BlockSpec] = SD15_PLAN,
             blocks.append({})
             continue
         base = next(prefixes)
+        num_transformer_layers = spec[5] if kind == "attn" and len(spec) > 5 else 1
         if kind == "res":
             p = {"norm1": norm(base + ".in_layers.0"),
                  "conv1": conv(base + ".in_layers.2"),

@@ -104,3 +104,92 @@ def sd_text_params_from_civitai(sd, cfg: CLIPConfig = SD_TEXT_CONFIG) -> Dict:
         "ln_final": {"scale": g("final_layer_norm.weight"),
                      "bias": g("final_layer_norm.bias")},
     }}
+
+
+# ---------------------------------------------------------------------------
+# SDXL text encoders (reference: diffsynth/models/sdxl_text_encoder.py)
+# ---------------------------------------------------------------------------
+
+# Encoder 1: CLIP ViT-L truncated to 11 layers, NO final LayerNorm
+# (reference: sdxl_text_encoder.py:5-37).
+SDXL_TEXT_CONFIG = CLIPConfig(vocab_size=49408, text_dim=768, text_heads=12,
+                              text_layers=11, max_positions=77,
+                              hidden_act="quick_gelu")
+# Encoder 2: OpenCLIP bigG — 1280 dim, 20 heads, 32 layers, plain gelu,
+# argmax (EOT) pooling + bias-free projection (reference: :44-82).
+SDXL_TEXT2_CONFIG = CLIPConfig(vocab_size=49408, text_dim=1280, text_heads=20,
+                               text_layers=32, max_positions=77,
+                               hidden_act="gelu", text_pooling="argmax")
+
+
+def sdxl_text_encode(params: Dict, input_ids: jnp.ndarray,
+                     cfg: CLIPConfig = SDXL_TEXT_CONFIG,
+                     clip_skip: int = 2) -> jnp.ndarray:
+    """(B, 77) -> (B, 77, 768) RAW token states (no final LN), stopping
+    clip_skip-1 layers early (the SDXL pipeline default is clip_skip=2)."""
+    p = params["text"]
+    x = p["tok_emb"][input_ids] + p["pos_emb"][:input_ids.shape[1]]
+    blocks = p["blocks"]
+    if clip_skip > 1:
+        blocks = jax.tree_util.tree_map(
+            lambda a: a[:cfg.text_layers - (clip_skip - 1)], blocks)
+    return _tower(blocks, x, cfg.text_heads, cfg.hidden_act, cfg.eps,
+                  causal=True)
+
+
+def sdxl_text2_encode(params: Dict, input_ids: jnp.ndarray,
+                      cfg: CLIPConfig = SDXL_TEXT2_CONFIG,
+                      clip_skip: int = 2):
+    """(B, 77) -> (pooled (B, 1280), hidden (B, 77, 1280)).
+
+    The reference runs ALL layers, RECORDS the states clip_skip layers from
+    the end (pre-final-LN), pools the final-LN last-layer output at
+    argmax(ids), and projects (reference: sdxl_text_encoder.py:72-82)."""
+    p = params["text"]
+    x = p["tok_emb"][input_ids] + p["pos_emb"][:input_ids.shape[1]]
+    split = cfg.text_layers - clip_skip + 1
+    head = jax.tree_util.tree_map(lambda a: a[:split], p["blocks"])
+    tail = jax.tree_util.tree_map(lambda a: a[split:], p["blocks"])
+    hidden = _tower(head, x, cfg.text_heads, cfg.hidden_act, cfg.eps, True)
+    x = _tower(tail, hidden, cfg.text_heads, cfg.hidden_act, cfg.eps, True)
+    x = _ln(p["ln_final"], x, cfg.eps)
+    idx = jnp.argmax(input_ids, axis=-1)
+    pooled = x[jnp.arange(x.shape[0]), idx] @ params["text_proj"]
+    return pooled, hidden
+
+
+def sdxl_text_params_from_torch(sd, cfg: CLIPConfig = SDXL_TEXT_CONFIG,
+                                with_projection: bool = False) -> Dict:
+    """diffsynth-format SDXLTextEncoder / SDXLTextEncoder2 state dicts
+    (same encoders.{i} naming as SD-1.5; encoder 1 has no final LN,
+    encoder 2 adds final_layer_norm + text_projection)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def block(i):
+        g = lambda k: sd[f"encoders.{i}.{k}"]
+        return {
+            "ln1": {"scale": g("layer_norm1.weight"), "bias": g("layer_norm1.bias")},
+            "ln2": {"scale": g("layer_norm2.weight"), "bias": g("layer_norm2.bias")},
+            "attn": {
+                "q_w": g("attn.to_q.weight").T, "q_b": g("attn.to_q.bias"),
+                "k_w": g("attn.to_k.weight").T, "k_b": g("attn.to_k.bias"),
+                "v_w": g("attn.to_v.weight").T, "v_b": g("attn.to_v.bias"),
+                "o_w": g("attn.to_out.weight").T, "o_b": g("attn.to_out.bias"),
+            },
+            "fc1_w": g("fc1.weight").T, "fc1_b": g("fc1.bias"),
+            "fc2_w": g("fc2.weight").T, "fc2_b": g("fc2.bias"),
+        }
+
+    text = {
+        "tok_emb": sd["token_embedding.weight"],
+        "pos_emb": sd["position_embeds"][0],
+        "blocks": jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs),
+            *[block(i) for i in range(cfg.text_layers)]),
+    }
+    out = {"text": text}
+    if with_projection:
+        text["ln_final"] = {"scale": sd["final_layer_norm.weight"],
+                            "bias": sd["final_layer_norm.bias"]}
+        out["text_proj"] = sd["text_projection.weight"].T
+    return out

@@ -30,6 +30,7 @@ from goal_force_tpu.models.sd_unet import (
 )
 
 SCALING_FACTOR = 0.18215
+SDXL_SCALING_FACTOR = 0.13025
 
 # ("res", in, out) | ("vattn", ch) | ("downe", ch) | ("up", ch)
 SD_VAE_ENCODER_PLAN: Tuple[Tuple, ...] = (
@@ -78,21 +79,25 @@ def _run_plan(params: Dict, plan: Sequence[Tuple], x: jnp.ndarray,
 
 def sd_vae_encode(params: Dict, images: jnp.ndarray,
                   plan: Sequence[Tuple] = SD_VAE_ENCODER_PLAN,
-                  groups: int = 32) -> jnp.ndarray:
-    """(B, H, W, 3) in [-1, 1] -> (B, H/8, W/8, 4) scaled latent means."""
+                  groups: int = 32,
+                  scaling: float = SCALING_FACTOR) -> jnp.ndarray:
+    """(B, H, W, 3) in [-1, 1] -> (B, H/8, W/8, 4) scaled latent means.
+    SDXL's VAE is this architecture with scaling=0.13025
+    (reference: sdxl_vae_encoder.py:4-7)."""
     x = conv2d(params["conv_in"], images)
     x = _run_plan(params, plan, x, groups)
     x = jax.nn.silu(group_norm(params["conv_norm_out"], x, groups, eps=1e-6))
     x = conv2d(params["conv_out"], x)
     x = conv2d(params["quant_conv"], x)
-    return x[..., :4] * SCALING_FACTOR
+    return x[..., :4] * scaling
 
 
 def sd_vae_decode(params: Dict, latents: jnp.ndarray,
                   plan: Sequence[Tuple] = SD_VAE_DECODER_PLAN,
-                  groups: int = 32) -> jnp.ndarray:
+                  groups: int = 32,
+                  scaling: float = SCALING_FACTOR) -> jnp.ndarray:
     """(B, h, w, 4) scaled latents -> (B, 8h, 8w, 3) images in [-1, 1]."""
-    x = conv2d(params["post_quant_conv"], latents / SCALING_FACTOR)
+    x = conv2d(params["post_quant_conv"], latents / scaling)
     x = conv2d(params["conv_in"], x)
     x = _run_plan(params, plan, x, groups)
     x = jax.nn.silu(group_norm(params["conv_norm_out"], x, groups, eps=1e-5))

@@ -1,0 +1,159 @@
+"""SDXL text-to-image pipeline.
+
+Reference: diffsynth/pipelines/sdxl_image.py — dual text encoders
+(CLIP-L penultimate states + OpenCLIP-bigG penultimate states concatenated to
+the 2048-dim context; bigG's projected EOT pooling becomes add_text_embeds),
+size/crop conditioning via add_time_id = (h, w, 0, 0, h, w), epsilon DDIM
+loop, SDXL VAE (SD architecture at scaling 0.13025). One jitted CFG step, as
+in pipelines/sd.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.clip import CLIPConfig, init_clip
+from goal_force_tpu.models.sd_text_encoder import (
+    SDXL_TEXT2_CONFIG,
+    SDXL_TEXT_CONFIG,
+    sdxl_text2_encode,
+    sdxl_text_encode,
+)
+from goal_force_tpu.models.sd_vae import (
+    SD_VAE_DECODER_PLAN,
+    SD_VAE_ENCODER_PLAN,
+    SDXL_SCALING_FACTOR,
+    sd_vae_decode,
+)
+from goal_force_tpu.models.sdxl_unet import (
+    SDXL_PLAN,
+    init_sdxl_unet,
+    sdxl_unet_apply,
+)
+from goal_force_tpu.pipelines.sd import _init_tiny_vae, _init_vae
+from goal_force_tpu.schedulers.ddim import make_ddim_schedule
+
+
+@dataclasses.dataclass
+class SDXLPipeline:
+    unet: Dict
+    text_encoder: Dict
+    text_encoder_2: Dict
+    vae_decoder: Dict
+    plan: Tuple = SDXL_PLAN
+    text_cfg: CLIPConfig = SDXL_TEXT_CONFIG
+    text2_cfg: CLIPConfig = SDXL_TEXT2_CONFIG
+    groups: int = 32
+    vae_dec_plan: Tuple = SD_VAE_DECODER_PLAN
+    vae_groups: int = 32
+    vae_scaling: float = SDXL_SCALING_FACTOR
+    tokenize: Optional[Callable[[str], np.ndarray]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        self._step = jax.jit(self._denoise_cfg)
+        self._decode = jax.jit(lambda p, z: sd_vae_decode(
+            p, z, self.vae_dec_plan, groups=self.vae_groups,
+            scaling=self.vae_scaling))
+        self._encode = jax.jit(self._encode_prompt, static_argnums=3)
+
+    def _encode_prompt(self, te1, te2, ids, clip_skip):
+        h1 = sdxl_text_encode(te1, ids, self.text_cfg, clip_skip=clip_skip)
+        pooled, h2 = sdxl_text2_encode(te2, ids, self.text2_cfg,
+                                       clip_skip=clip_skip)
+        return jnp.concatenate([h1, h2], axis=-1), pooled
+
+    def _denoise_cfg(self, unet, latents, t, ctx_pos, ctx_neg, pool_pos,
+                     pool_neg, add_ids, cfg_scale, w_x, w_e):
+        b = latents.shape[0]
+        x2 = jnp.concatenate([latents, latents], axis=0)
+        ctx = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
+        pool = jnp.concatenate([pool_pos, pool_neg], axis=0)
+        eps = sdxl_unet_apply(unet, self.plan, x2,
+                              jnp.full((2 * b,), t, latents.dtype), ctx,
+                              jnp.tile(add_ids, 2 * b), pool,
+                              groups=self.groups)
+        eps = eps[b:] + cfg_scale * (eps[:b] - eps[b:])
+        return latents * w_x + eps * w_e
+
+    def _ids(self, prompt: str) -> jnp.ndarray:
+        if self.tokenize is None:
+            rng = np.random.default_rng(abs(hash(prompt)) % (2**32))
+            ids = rng.integers(1, self.text_cfg.vocab_size - 1,
+                               (1, self.text_cfg.max_positions))
+            return jnp.asarray(ids.astype(np.int32))
+        return jnp.asarray(np.asarray(self.tokenize(prompt))
+                           .reshape(1, -1).astype(np.int32))
+
+    def __call__(self, prompt: str, negative_prompt: str = "",
+                 height: int = 1024, width: int = 1024,
+                 num_inference_steps: int = 20, cfg_scale: float = 7.5,
+                 clip_skip: int = 2, seed: int = 0) -> np.ndarray:
+        sched = make_ddim_schedule(num_inference_steps)
+        latents = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (1, height // 8, width // 8, 4), self.dtype)
+        ctx_p, pool_p = self._encode(self.text_encoder, self.text_encoder_2,
+                                     self._ids(prompt), clip_skip)
+        ctx_n, pool_n = self._encode(self.text_encoder, self.text_encoder_2,
+                                     self._ids(negative_prompt), clip_skip)
+        add_ids = jnp.asarray(
+            np.array([height, width, 0, 0, height, width], np.float32))
+        acp = sched.alphas_cumprod
+        for i in range(len(sched)):
+            t = int(sched.timesteps[i])
+            a_t = float(acp[t])
+            a_prev = 1.0 if i + 1 >= len(sched) else \
+                float(acp[int(sched.timesteps[i + 1])])
+            w_e = math.sqrt(1 - a_prev) - math.sqrt(a_prev * (1 - a_t) / a_t)
+            w_x = math.sqrt(a_prev / a_t)
+            latents = self._step(self.unet, latents, float(t),
+                                 ctx_p.astype(self.dtype),
+                                 ctx_n.astype(self.dtype),
+                                 pool_p.astype(self.dtype),
+                                 pool_n.astype(self.dtype),
+                                 add_ids, float(cfg_scale), w_x, w_e)
+        image = self._decode(self.vae_decoder, latents)
+        return np.clip((np.asarray(image[0], np.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+    @classmethod
+    def init_random(cls, key=None, tiny: bool = True, dtype=jnp.float32):
+        key = jax.random.PRNGKey(0) if key is None else key
+        ks = jax.random.split(key, 4)
+        if tiny:
+            plan = (("res", 8, 8), ("push",), ("down", 8), ("push",),
+                    ("res", 8, 16), ("attn", 2, 8, 16, 24, 2), ("res", 16, 16),
+                    ("pop",), ("res", 24, 16), ("attn", 2, 8, 16, 24, 2),
+                    ("up", 16), ("pop",), ("res", 24, 8))
+            t1 = CLIPConfig(vocab_size=64, text_dim=8, text_heads=2,
+                            text_layers=2, max_positions=12, image_size=14,
+                            patch_size=7, vision_dim=16, vision_heads=2,
+                            vision_layers=1, proj_dim=8)
+            t2 = CLIPConfig(vocab_size=64, text_dim=16, text_heads=2,
+                            text_layers=3, max_positions=12,
+                            hidden_act="gelu", text_pooling="argmax",
+                            image_size=14, patch_size=7, vision_dim=16,
+                            vision_heads=2, vision_layers=1, proj_dim=16)
+            unet = init_sdxl_unet(ks[0], plan, model_dim=8, time_dim=16,
+                                  add_embed_in=16 + 6 * 256, dtype=dtype)
+            groups = 4
+            _, vae_d, _, dec_plan = _init_tiny_vae(ks[1], dtype)
+        else:
+            plan, t1, t2 = SDXL_PLAN, SDXL_TEXT_CONFIG, SDXL_TEXT2_CONFIG
+            unet = init_sdxl_unet(ks[0], plan, dtype=dtype)
+            groups = 32
+            vae_d = _init_vae(ks[1], SD_VAE_DECODER_PLAN, 4, 3, 512, 128,
+                              False, dtype)
+            dec_plan = SD_VAE_DECODER_PLAN
+        te1 = init_clip(ks[2], t1, dtype)
+        te2 = init_clip(ks[3], t2, dtype)
+        return cls(unet=unet, text_encoder=te1, text_encoder_2=te2,
+                   vae_decoder=vae_d, plan=plan, text_cfg=t1, text2_cfg=t2,
+                   groups=groups, vae_dec_plan=dec_plan, vae_groups=groups,
+                   dtype=dtype)

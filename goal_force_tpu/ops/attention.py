@@ -25,12 +25,20 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None):
     """q: (B, Sq, N, H); k/v: (B, Skv, N, H) -> (B, Sq, N, H).
 
     impl: "auto" | "xla" | "pallas". "auto" uses the Pallas flash kernel on TPU when shapes
-    qualify, else XLA.
+    qualify, else XLA. Under an ambient mesh the Pallas call is wrapped in shard_map
+    (heads over ("sp","tp"), batch over "dp" — the Ulysses layout; Mosaic kernels
+    cannot be GSPMD-partitioned automatically).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
         impl = _default_impl(q)
+    if impl in ("pallas", "pallas_int8"):
+        from goal_force_tpu.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+        if mesh is not None and any(mesh.shape[a] > 1 for a in mesh.axis_names):
+            return _pallas_sharded(q, k, v, scale, mesh, impl)
     if impl == "pallas":
         from goal_force_tpu.ops.flash_attention import flash_attention as _pallas
 
@@ -40,6 +48,39 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None):
 
         return _pallas8(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale)
+
+
+def _pallas_sharded(q, k, v, scale, mesh, impl):
+    """shard_map wrapper: each device runs the flash kernel on its own heads (and its
+    own batch rows) — the GSPMD equivalent of xfuser's Ulysses all-to-all attention
+    (/root/reference/diffsynth/distributed/xdit_context_parallel.py:121-126); XLA
+    inserts the token<->head all-to-alls to satisfy the in/out specs."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, _, n, _ = q.shape
+    dp = mesh.shape.get("dp", 1)
+    head_axes = tuple(a for a in ("sp", "tp") if mesh.shape.get(a, 1) > 1)
+    n_shards = 1
+    for a in head_axes:
+        n_shards *= mesh.shape[a]
+    if n % n_shards != 0 or b % dp != 0:
+        return _xla_attention(q, k, v, scale)  # indivisible: XLA partitions fine
+    bspec = "dp" if dp > 1 else None
+    spec = P(bspec, None, head_axes if head_axes else None, None)
+
+    def local(q, k, v):
+        if impl == "pallas_int8":
+            from goal_force_tpu.ops.flash_attention import flash_attention_int8 as fa8
+
+            return fa8(q, k, v, scale=scale)
+        from goal_force_tpu.ops.flash_attention import flash_attention as fa
+
+        return fa(q, k, v, scale=scale)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                   check_rep=False)
+    return fn(q, k, v)
 
 
 @functools.lru_cache(maxsize=1)

@@ -146,12 +146,22 @@ def _fa_kernel_dq(kv_len_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
+LOG2E = 1.4426950408889634
+
+
 def _fa_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-               *, scale, bk, bk_inner):
+               *, scale, bk, bk_inner, pipelined=True):
     """Two-level KV tiling: the grid walks bk-sized major tiles (DMA granularity); an
     unrolled inner loop processes bk_inner sub-tiles, letting the next sub-tile's MXU
     matmul overlap the previous one's VPU softmax — measured ~1.9x over single-level
-    (656 -> 347 ms at the Wan shape)."""
+    (656 -> 347 ms at the Wan shape).
+
+    VPU diet (the softmax is the bottleneck, not the MXU): (a) log2-domain online
+    softmax — log2(e) folds into the logit scale so exp2 replaces exp and saves one
+    VPU multiply per logit; (b) the padded-column mask (iota+compare+select, 3 VPU
+    ops/logit) only runs on inner sub-tiles that actually straddle kv_len — a
+    tile-level pl.when with a mask-free duplicate body covers the other 31/32 tiles
+    of the 32,768-padded Wan sequence."""
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -162,37 +172,60 @@ def _fa_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     kv_len = kv_len_ref[0]
+    scale2 = scale * LOG2E  # logits land in log2 domain: exp->exp2 everywhere below
 
     @pl.when(kv_idx * bk < kv_len)
     def _compute():
         q = q_ref[0]                       # (bq, H)
-        for j in range(bk // bk_inner):
-            start = j * bk_inner
-            k = k_ref[0, pl.ds(start, bk_inner), :]
-            s = jax.lax.dot_general(
+        n_inner = bk // bk_inner
+
+        def qk(j):
+            k = k_ref[0, pl.ds(j * bk_inner, bk_inner), :]
+            return jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale                       # (bq, bk_inner)
-            # NOTE: keep the mask straight-line. Branching it behind lax.cond (to skip
-            # the VPU passes on interior tiles) stalls Mosaic's pipeline (+70% measured).
-            col = kv_idx * bk + start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_len, s, MASK_VALUE)
+            ) * scale2                      # (bq, bk_inner)
 
-            m_prev = m_scr[...]            # (bq, LANES), lanes all equal
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=-1, keepdims=True)      # (bq, 1)
-            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-            alpha = jnp.exp(m_prev - m_next)                 # (bq, LANES)
-            p = jnp.exp(s - jnp.max(m_next, axis=-1, keepdims=True))
-            l_next = alpha * l_prev + jnp.broadcast_to(
-                jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
-            )
-            m_scr[...] = m_next
-            l_scr[...] = l_next
+        # Software pipelining: issue sub-tile j+1's QK^T BEFORE sub-tile j's softmax,
+        # so the MXU chews the next logits while the VPU exps the current ones. The
+        # in-order schedule otherwise serializes MXU and VPU and the kernel runs at
+        # their SUM (measured 464 ms ~= 223 MXU + 240 VPU at the Wan shape).
+        s = qk(0)
+        for j in range(n_inner):
+            s_next = qk(j + 1) if (pipelined and j + 1 < n_inner) else None
+            start = j * bk_inner
+            if not pipelined and j > 0:
+                s = qk(j)
 
-            v = v_ref[0, pl.ds(start, bk_inner), :]
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
+            def tile(masked, s=s, start=start):
+                if masked:
+                    col = (kv_idx * bk + start
+                           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+                    s = jnp.where(col < kv_len, s, MASK_VALUE)
+
+                m_prev = m_scr[...]        # (bq, LANES), lanes all equal
+                l_prev = l_scr[...]
+                m_curr = jnp.max(s, axis=-1, keepdims=True)      # (bq, 1)
+                m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+                alpha = jnp.exp2(m_prev - m_next)                # (bq, LANES)
+                p = jnp.exp2(s - jnp.max(m_next, axis=-1, keepdims=True))
+                l_next = alpha * l_prev + jnp.broadcast_to(
+                    jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+                )
+                m_scr[...] = m_next
+                l_scr[...] = l_next
+
+                v = v_ref[0, pl.ds(start, bk_inner), :]
+                acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                )
+
+            begin = kv_idx * bk + start
+            fully_valid = begin + bk_inner <= kv_len
+            straddles = (begin < kv_len) & ~fully_valid
+            pl.when(fully_valid)(lambda: tile(False))
+            pl.when(straddles)(lambda: tile(True))
+            # begin >= kv_len: sub-tile is entirely padding — skipped.
+            s = s_next
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -220,7 +253,8 @@ def _from_bn(x, b, n, s):
     return x[:, :s].reshape(b, n, s, x.shape[-1]).transpose(0, 2, 1, 3)
 
 
-def _fa_forward(q, k, v, scale, block_q, block_k, with_lse):
+def _fa_forward(q, k, v, scale, block_q, block_k, with_lse,
+                bk_inner_opt=None, pipelined=False):
     b, sq, n, h = q.shape
     skv = k.shape[1]
     if not with_lse:
@@ -234,8 +268,15 @@ def _fa_forward(q, k, v, scale, block_q, block_k, with_lse):
         grid = (b * n, sq_p // block_q, skv_p // block_k)
         idx_qp = lambda bn, iq, ik, _len, _n=n: (bn // _n, iq, bn % _n)
         idx_kp = lambda bn, iq, ik, _len, _n=n: (bn // _n, ik, bn % _n)
-        bk_inner = min(block_k, 1024)
-        kernel = functools.partial(_fa_kernel, scale=scale, bk=block_k, bk_inner=bk_inner)
+        # Swept on a v5e at (2, 32760, 40, 128) with in-program loop timing
+        # (scripts/sweep_attn.py, scripts/bench_attn_ceiling.py): bk=2048/inner=1024
+        # unpipelined is fastest at 350 ms / 63.8% MFU; manual software pipelining
+        # doesn't beat Mosaic's own scheduling and 1024-wide double-buffering
+        # overflows the 16 MB scoped VMEM. (The official jax.experimental pallas
+        # flash/splash kernels run 2.5-3.1 s at this shape.)
+        bk_inner = min(block_k, bk_inner_opt or 1024)
+        kernel = functools.partial(_fa_kernel, scale=scale, bk=block_k,
+                                   bk_inner=bk_inner, pipelined=pipelined)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((b, sq_p, n * h), q.dtype),

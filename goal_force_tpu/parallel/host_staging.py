@@ -23,36 +23,57 @@ def _memory_kind_supported(kind: str) -> bool:
 
 
 def stage_to_host(params: Dict) -> Dict:
-    """Move a param tree to pinned host memory (no-op fallback where unsupported)."""
+    """Move a param tree to pinned host memory, PRESERVING each leaf's sharding
+    layout (mesh-sharded leaves keep their per-chip partitioning, so the later
+    swap back to HBM is a pure host<->device DMA with no resharding collective).
+    Falls back to numpy device_get where pinned_host is unsupported."""
     if not _memory_kind_supported("pinned_host"):
         return jax.tree_util.tree_map(lambda a: jax.device_get(a), params)
-    sharding = jax.sharding.SingleDeviceSharding(
-        jax.devices()[0], memory_kind="pinned_host"
-    )
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), params)
+
+    def put(a):
+        try:
+            hs = a.sharding.with_memory_kind("pinned_host")
+        except Exception:
+            hs = jax.sharding.SingleDeviceSharding(
+                jax.devices()[0], memory_kind="pinned_host"
+            )
+        return jax.device_put(a, hs)
+
+    return jax.tree_util.tree_map(put, params)
 
 
 def stage_to_device(params: Dict, sharding: Optional[jax.sharding.Sharding] = None) -> Dict:
-    """Bring a host-staged tree (back) into device memory, optionally sharded."""
-    if sharding is None:
-        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), params)
+    """Bring a host-staged tree (back) into device memory. With no explicit
+    sharding, each leaf returns to its own layout with memory kind "device"
+    (numpy leaves from the fallback path go to the default device)."""
+    def put(a):
+        if sharding is not None:
+            return jax.device_put(a, sharding)
+        try:
+            return jax.device_put(a, a.sharding.with_memory_kind("device"))
+        except Exception:
+            return jax.device_put(a, jax.devices()[0])
+
+    return jax.tree_util.tree_map(put, params)
 
 
 class ExpertStager:
     """Keeps one expert resident, the other host-staged; swap() flips them.
 
     Usage in the denoise loop: at the boundary step call swap() once; the jitted step
-    function is reused as-is because both experts share the same pytree structure."""
+    function is reused as-is because both experts share the same pytree structure.
+    `device_place` overrides the single-sharding default with an arbitrary placement
+    function (e.g. per-leaf NamedShardings from inference_param_specs)."""
 
     def __init__(self, active: Dict, standby: Dict,
-                 device_sharding: Optional[jax.sharding.Sharding] = None):
-        self._sharding = device_sharding
-        self.active = stage_to_device(active, device_sharding)
+                 device_sharding: Optional[jax.sharding.Sharding] = None,
+                 device_place=None):
+        self._place = device_place or (lambda t: stage_to_device(t, device_sharding))
+        self.active = self._place(active)
         self.standby = stage_to_host(standby)
 
     def swap(self) -> Dict:
-        new_active = stage_to_device(self.standby, self._sharding)
+        new_active = self._place(self.standby)
         self.standby = stage_to_host(self.active)
         self.active = new_active
         return self.active

@@ -40,15 +40,34 @@ def _flatten_path(kp) -> str:
     return ".".join(parts)
 
 
-def inference_param_specs(params) -> dict:
-    """Tensor-parallel PartitionSpecs for DiT-shaped param trees."""
+def _divisible(spec: P, shape, mesh: Mesh) -> P:
+    """Drop a spec whose sharded dims don't divide by the mesh axis sizes (tiny test
+    configs; odd head counts)."""
+    for d, axes in enumerate(spec):
+        if axes is None:
+            continue
+        axes = axes if isinstance(axes, tuple) else (axes,)
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        if d >= len(shape) or shape[d] % n != 0:
+            return P()
+    return spec
+
+
+def inference_param_specs(params, mesh: Optional[Mesh] = None) -> dict:
+    """Tensor-parallel PartitionSpecs for DiT-shaped param trees. With `mesh`,
+    specs that don't divide the leaf shape fall back to replicated."""
     def spec(kp, leaf):
         path = _flatten_path(kp)
         # strip leading container names (dit/controlnet/...)
         for prefix in ("dit.", "dit2.", "controlnet.", "controlnet2."):
             if path.startswith(prefix):
                 path = path[len(prefix):]
-        return _dit_leaf_spec(path, leaf.ndim)
+        s = _dit_leaf_spec(path, leaf.ndim)
+        if mesh is not None:
+            s = _divisible(s, leaf.shape, mesh)
+        return s
 
     return jax.tree_util.tree_map_with_path(spec, params)
 

@@ -71,6 +71,9 @@ class GoalForcePipeline:
     tokenizer: object
     dtype: object = jnp.bfloat16
     attn_impl: str = "auto"
+    mesh: Optional[object] = None       # jax.sharding.Mesh; set via shard()
+    _stager: Optional[object] = dataclasses.field(default=None, repr=False)
+    _stager_low: bool = dataclasses.field(default=False, repr=False)
 
     # ------------------------------------------------------------------
     # Construction
@@ -194,6 +197,59 @@ class GoalForcePipeline:
             params["controlnet2"] = cnm.init_from_dit(ks[5], dit2, dit_cfg, cn_cfg, dtype)
         tok = load_tokenizer(tokenizer_path, t5_cfg.vocab, t5_cfg.text_len)
         return cls(dit_cfg, t5_cfg, vae_cfg, cn_cfg, pipe_cfg, params, tok, dtype)
+
+    # ------------------------------------------------------------------
+    # Sharding
+    # ------------------------------------------------------------------
+
+    def shard(self, mesh, host_stage_experts: bool = False) -> "GoalForcePipeline":
+        """Place params over `mesh` and make it ambient for every jitted stage.
+
+        DiT/ControlNet leaves get tensor-parallel NamedShardings (qkv/ffn-in column,
+        o/ffn-out row over "tp"); everything else is replicated; activations are
+        constrained inside the model ("sp" over tokens, heads over ("sp","tp") in
+        attention) — this is the GSPMD replacement for the reference's
+        initialize_usp/enable_usp monkeypatching
+        (/root/reference/src/goal_force/wan_video_new.py:455-480).
+
+        With host_stage_experts=True only the active expert (+its ControlNet) stays
+        in device memory; the standby pair sits in pinned host memory and is swapped
+        in exactly once when the denoise loop crosses the 0.875 boundary — the TPU
+        equivalent of the reference's per-phase offload dance
+        (wan_video_new.py:697-704, diffsynth/utils/__init__.py:94-114).
+        """
+        from goal_force_tpu.parallel import inference_param_specs, place
+        from goal_force_tpu.parallel.host_staging import ExpertStager
+
+        self.mesh = mesh
+        if host_stage_experts and "dit2" in self.params:
+            active = {"dit": self.params.pop("dit")}
+            standby = {"dit": self.params.pop("dit2")}
+            if "controlnet" in self.params:
+                active["controlnet"] = self.params.pop("controlnet")
+            if "controlnet2" in self.params:
+                standby["controlnet"] = self.params.pop("controlnet2")
+
+            def place_active(tree):
+                return place(tree, mesh, inference_param_specs(tree, mesh))
+
+            self._stager = ExpertStager(active, standby, device_place=place_active)
+            self._stager_low = False
+        self.params = place(self.params, mesh, inference_param_specs(self.params, mesh))
+        return self
+
+    def _expert(self, low_noise: bool):
+        """(dit_params, controlnet_params) for the requested expert, swapping the
+        host-staged pair at most once per boundary crossing."""
+        if self._stager is None:
+            if low_noise and "dit2" in self.params:
+                return self.params["dit2"], self.params.get("controlnet2")
+            return self.params["dit"], self.params.get("controlnet")
+        if low_noise != self._stager_low:
+            self._stager.swap()
+            self._stager_low = low_noise
+        a = self._stager.active
+        return a["dit"], a.get("controlnet")
 
     # ------------------------------------------------------------------
     # Stages (jitted, cached per shape)
@@ -398,7 +454,23 @@ class GoalForcePipeline:
     # Generation
     # ------------------------------------------------------------------
 
-    def __call__(
+    def __call__(self, *args, **kwargs) -> np.ndarray:
+        """Generate one clip (see _generate for the full signature). Runs with the
+        pipeline's mesh ambient so activation constraints become GSPMD hints."""
+        from goal_force_tpu.parallel import use_mesh
+
+        with use_mesh(self.mesh):
+            return self._generate(*args, **kwargs)
+
+    def generate_batch(self, *args, **kwargs) -> np.ndarray:
+        """Batched multi-clip generation (see _generate_batch); batch axis maps onto
+        the mesh "dp" axis."""
+        from goal_force_tpu.parallel import use_mesh
+
+        with use_mesh(self.mesh):
+            return self._generate_batch(*args, **kwargs)
+
+    def _generate(
         self,
         prompt: str,
         input_image: np.ndarray,              # (H, W, 3) float [0,1]
@@ -487,9 +559,8 @@ class GoalForcePipeline:
             it = tqdm.tqdm(it)
         for i in it:
             t_val = float(schedule.timesteps[i])
-            low_noise = t_val < switch_t and "dit2" in self.params
-            dit_p = self.params["dit2" if low_noise else "dit"]
-            cn_p = self.params.get("controlnet2" if low_noise else "controlnet") if use_cn else None
+            dit_p, cn_p = self._expert(low_noise=t_val < switch_t)
+            cn_p = cn_p if use_cn else None
             tstep = jnp.full((latents.shape[0],), t_val, self.dtype)
             sig, sig_n = schedule.sigmas[i], schedule.sigma_next(i)
 
@@ -528,7 +599,7 @@ class GoalForcePipeline:
         video = self._decode_vae(self.params["vae"], latents.astype(jnp.float32))
         return np.asarray((video[0] + 1.0) / 2.0, np.float32)
 
-    def generate_batch(
+    def _generate_batch(
         self,
         prompts,
         input_images,                       # (B, H, W, 3) float [0,1] or list
@@ -593,10 +664,8 @@ class GoalForcePipeline:
             it = tqdm.tqdm(it)
         for i in it:
             t_val = float(schedule.timesteps[i])
-            low_noise = t_val < switch_t and "dit2" in self.params
-            dit_p = self.params["dit2" if low_noise else "dit"]
-            cn_p = (self.params.get("controlnet2" if low_noise else "controlnet")
-                    if use_cn else None)
+            dit_p, cn_p = self._expert(low_noise=t_val < switch_t)
+            cn_p = cn_p if use_cn else None
             tstep = jnp.full((bsz,), t_val, self.dtype)
             latents = self._denoise_step(
                 dit_p, cn_p, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),

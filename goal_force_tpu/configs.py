@@ -147,6 +147,35 @@ class PipelineConfig:
         return self.latent_frames * (self.latent_height // 2) * (self.latent_width // 2)
 
 
+@dataclasses.dataclass(frozen=True)
+class FluxDiTConfig:
+    """Flux.1 MMDiT: double-stream (joint) blocks then single-stream blocks.
+
+    Mirrors /root/reference/diffsynth/models/flux_dit.py:278-292 (dim 3072, 24 heads,
+    19 joint + 38 single blocks, RoPE theta 10000 over axes_dim (16, 56, 56), T5
+    context 4096, CLIP pooled 768, sinusoidal freq 256, guidance embedder present
+    for Flux-dev).
+    """
+
+    dim: int = 3072
+    num_heads: int = 24
+    num_joint_blocks: int = 19
+    num_single_blocks: int = 38
+    in_dim: int = 64                  # 2x2-patchified 16-channel latents
+    out_dim: int = 64
+    text_dim: int = 4096              # T5-XXL hidden
+    pooled_dim: int = 768             # CLIP-L pooled
+    freq_dim: int = 256
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+    rope_theta: float = 10000.0
+    guidance_embed: bool = True       # Flux-dev; schnell disables it (:279)
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
 # ---------------------------------------------------------------------------
 # Presets
 # ---------------------------------------------------------------------------
@@ -159,6 +188,14 @@ WAN21_1_3B = WanDiTConfig(dim=1536, in_dim=16, ffn_dim=8960, num_heads=12, num_l
 
 UMT5_XXL = T5Config()
 WAN21_VAE = VAEConfig()
+
+FLUX_DEV = FluxDiTConfig()
+FLUX_SCHNELL = FluxDiTConfig(guidance_embed=False)
+
+# google/t5-v1_1-xxl used by Flux/SD3: same geometry as umt5-xxl but with a 32128-token
+# sentencepiece vocab and the relative position bias SHARED from layer 0
+# (/root/reference/diffsynth/models/sd3_text_encoder.py:40-60 T5Config d_ff=10240 ...).
+T5_V1_1_XXL = T5Config(vocab=32128, shared_pos=True)
 
 
 def tiny_dit(num_layers: int = 2) -> WanDiTConfig:

@@ -254,3 +254,43 @@ def t5_params_from_torch(sd: Mapping[str, Array], cfg: T5Config) -> Dict:
         "norm": {"w": sd["norm.weight"]},
         "blocks": _stack_blocks(blocks),
     }
+
+
+def t5_params_from_hf(sd: Mapping[str, Array], cfg: T5Config) -> Dict:
+    """HF T5EncoderModel state dict (google/t5-v1_1-xxl — the Flux/SD3 text encoder,
+    reference /root/reference/diffsynth/models/flux_text_encoder.py:7-21).
+    shared_pos models carry the relative bias only at encoder.block.0; the stacked
+    layer axis is padded with zeros for the other layers (t5_encode reads layer 0)."""
+    import numpy as np
+
+    def g(k):
+        return np.asarray(sd[k])
+
+    rel0 = g("encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight")
+
+    def t5_block(i):
+        p = f"encoder.block.{i}"
+        return {
+            "norm1": {"w": g(f"{p}.layer.0.layer_norm.weight")},
+            "norm2": {"w": g(f"{p}.layer.1.layer_norm.weight")},
+            "attn": {
+                "q": {"w": g(f"{p}.layer.0.SelfAttention.q.weight").T},
+                "k": {"w": g(f"{p}.layer.0.SelfAttention.k.weight").T},
+                "v": {"w": g(f"{p}.layer.0.SelfAttention.v.weight").T},
+                "o": {"w": g(f"{p}.layer.0.SelfAttention.o.weight").T},
+            },
+            "ffn": {
+                "gate": {"w": g(f"{p}.layer.1.DenseReluDense.wi_0.weight").T},
+                "fc1": {"w": g(f"{p}.layer.1.DenseReluDense.wi_1.weight").T},
+                "fc2": {"w": g(f"{p}.layer.1.DenseReluDense.wo.weight").T},
+            },
+            "pos_embedding": rel0 if i == 0 else np.zeros_like(rel0),
+        }
+
+    blocks = [t5_block(i) for i in range(cfg.num_layers)]
+    return {
+        "token_embedding": g("shared.weight") if "shared.weight" in sd
+        else g("encoder.embed_tokens.weight"),
+        "norm": {"w": g("encoder.final_layer_norm.weight")},
+        "blocks": _stack_blocks(blocks),
+    }

@@ -39,6 +39,30 @@ def sd_text_encode(params: Dict, input_ids: jnp.ndarray,
     return _ln(p["ln_final"], x, cfg.eps)
 
 
+def sd3_text1_encode(params: Dict, input_ids: jnp.ndarray,
+                     cfg: CLIPConfig = SD_TEXT_CONFIG,
+                     clip_skip: int = 2):
+    """SD3/Flux CLIP-L branch (reference sd3_text_encoder.py:11-23): the FULL tower
+    runs for the final-LN argmax-pooled embedding; hidden states are taken
+    `clip_skip` layers before the end (pre-LN). Returns (pooled (B, 768),
+    hidden (B, 77, 768))."""
+    p = params["text"]
+    x = p["tok_emb"][input_ids] + p["pos_emb"][:input_ids.shape[1]]
+
+    # hidden after encoder index len-clip_skip has run (reference :17-20), i.e.
+    # clip_skip-1 layers before the end
+    keep = cfg.text_layers - (clip_skip - 1)
+    head = jax.tree_util.tree_map(lambda a: a[:keep], p["blocks"])
+    tail = jax.tree_util.tree_map(lambda a: a[keep:], p["blocks"])
+    x = _tower(head, x, cfg.text_heads, cfg.hidden_act, cfg.eps, causal=True)
+    hidden = x
+    x = _tower(tail, x, cfg.text_heads, cfg.hidden_act, cfg.eps, causal=True)
+    x = _ln(p["ln_final"], x, cfg.eps)
+    idx = jnp.argmax(input_ids, axis=-1)
+    pooled = x[jnp.arange(x.shape[0]), idx]
+    return pooled, hidden
+
+
 def sd_text_params_from_torch(sd, cfg: CLIPConfig = SD_TEXT_CONFIG) -> Dict:
     """Convert the reference SDTextEncoder state dict (encoders.{i}.* naming,
     fused Attention module with to_q/to_k/to_v/to_out)."""

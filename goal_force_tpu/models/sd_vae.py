@@ -31,6 +31,10 @@ from goal_force_tpu.models.sd_unet import (
 
 SCALING_FACTOR = 0.18215
 SDXL_SCALING_FACTOR = 0.13025
+# 16-channel VAEs share the SD block plans; only the latent head differs
+# (no quant convs, conv_out 512->32, slice :16, shifted scaling).
+SD3_SCALING = (1.5305, 0.0609)   # (scaling, shift) — reference sd3_vae_encoder.py:11-12
+FLUX_SCALING = (0.3611, 0.1159)  # reference flux_vae.py:8-9
 
 # ("res", in, out) | ("vattn", ch) | ("downe", ch) | ("up", ch)
 SD_VAE_ENCODER_PLAN: Tuple[Tuple, ...] = (
@@ -104,6 +108,35 @@ def sd_vae_decode(params: Dict, latents: jnp.ndarray,
     return conv2d(params["conv_out"], x)
 
 
+def sd3_vae_encode(params: Dict, images: jnp.ndarray,
+                   scaling_shift: Tuple[float, float] = SD3_SCALING,
+                   plan: Sequence[Tuple] = SD_VAE_ENCODER_PLAN,
+                   groups: int = 32) -> jnp.ndarray:
+    """SD3/Flux 16-channel VAE encode (reference sd3_vae_encoder.py:52-73): same
+    block stack as SD, no quant_conv, conv_out emits 32 moment channels, keep the
+    16 means, then (x - shift) * scaling. Flux passes FLUX_SCALING
+    (reference flux_vae.py:5-13)."""
+    scaling, shift = scaling_shift
+    x = conv2d(params["conv_in"], images)
+    x = _run_plan(params, plan, x, groups)
+    x = jax.nn.silu(group_norm(params["conv_norm_out"], x, groups, eps=1e-6))
+    x = conv2d(params["conv_out"], x)
+    return (x[..., :16] - shift) * scaling
+
+
+def sd3_vae_decode(params: Dict, latents: jnp.ndarray,
+                   scaling_shift: Tuple[float, float] = SD3_SCALING,
+                   plan: Sequence[Tuple] = SD_VAE_DECODER_PLAN,
+                   groups: int = 32) -> jnp.ndarray:
+    """(B, h, w, 16) -> (B, 8h, 8w, 3) (reference sd3_vae_decoder.py:56-77:
+    z / scaling + shift, no post_quant_conv)."""
+    scaling, shift = scaling_shift
+    x = conv2d(params["conv_in"], latents / scaling + shift)
+    x = _run_plan(params, plan, x, groups)
+    x = jax.nn.silu(group_norm(params["conv_norm_out"], x, groups, eps=1e-5))
+    return conv2d(params["conv_out"], x)
+
+
 # ---------------------------------------------------------------------------
 # Converters
 # ---------------------------------------------------------------------------
@@ -157,6 +190,29 @@ def sd_vae_decoder_params_from_torch(sd, plan=SD_VAE_DECODER_PLAN) -> Dict:
 
     return {
         "post_quant_conv": _conv(sd, "post_quant_conv"),
+        "conv_in": _conv(sd, "conv_in"),
+        "blocks": _blocks_from_torch(sd, plan),
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+
+
+def sd3_vae_encoder_params_from_torch(sd, plan=SD_VAE_ENCODER_PLAN) -> Dict:
+    """SD3/Flux encoder state dict (same blocks.{i} naming, no quant_conv)."""
+    from goal_force_tpu.models.sd_unet import _conv, _norm
+
+    return {
+        "conv_in": _conv(sd, "conv_in"),
+        "blocks": _blocks_from_torch(sd, plan),
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+
+
+def sd3_vae_decoder_params_from_torch(sd, plan=SD_VAE_DECODER_PLAN) -> Dict:
+    from goal_force_tpu.models.sd_unet import _conv, _norm
+
+    return {
         "conv_in": _conv(sd, "conv_in"),
         "blocks": _blocks_from_torch(sd, plan),
         "conv_norm_out": _norm(sd, "conv_norm_out"),

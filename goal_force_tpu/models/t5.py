@@ -65,10 +65,13 @@ def t5_attention(p, x, bias, num_heads: int):
     return jnp.matmul(out, p["o"]["w"])
 
 
-def t5_block(p, x, mask_bias, buckets, num_heads: int):
-    """One encoder block (:113-144). mask_bias: (B,1,1,L) additive; buckets: (L,L) int32."""
-    pos_bias = p["pos_embedding"][buckets]          # (L, L, H)
-    pos_bias = jnp.transpose(pos_bias, (2, 0, 1))[None]  # (1, H, L, L)
+def t5_block(p, x, mask_bias, buckets, num_heads: int, pos_bias=None):
+    """One encoder block (:113-144). mask_bias: (B,1,1,L) additive; buckets: (L,L) int32.
+    pos_bias overrides the per-layer relative embedding (shared_pos models — plain T5
+    v1.1 shares layer 0's bias across all layers)."""
+    if pos_bias is None:
+        pos_bias = p["pos_embedding"][buckets]          # (L, L, H)
+        pos_bias = jnp.transpose(pos_bias, (2, 0, 1))[None]  # (1, H, L, L)
     h = t5_layer_norm(x, p["norm1"]["w"])
     x = x + t5_attention(p["attn"], h, pos_bias + mask_bias, num_heads)
     h = t5_layer_norm(x, p["norm2"]["w"])
@@ -89,8 +92,14 @@ def t5_encode(params, cfg: T5Config, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp
     neg = jnp.finfo(jnp.float32).min
     mask_bias = jnp.where(mask[:, None, None, :] == 0, neg, 0.0).astype(jnp.float32)
 
+    shared_bias = None
+    if cfg.shared_pos:
+        # plain T5 v1.1 (Flux/SD3 text encoder): layer 0's relative bias everywhere
+        pe = params["blocks"]["pos_embedding"][0]            # (buckets, H)
+        shared_bias = jnp.transpose(pe[buckets], (2, 0, 1))[None]
+
     def body(carry, p):
-        return t5_block(p, carry, mask_bias, buckets, cfg.num_heads), None
+        return t5_block(p, carry, mask_bias, buckets, cfg.num_heads, shared_bias), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return t5_layer_norm(x, params["norm"]["w"])

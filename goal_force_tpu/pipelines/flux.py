@@ -1,0 +1,262 @@
+"""Flux.1 text-to-image / image-to-image pipeline.
+
+Mirrors the reference FluxImagePipeline core path
+(/root/reference/diffsynth/pipelines/flux_image_new.py:434-560): CLIP-L pooled +
+T5-XXL sequence embeddings, flow-match Euler schedule (shift 3.0, sigma_min
+0.003/1.002 — the scheduler's defaults at
+/root/reference/diffsynth/schedulers/flow_match.py:7-31), embedded guidance
+(Flux-dev), optional true CFG as a merged batch, 16-channel SD3-architecture VAE.
+
+TPU-native shape: ONE jitted denoise step reused across all steps; scanned MMDiT
+blocks; NHWC; bf16 by default on TPU. The reference's extra units (Kontext,
+IP-Adapter, EliGen, InfiniteYou, ...) are adapters on this same denoise loop and
+are tracked separately.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu import configs
+from goal_force_tpu.configs import FluxDiTConfig, T5Config
+from goal_force_tpu.models import t5 as t5m
+from goal_force_tpu.models.clip import CLIPConfig
+from goal_force_tpu.models.flux_dit import flux_dit_forward, init_flux_dit
+from goal_force_tpu.models.sd_text_encoder import SD_TEXT_CONFIG, sd3_text1_encode
+from goal_force_tpu.models.sd_vae import (
+    FLUX_SCALING,
+    SD_VAE_DECODER_PLAN,
+    SD_VAE_ENCODER_PLAN,
+    sd3_vae_decode,
+    sd3_vae_encode,
+)
+from goal_force_tpu.schedulers import flow_match as fm
+
+FLUX_SIGMA_MIN = 0.003 / 1.002
+FLUX_SHIFT = 3.0
+
+
+def tiny_flux_configs():
+    """Mutually consistent tiny configs for Flux tests (axes_dim sums to head_dim)."""
+    dit_cfg = FluxDiTConfig(
+        dim=64, num_heads=4, num_joint_blocks=2, num_single_blocks=2,
+        text_dim=32, pooled_dim=48, freq_dim=32, axes_dim=(4, 6, 6),
+    )
+    t5_cfg = T5Config(vocab=128, dim=32, dim_attn=32, dim_ffn=64, num_heads=4,
+                      num_layers=2, shared_pos=True, text_len=16)
+    clip_cfg = dataclasses.replace(SD_TEXT_CONFIG, text_dim=48, text_heads=4,
+                                   text_layers=2)
+    return dit_cfg, t5_cfg, clip_cfg
+
+
+@dataclasses.dataclass
+class FluxPipeline:
+    dit: Dict
+    clip: Dict
+    t5: Dict
+    vae_encoder: Optional[Dict]
+    vae_decoder: Dict
+    dit_cfg: FluxDiTConfig
+    t5_cfg: T5Config
+    clip_cfg: CLIPConfig = SD_TEXT_CONFIG
+    vae_scaling: Tuple[float, float] = FLUX_SCALING
+    vae_enc_plan: Tuple = SD_VAE_ENCODER_PLAN
+    vae_dec_plan: Tuple = SD_VAE_DECODER_PLAN
+    vae_groups: int = 32
+    vae_factor: int = 8                        # spatial down/up factor of the plans
+    tokenize_clip: Optional[Callable] = None   # str -> (77,) ids
+    tokenize_t5: Optional[Callable] = None     # str -> (L,) ids
+    dtype: object = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def init_random(cls, key=None, dit_cfg=None, t5_cfg=None, clip_cfg=None,
+                    vae_plans=None, dtype=jnp.float32) -> "FluxPipeline":
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if dit_cfg is None:
+            dit_cfg, t5_cfg, clip_cfg = tiny_flux_configs()
+        ks = jax.random.split(key, 4)
+        enc_plan, dec_plan, groups = vae_plans or tiny_sd3_vae_plans()
+        enc, dec = _init_sd3_vae(ks[3], enc_plan, dec_plan, dtype)
+        return cls(
+            dit=init_flux_dit(ks[0], dit_cfg, dtype),
+            clip=init_clip_text(ks[1], clip_cfg, dtype),
+            t5=t5m.init_t5(ks[2], t5_cfg, dtype),
+            vae_encoder=enc,
+            vae_decoder=dec,
+            dit_cfg=dit_cfg, t5_cfg=t5_cfg, clip_cfg=clip_cfg,
+            vae_enc_plan=enc_plan, vae_dec_plan=dec_plan, vae_groups=groups,
+            vae_factor=2 ** sum(1 for b in enc_plan if b[0] == "downe"),
+            dtype=dtype,
+        )
+
+    # ------------------------------------------------------------------
+    # Jitted stages
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _encode_text(self):
+        t5_cfg, clip_cfg = self.t5_cfg, self.clip_cfg
+
+        @jax.jit
+        def fn(t5_params, clip_params, t5_ids, clip_ids):
+            emb = t5m.t5_encode(t5_params, t5_cfg, t5_ids,
+                                jnp.ones_like(t5_ids))
+            pooled, _ = sd3_text1_encode(clip_params, clip_ids, clip_cfg)
+            return emb, pooled
+
+        return fn
+
+    @functools.cached_property
+    def _denoise_step(self):
+        cfg = self.dit_cfg
+        attn_impl = self.attn_impl
+
+        @functools.partial(jax.jit, static_argnames=("use_cfg",), donate_argnums=(1,))
+        def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
+               guidance, cfg_scale, use_cfg):
+            b = latents.shape[0]
+            if use_cfg:
+                x = jnp.concatenate([latents, latents], axis=0)
+                t = jnp.concatenate([timestep, timestep], axis=0)
+                g = jnp.concatenate([guidance, guidance], axis=0)
+                v = flux_dit_forward(dit, cfg, x, t, prompt_emb, pooled, g,
+                                     attn_impl=attn_impl)
+                v = v[b:] + cfg_scale * (v[:b] - v[b:])
+            else:
+                v = flux_dit_forward(dit, cfg, latents, timestep,
+                                     prompt_emb[:b], pooled[:b], guidance,
+                                     attn_impl=attn_impl)
+            return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
+
+        return fn
+
+    @functools.cached_property
+    def _decode(self):
+        return jax.jit(lambda p, z: sd3_vae_decode(
+            p, z, self.vae_scaling, self.vae_dec_plan, self.vae_groups))
+
+    @functools.cached_property
+    def _encode(self):
+        return jax.jit(lambda p, x: sd3_vae_encode(
+            p, x, self.vae_scaling, self.vae_enc_plan, self.vae_groups))
+
+    # ------------------------------------------------------------------
+
+    def _ids(self, prompts):
+        clip_ids = np.stack([
+            np.asarray(self.tokenize_clip(p)) if self.tokenize_clip
+            else _hash_ids(p, self.clip_cfg.vocab_size, 77) for p in prompts])
+        t5_ids = np.stack([
+            np.asarray(self.tokenize_t5(p)) if self.tokenize_t5
+            else _hash_ids(p, self.t5_cfg.vocab, self.t5_cfg.text_len)
+            for p in prompts])
+        return jnp.asarray(clip_ids, jnp.int32), jnp.asarray(t5_ids, jnp.int32)
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        cfg_scale: float = 1.0,
+        embedded_guidance: float = 3.5,
+        input_image: Optional[np.ndarray] = None,   # (H, W, 3) float [0,1]
+        denoising_strength: float = 1.0,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 30,
+        sigma_shift: Optional[float] = None,
+        seed: int = 0,
+        progress: bool = False,
+    ) -> np.ndarray:
+        """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560)."""
+        schedule = fm.make_schedule(
+            num_steps=num_inference_steps,
+            shift=FLUX_SHIFT if sigma_shift is None else sigma_shift,
+            sigma_min=FLUX_SIGMA_MIN, extra_one_step=False,
+            denoising_strength=denoising_strength,
+        )
+        use_cfg = cfg_scale != 1.0
+        prompts = [prompt, negative_prompt] if use_cfg else [prompt]
+        clip_ids, t5_ids = self._ids(prompts)
+        prompt_emb, pooled = self._encode_text(self.t5, self.clip, t5_ids, clip_ids)
+        prompt_emb = prompt_emb.astype(self.dtype)
+        pooled = pooled.astype(self.dtype)
+
+        h, w = height // self.vae_factor, width // self.vae_factor
+        latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 16),
+                                    jnp.float32).astype(self.dtype)
+        if input_image is not None:
+            img = jnp.asarray(input_image, jnp.float32)[None] * 2.0 - 1.0
+            z = self._encode(self.vae_encoder, img).astype(self.dtype)
+            latents = fm.add_noise(z, latents, schedule.sigmas[0])
+
+        guidance = jnp.full((1,), embedded_guidance, self.dtype)
+        it = range(len(schedule))
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(it)
+        for i in it:
+            tstep = jnp.full((1,), float(schedule.timesteps[i]), self.dtype)
+            latents = self._denoise_step(
+                self.dit, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
+                prompt_emb, pooled, guidance, cfg_scale, use_cfg,
+            )
+        img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
+        return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)
+
+
+def _hash_ids(text: str, vocab: int, length: int) -> np.ndarray:
+    """Deterministic fallback ids (zero-egress test environments)."""
+    import hashlib
+
+    h = hashlib.sha256(text.encode()).digest()
+    rng = np.random.default_rng(np.frombuffer(h[:8], np.uint64)[0])
+    n = min(length, max(1, len(text.split())))
+    ids = np.zeros((length,), np.int64)
+    ids[:n] = rng.integers(2, vocab, (n,))
+    return ids
+
+
+def init_clip_text(key, cfg: CLIPConfig, dtype):
+    from goal_force_tpu.models.clip import init_clip
+
+    return {"text": init_clip(key, cfg, dtype)["text"]}
+
+
+def tiny_sd3_vae_plans():
+    """Small SD3-architecture VAE plans for tests (structure preserved)."""
+    enc = (("res", 8, 8), ("downe", 8), ("res", 8, 16),
+           ("res", 16, 16), ("vattn", 16), ("res", 16, 16))
+    dec = (("res", 16, 16), ("vattn", 16), ("res", 16, 16),
+           ("res", 16, 8), ("up", 8), ("res", 8, 8))
+    return enc, dec, 4
+
+
+def _init_sd3_vae(key, enc_plan, dec_plan, dtype):
+    """Random SD3/Flux-head VAE params: no quant convs, encoder emits 32 moment
+    channels, 16-channel decoder input."""
+    from goal_force_tpu.pipelines.sd import _init_vae
+
+    ks = jax.random.split(key, 3)
+    enc = _init_vae(ks[0], enc_plan, 3, 8, enc_plan[0][1], enc_plan[-1][-1],
+                    True, dtype)
+    enc.pop("quant_conv")
+    last = enc_plan[-1][-1]
+    enc["conv_out"] = {
+        "w": jax.random.normal(ks[2], (3, 3, last, 32), dtype) * 0.02,
+        "b": jnp.zeros((32,), dtype),
+    }
+    dec = _init_vae(ks[1], dec_plan, 16, 3, dec_plan[0][1], dec_plan[-1][-1],
+                    False, dtype)
+    dec.pop("post_quant_conv")
+    return enc, dec

@@ -1,6 +1,6 @@
 """Driver benchmark: denoise-step throughput for the goal-force denoiser on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...diagnostics}.
 
 What it measures: wall-clock of the jitted denoiser forward (DiT blocks + ControlNet
 side-stack + embeds/head) at the REAL Wan2.2-A14B layer geometry — dim 5120, 40 heads,
@@ -8,7 +8,13 @@ head_dim 128, ffn 13824, batch 2 (merged CFG), 32,760 tokens (81f x 832x480), bf
 flash attention — at reduced depth (the full 40+10 blocks don't fit one 16 GB v5e chip),
 then extrapolates linearly in block count to the full 40 DiT + 10 ControlNet stack to
 report denoise steps/sec/chip. Depth extrapolation is sound because blocks are homogeneous
-and scanned; the measured slope includes all per-block HBM traffic.
+and scanned; the measured slope includes all per-block HBM traffic. The ControlNet stack
+is additionally measured at its REAL count (10 blocks, incl. the per-block zero-conv
+injection) so its cost is measured, not assumed equal to a DiT block.
+
+Timing: a host-materialized scalar per rep is the completion barrier (the axon
+runtime serves identical dispatches from a cache, so the timestep varies per rep);
+per-call tunnel noise (~0.1 s) is small against the multi-second steps measured.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the denominator is an
 analytic A100 model of the same computation: FLOPs / (312 TFLOP/s * 40% MFU) — a generous
@@ -22,7 +28,6 @@ import time
 import jax
 import jax.numpy as jnp
 
-
 def main():
     from goal_force_tpu.configs import ControlNetConfig, WanDiTConfig
     from goal_force_tpu.models import controlnet as cnm
@@ -32,25 +37,29 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     attn_impl = "pallas" if on_tpu else "xla"
 
-    # Real A14B block geometry; depth reduced to fit one chip.
     full_layers, full_cn_layers = 40, 10
     if on_tpu:
-        depths = [4, 8]  # 5 and 9 measured blocks: cleaner slope (fits since the scan-slice fix)
-        b, f, hh, ww = 2, 21, 60, 104          # real 32,760-token clip, merged CFG
+        depth_points = [(2, 1), (4, 1), (6, 1)]   # dit-depth series, 1 cn block
+        # 5-block cn slope: (4,10) OOMs one chip (14 resident blocks + 10 collected
+        # side-stack states); the per-block cost is linear in the scanned stack.
+        cn_points = [(2, 1), (2, 5)]
+        b, f, hh, ww = 2, 21, 60, 104             # real 32,760-token clip, merged CFG
         text_len = 512
         dim, heads, ffn = 5120, 40, 13824
+        peak_tflops = 197e12
     else:  # smoke mode for CPU dev runs
-        depths = [1, 2]
+        depth_points = [(1, 1), (2, 1)]
+        cn_points = [(1, 1), (1, 2)]
         b, f, hh, ww = 2, 3, 12, 16
         text_len = 32
         dim, heads, ffn = 512, 4, 1024
+        peak_tflops = 1e12
 
-    times = {}
-    for depth in depths:
+    def measure(depth, cn_layers):
         dit_cfg = WanDiTConfig(dim=dim, in_dim=36, ffn_dim=ffn, out_dim=16,
                                text_dim=4096, freq_dim=256, num_heads=heads,
                                num_layers=depth)
-        cn_cfg = ControlNetConfig(num_layers=1, in_channels=16)
+        cn_cfg = ControlNetConfig(num_layers=cn_layers, in_channels=16)
         key = jax.random.PRNGKey(0)
         dit = wan_dit.init_wan_dit(key, dit_cfg, jnp.bfloat16)
         cn = cnm.init_from_dit(key, dit, dit_cfg, cn_cfg, jnp.bfloat16)
@@ -60,32 +69,53 @@ def main():
         ctx = jax.random.normal(key, (b, text_len, 4096), jnp.bfloat16)
         t = jnp.full((b,), 900.0, jnp.bfloat16)
 
-        # .mean() folded into the jit: a host-materialized scalar per rep is the only
-        # reliable completion barrier on the axon runtime (block_until_ready can return
-        # early, and identical dispatches are served from a cache).
+        # params/conditioning MUST be jit arguments: as closure constants they are
+        # baked into the HLO (2.65 GB) and the AOT compile helper has to ship it.
         fn = jax.jit(lambda d, c, x, ts, cx, yy, cc: denoise_forward(
-            d, dit_cfg, x, ts, cx, y=yy, controlnet_params=c, controlnet_cfg=cn_cfg,
-            control_latents=cc, attn_impl=attn_impl).astype(jnp.float32).mean())
-        float(fn(dit, cn, latents, t, ctx, y, cl))  # warm
-        reps = 3
+            d, dit_cfg, x, ts, cx, y=yy, controlnet_params=c,
+            controlnet_cfg=cn_cfg, control_latents=cc,
+            attn_impl=attn_impl).astype(jnp.float32).mean())
+
+        float(fn(dit, cn, latents, t, ctx, y, cl))  # warm/compile
+        reps = 2
         t0 = time.perf_counter()
         for i in range(reps):
-            float(fn(dit, cn, latents, t + i, ctx, y, cl))
-        times[depth] = (time.perf_counter() - t0) / reps
-        del dit, cn, fn
+            float(fn(dit, cn, latents, t + 1 + i, ctx, y, cl))
+        return (time.perf_counter() - t0) / reps
 
-    d0, d1 = depths
-    # blocks measured = dit depth + 1 controlnet block
-    per_block = (times[d1] - times[d0]) / (d1 - d0)
-    overhead = times[d0] - per_block * (d0 + 1)
-    step_time = overhead + per_block * (full_layers + full_cn_layers)
+    import sys
+
+    times = {}
+    for pt in dict.fromkeys(depth_points + cn_points):
+        times[pt] = measure(*pt)
+        print(f"measured {pt}: {times[pt]*1e3:.0f} ms", file=sys.stderr, flush=True)
+
+    # DiT-block slope from the 3-point depth series (least squares); each point has
+    # depth dit blocks + 1 cn block.
+    import numpy as np
+
+    ds = np.array([d for d, _ in depth_points], np.float64)
+    ts = np.array([times[pt] for pt in depth_points], np.float64)
+    per_block, overhead_plus_cn = np.polyfit(ds, ts, 1)
+    resid = float(np.max(np.abs(np.polyval([per_block, overhead_plus_cn], ds) - ts)))
+    overhead = overhead_plus_cn - per_block  # remove the single cn block
+
+    # Real ControlNet cost per block, measured (includes injections).
+    (d0, c0), (d1, c1) = cn_points
+    per_cn_block = (times[(d1, c1)] - times[(d0, c0)]) / (c1 - c0)
+
+    step_time = overhead + per_block * full_layers + per_cn_block * full_cn_layers
     steps_per_sec = 1.0 / step_time
 
-    # Analytic A100 baseline for the same computation (see module docstring).
+    # Analytic FLOPs of the full 40+10 stack (qkvo + ffn + self/cross attention).
+    # qkvo: 4 matmuls x 2*dim^2; ffn: 2 x 2*dim*ffn; attn: 4*s*dim self + 4*L*dim
+    # cross. (Round 1 double-counted qkvo at 16*dim^2, inflating vs_baseline to
+    # 1.29; this corrected accounting supersedes it.)
     s_tokens = f * (hh // 2) * (ww // 2)
-    flops_per_block = s_tokens * (16 * dim * dim + 4 * dim * ffn + 4 * s_tokens * dim
+    flops_per_block = s_tokens * (8 * dim * dim + 4 * dim * ffn + 4 * s_tokens * dim
                                   + 4 * text_len * dim) * b
     total_flops = flops_per_block * (full_layers + full_cn_layers)
+    mfu = total_flops / step_time / peak_tflops
     a100_time = total_flops / (312e12 * 0.40)
     vs_baseline = a100_time / step_time
 
@@ -95,6 +125,12 @@ def main():
         "value": round(steps_per_sec, 5),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 3),
+        "mfu": round(mfu, 4),
+        "per_block_ms": round(per_block * 1e3, 2),
+        "per_cn_block_ms": round(per_cn_block * 1e3, 2),
+        "overhead_ms": round(overhead * 1e3, 2),
+        "fit_residual_ms": round(resid * 1e3, 2),
+        "depth_points_ms": {str(k): round(v * 1e3, 1) for k, v in times.items()},
     }))
 
 

@@ -1,0 +1,143 @@
+"""ControlNet annotators + multi-controlnet manager.
+
+Parity targets:
+  - Annotator (/root/reference/diffsynth/controlnets/processors.py:8-62): dispatch
+    over processor ids canny/depth/softedge/lineart/lineart_anime/openpose/normal/
+    tile/none/inpaint. The reference wraps controlnet_aux's PRETRAINED detectors
+    (MiDaS, HED, ...); those require external model weights, so here the
+    model-based ids accept a user-supplied `processor` callable (e.g. a
+    controlnet_aux detector where installed) and otherwise fall back to cheap
+    classical host-side approximations — documented per id — while canny and the
+    pass-through ids (tile/none/inpaint) are exact.
+  - ControlNetUnit / MultiControlNetManager
+    (/root/reference/diffsynth/controlnets/controlnet_unit.py:14-65): each unit is
+    (annotator, model params + apply fn, scale); the manager processes the image
+    per unit and SUMS the scaled residual lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+PROCESSOR_IDS = ("canny", "depth", "softedge", "lineart", "lineart_anime",
+                 "openpose", "normal", "tile", "none", "inpaint")
+
+
+def _to_gray(image: np.ndarray) -> np.ndarray:
+    return (0.299 * image[..., 0] + 0.587 * image[..., 1]
+            + 0.114 * image[..., 2])
+
+
+def _sobel(gray: np.ndarray):
+    gx = np.zeros_like(gray)
+    gy = np.zeros_like(gray)
+    gx[:, 1:-1] = gray[:, 2:] - gray[:, :-2]
+    gy[1:-1, :] = gray[2:, :] - gray[:-2, :]
+    return gx, gy
+
+
+class Annotator:
+    """(H, W, 3) uint8/float image -> (H, W, 3) float [0, 1] control map."""
+
+    def __init__(self, processor_id: str,
+                 processor: Optional[Callable] = None,
+                 low: int = 100, high: int = 200):
+        if processor_id not in PROCESSOR_IDS:
+            raise ValueError(f"Unsupported processor_id: {processor_id}")
+        self.processor_id = processor_id
+        self.processor = processor
+        self.low, self.high = low, high
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if self.processor is not None:
+            out = np.asarray(self.processor(img), np.float32)
+            if out.max() > 1.5:
+                out = out / 255.0
+            if out.ndim == 2:
+                out = np.repeat(out[..., None], 3, -1)
+            return out
+        fn = getattr(self, f"_{self.processor_id}")
+        return fn(img)
+
+    # exact ids -------------------------------------------------------------
+    def _canny(self, img):
+        import cv2
+
+        edges = cv2.Canny(img, self.low, self.high)
+        return np.repeat((edges[..., None] / 255.0).astype(np.float32), 3, -1)
+
+    def _tile(self, img):
+        return img.astype(np.float32) / 255.0
+
+    _none = _tile
+    _inpaint = _tile
+
+    # classical approximations (the reference needs downloaded detector
+    # weights for these; supply `processor=` for exact parity) ---------------
+    def _softedge(self, img):
+        gray = _to_gray(img.astype(np.float32) / 255.0)
+        gx, gy = _sobel(gray)
+        mag = np.sqrt(gx * gx + gy * gy)
+        mag = mag / max(mag.max(), 1e-6)
+        return np.repeat(mag[..., None].astype(np.float32), 3, -1)
+
+    def _lineart(self, img):
+        return 1.0 - self._softedge(img)
+
+    _lineart_anime = _lineart
+
+    def _depth(self, img):
+        # luminance-as-depth proxy, smoothed
+        import cv2
+
+        gray = _to_gray(img.astype(np.float32) / 255.0)
+        d = cv2.GaussianBlur(gray, (0, 0), 3)
+        d = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+        return np.repeat(d[..., None].astype(np.float32), 3, -1)
+
+    def _normal(self, img):
+        gray = _to_gray(img.astype(np.float32) / 255.0)
+        gx, gy = _sobel(gray)
+        n = np.stack([-gx, -gy, np.ones_like(gray)], axis=-1)
+        n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+        return ((n + 1.0) / 2.0).astype(np.float32)
+
+    def _openpose(self, img):
+        raise NotImplementedError(
+            "openpose needs a pose-detector; pass Annotator('openpose', "
+            "processor=<controlnet_aux OpenposeDetector>)")
+
+
+@dataclasses.dataclass
+class ControlNetUnit:
+    annotator: Annotator
+    params: Dict
+    apply_fn: Callable           # (params, sample, t, text_emb, cond, **kw) -> [res]
+    scale: float = 1.0
+
+
+class MultiControlNetManager:
+    """Processes the condition image per unit and sums scaled residual lists
+    (reference controlnet_unit.py:21-65)."""
+
+    def __init__(self, units: Sequence[ControlNetUnit] = ()):
+        self.units = list(units)
+
+    def process_image(self, image: np.ndarray) -> List[np.ndarray]:
+        return [u.annotator(image) for u in self.units]
+
+    def __call__(self, sample, timestep, text_emb, conditionings,
+                 **kwargs) -> Optional[List]:
+        res = None
+        for unit, cond in zip(self.units, conditionings):
+            r = unit.apply_fn(unit.params, sample, timestep, text_emb, cond,
+                              **kwargs)
+            r = [x * unit.scale for x in r]
+            res = r if res is None else [a + b for a, b in zip(res, r)]
+        return res

@@ -217,3 +217,78 @@ def sdxl_text_params_from_torch(sd, cfg: CLIPConfig = SDXL_TEXT_CONFIG,
                             "bias": sd["final_layer_norm.bias"]}
         out["text_proj"] = sd["text_projection.weight"].T
     return out
+
+
+# ---------------------------------------------------------------------------
+# SDXL civitai (bundled-checkpoint) converters: encoder 1 lives at
+# `conditioner.embedders.0.transformer.text_model.*` (HF CLIP naming), encoder 2
+# at `conditioner.embedders.1.model.*` (OpenCLIP naming: fused in_proj, ln_1/2,
+# mlp.c_fc/c_proj). The reference ships literal rename tables
+# (sdxl_text_encoder.py:125+ and :353-755); these are the algorithmic versions.
+# ---------------------------------------------------------------------------
+
+
+def sdxl_text_params_from_civitai(sd, cfg: CLIPConfig = SDXL_TEXT_CONFIG) -> Dict:
+    """Encoder 1: CLIP ViT-L truncated to 11 layers, no final LN used."""
+    pre = "conditioner.embedders.0.transformer.text_model."
+    g = lambda k: np.asarray(sd[pre + k])
+
+    def block(i):
+        b = lambda k: np.asarray(sd[f"{pre}encoder.layers.{i}.{k}"])
+        return {
+            "ln1": {"scale": b("layer_norm1.weight"), "bias": b("layer_norm1.bias")},
+            "ln2": {"scale": b("layer_norm2.weight"), "bias": b("layer_norm2.bias")},
+            "attn": {
+                "q_w": b("self_attn.q_proj.weight").T, "q_b": b("self_attn.q_proj.bias"),
+                "k_w": b("self_attn.k_proj.weight").T, "k_b": b("self_attn.k_proj.bias"),
+                "v_w": b("self_attn.v_proj.weight").T, "v_b": b("self_attn.v_proj.bias"),
+                "o_w": b("self_attn.out_proj.weight").T, "o_b": b("self_attn.out_proj.bias"),
+            },
+            "fc1_w": b("mlp.fc1.weight").T, "fc1_b": b("mlp.fc1.bias"),
+            "fc2_w": b("mlp.fc2.weight").T, "fc2_b": b("mlp.fc2.bias"),
+        }
+
+    return {"text": {
+        "tok_emb": g("embeddings.token_embedding.weight"),
+        "pos_emb": g("embeddings.position_embedding.weight"),
+        "blocks": jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs),
+            *[block(i) for i in range(cfg.text_layers)]),
+    }}
+
+
+def sdxl_text2_params_from_civitai(sd, cfg: CLIPConfig = SDXL_TEXT2_CONFIG) -> Dict:
+    """Encoder 2: OpenCLIP bigG — split the fused in_proj qkv; text_projection is
+    stored transposed relative to a Linear weight (reference :743-752), which
+    cancels against our (in, out) layout: use it as-is."""
+    pre = "conditioner.embedders.1.model."
+    g = lambda k: np.asarray(sd[pre + k])
+
+    def block(i):
+        b = lambda k: np.asarray(sd[f"{pre}transformer.resblocks.{i}.{k}"])
+        wq, wk, wv = np.split(b("attn.in_proj_weight"), 3, axis=0)
+        bq, bk, bv = np.split(b("attn.in_proj_bias"), 3, axis=0)
+        return {
+            "ln1": {"scale": b("ln_1.weight"), "bias": b("ln_1.bias")},
+            "ln2": {"scale": b("ln_2.weight"), "bias": b("ln_2.bias")},
+            "attn": {
+                "q_w": wq.T, "q_b": bq,
+                "k_w": wk.T, "k_b": bk,
+                "v_w": wv.T, "v_b": bv,
+                "o_w": b("attn.out_proj.weight").T, "o_b": b("attn.out_proj.bias"),
+            },
+            "fc1_w": b("mlp.c_fc.weight").T, "fc1_b": b("mlp.c_fc.bias"),
+            "fc2_w": b("mlp.c_proj.weight").T, "fc2_b": b("mlp.c_proj.bias"),
+        }
+
+    return {
+        "text": {
+            "tok_emb": g("token_embedding.weight"),
+            "pos_emb": g("positional_embedding"),
+            "blocks": jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs),
+                *[block(i) for i in range(cfg.text_layers)]),
+            "ln_final": {"scale": g("ln_final.weight"), "bias": g("ln_final.bias")},
+        },
+        "text_proj": g("text_projection"),
+    }

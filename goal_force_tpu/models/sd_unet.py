@@ -22,7 +22,7 @@ files load here through the same path.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -150,12 +150,13 @@ def _transformer_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
     return x + (y @ p["ff_w"] + p["ff_b"])
 
 
-def _resnet(p: Dict, x: jnp.ndarray, temb, groups: int = 32) -> jnp.ndarray:
-    h = jax.nn.silu(group_norm(p["norm1"], x, groups))
+def _resnet(p: Dict, x: jnp.ndarray, temb, groups: int = 32,
+            eps: float = 1e-5) -> jnp.ndarray:
+    h = jax.nn.silu(group_norm(p["norm1"], x, groups, eps=eps))
     h = conv2d(p["conv1"], h)
     if temb is not None:
         h = h + (jax.nn.silu(temb) @ p["temb_w"] + p["temb_b"])[:, None, None, :]
-    h = jax.nn.silu(group_norm(p["norm2"], h, groups))
+    h = jax.nn.silu(group_norm(p["norm2"], h, groups, eps=eps))
     h = conv2d(p["conv2"], h)
     if "shortcut" in p:
         x = conv2d(p["shortcut"], x)
@@ -176,10 +177,20 @@ def _attn_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray, num_heads: int,
 
 def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
                   timestep: jnp.ndarray, text_emb: jnp.ndarray,
-                  groups: int = 32) -> jnp.ndarray:
+                  groups: int = 32,
+                  controlnet_res: Optional[List[jnp.ndarray]] = None,
+                  motion: Optional[Dict] = None,
+                  video_batch: int = 1) -> jnp.ndarray:
     """sample (B, H, W, 4) NHWC latents + (B,) timestep + (B, 77, ctx) text
     embeddings -> predicted noise (B, H, W, 4)
-    (reference: sd_unet.py:325-345 SDUNet.forward)."""
+    (reference: sd_unet.py:325-345 SDUNet.forward).
+
+    controlnet_res: zero-conv residuals from sd_controlnet_apply, injected at the
+    end of the down+mid phase — hidden += res[-1], remaining stack entries +=
+    res[:-1] (reference dancer.py:102-107).
+    motion: AnimateDiff temporal modules {"modules": [...], "call": {plan_idx:
+    module_idx}} applied after the mapped plan entries (dancer.py:93-100);
+    video_batch groups the leading axis as (video_batch, frames)."""
     temb = timestep_embedding(timestep, params["conv_in"]["w"].shape[-1])
     temb = jax.nn.silu(temb.astype(sample.dtype) @ params["time_w1"]
                        + params["time_b1"])
@@ -187,8 +198,15 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
 
     x = conv2d(params["conv_in"], sample)
     stack: List[jnp.ndarray] = [x]
-    for spec, p in zip(plan, params["blocks"]):
+    cn_applied = controlnet_res is None
+    for i, (spec, p) in enumerate(zip(plan, params["blocks"])):
         kind = spec[0]
+        if kind == "pop" and not cn_applied:
+            x = x + controlnet_res[-1].astype(x.dtype)
+            stack = [s + r.astype(s.dtype)
+                     for s, r in zip(stack, controlnet_res[:-1])] \
+                + stack[len(controlnet_res) - 1:]
+            cn_applied = True
         if kind == "res":
             x = _resnet(p, x, temb, groups)
         elif kind == "attn":
@@ -206,6 +224,11 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
             x = conv2d(p["conv"], x)
         else:
             raise ValueError(spec)
+        if motion is not None and i in motion["call"]:
+            from goal_force_tpu.models.sd_motion import temporal_block_apply
+
+            x = temporal_block_apply(motion["modules"][motion["call"][i]], x,
+                                     groups=groups, video_batch=video_batch)
     x = jax.nn.silu(group_norm(params["conv_norm_out"], x, groups))
     return conv2d(params["conv_out"], x)
 

@@ -1,0 +1,463 @@
+"""HunyuanVideo MMDiT as pure functions over a param pytree.
+
+Architecture parity with /root/reference/diffsynth/models/hunyuan_video_dit.py:
+HunyuanVideoRope (:10-195 — 3-axis rope over (T, H/2, W/2) ids with theta=256 and
+dims (16, 56, 56)), SingleTokenRefiner (:242-273 — llama-embedding refiner with a
+mask-aware mean conditioning vector), MMDoubleStreamBlock (:403-475),
+MMSingleStreamBlock (:518-571), FinalLayer (:573-586), HunyuanVideoDiT.forward
+(:631-676).
+
+Faithfully reproduced quirk: attention is NOT fully joint — the reference splits
+the sequence at `split_token` (71) text tokens and runs TWO block-diagonal
+attentions: [image + txt[:71]] and [txt[71:]] (:462-475, :537-570). The text
+length after the refiner is fixed at 256 (:669-672).
+
+TPU-first: the 20 double and 40 single blocks are stacked and scanned; the rope
+tables are host-built f32 (S, head_dim/2) cos/sin applied with ops/rope.apply_rope
+(the reference's repeat_interleave(2) tables are the pair-expanded form of the
+same angles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.wan_dit import gelu_tanh, layer_norm, linear, rms_norm
+from goal_force_tpu.ops.attention import attention
+from goal_force_tpu.ops.rope import apply_rope
+from goal_force_tpu.parallel.mesh import constrain
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanVideoDiTConfig:
+    """Defaults mirror HunyuanVideoDiT.__init__ (:589-614)."""
+
+    dim: int = 3072
+    num_heads: int = 24
+    num_double_blocks: int = 20
+    num_single_blocks: int = 40
+    in_channels: int = 16
+    text_dim: int = 4096
+    pooled_dim: int = 768
+    guidance_embed: bool = True
+    freq_dim: int = 256
+    rope_dims: Tuple[int, ...] = (16, 56, 56)
+    rope_theta: float = 256.0
+    txt_len: int = 256
+    split_token: int = 71
+    refiner_depth: int = 2
+    patch: Tuple[int, int, int] = (1, 2, 2)
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+@lru_cache(maxsize=8)
+def hunyuan_rope_tables(t: int, gh: int, gw: int, rope_dims: Tuple[int, ...],
+                        theta: float):
+    """(S, head_dim//2) cos/sin over the (t, h, w) grid, row-major
+    (reference get_nd_rotary_pos_embed :118-189 with use_real=True)."""
+    grids = np.meshgrid(np.arange(t), np.arange(gh), np.arange(gw), indexing="ij")
+    parts_cos, parts_sin = [], []
+    for i, d in enumerate(rope_dims):
+        freqs = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+        ang = np.outer(grids[i].reshape(-1).astype(np.float64), freqs)
+        parts_cos.append(np.cos(ang))
+        parts_sin.append(np.sin(ang))
+    return (np.concatenate(parts_cos, -1).astype(np.float32),
+            np.concatenate(parts_sin, -1).astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Token refiner (text input)
+# ---------------------------------------------------------------------------
+
+def _mlp(p, x, act=jax.nn.silu):
+    h = linear(p["fc0"], x)
+    return linear(p["fc2"], act(h.astype(jnp.float32)).astype(h.dtype))
+
+
+def token_refiner(params, cfg: HunyuanVideoDiTConfig, text_emb, timestep, mask):
+    """SingleTokenRefiner.forward (:254-273). text_emb: (B, L, text_dim);
+    mask: (B, L) 1/0. Returns (B, L, dim)."""
+    from goal_force_tpu.models.sd_unet import timestep_embedding
+
+    dtype = params["input_emb"]["w"].dtype
+    t_vec = _mlp(params["t_emb"],
+                 timestep_embedding(timestep, cfg.freq_dim).astype(dtype))
+    mf = mask.astype(jnp.float32)[..., None]
+    pooled = (text_emb.astype(jnp.float32) * mf).sum(1) / mf.sum(1)
+    c = t_vec + _mlp(params["c_emb"], pooled.astype(dtype))
+
+    x = linear(params["input_emb"], text_emb.astype(dtype))
+    # attn mask: tokens attend within the valid set; first column forced on (:265-269)
+    m = mask.astype(bool)
+    attn_ok = m[:, None, :, None] & m[:, None, None, :]
+    attn_ok = attn_ok.at[:, :, :, 0].set(True)
+    bias = jnp.where(attn_ok, 0.0, jnp.finfo(jnp.float32).min)
+
+    def body(x, p):
+        gates = linear(p["ada"], jax.nn.silu(c.astype(jnp.float32)).astype(c.dtype))
+        g_msa, g_mlp = jnp.split(gates, 2, axis=-1)
+        h = layer_norm(x, cfg.eps, p["norm1"]["scale"], p["norm1"]["bias"])
+        b, l, _ = h.shape
+        q, k, v = jnp.split(linear(p["qkv"], h), 3, axis=-1)
+        n = cfg.num_heads
+        q = q.reshape(b, l, n, -1)
+        k = k.reshape(b, l, n, -1)
+        v = v.reshape(b, l, n, -1)
+        logits = jnp.einsum("bqnc,bknc->bnqk", q, k) / math.sqrt(q.shape[-1])
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias, -1).astype(x.dtype)
+        att = jnp.einsum("bnqk,bknc->bqnc", probs, v).reshape(b, l, -1)
+        x = x + linear(p["proj"], att) * g_msa[:, None, :]
+        h = layer_norm(x, cfg.eps, p["norm2"]["scale"], p["norm2"]["bias"])
+        return x + _mlp(p["mlp"], h) * g_mlp[:, None, :], None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Stream blocks
+# ---------------------------------------------------------------------------
+
+def _mod(p, vec, n):
+    e = linear(p, jax.nn.silu(vec.astype(jnp.float32)).astype(vec.dtype))
+    return jnp.split(e, n, axis=-1)
+
+
+def _qkv_norm_rope(p, x, cfg, cos=None, sin=None):
+    b, s, _ = x.shape
+    n = cfg.num_heads
+    q, k, v = jnp.split(linear(p["qkv"], x), 3, axis=-1)
+    q = rms_norm(q.reshape(b, s, n, -1), p["norm_q"]["w"], cfg.eps)
+    k = rms_norm(k.reshape(b, s, n, -1), p["norm_k"]["w"], cfg.eps)
+    v = v.reshape(b, s, n, -1)
+    if cos is not None:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def _split_attention(q_img, k_img, v_img, q_txt, k_txt, v_txt, cfg, attn_impl):
+    """The reference's block-diagonal split at split_token (:462-475)."""
+    st = cfg.split_token
+    q_a = jnp.concatenate([q_img, q_txt[:, :st]], axis=1)
+    k_a = jnp.concatenate([k_img, k_txt[:, :st]], axis=1)
+    v_a = jnp.concatenate([v_img, v_txt[:, :st]], axis=1)
+    q_a = constrain(q_a, "dp", None, ("sp", "tp"), None)
+    k_a = constrain(k_a, "dp", None, ("sp", "tp"), None)
+    v_a = constrain(v_a, "dp", None, ("sp", "tp"), None)
+    out_a = attention(q_a, k_a, v_a, impl=attn_impl)
+    out_a = constrain(out_a, "dp", "sp", None, None)
+    out_b = attention(q_txt[:, st:], k_txt[:, st:], v_txt[:, st:], impl=attn_impl)
+    b = q_img.shape[0]
+    s_img = q_img.shape[1]
+    out_a = out_a.reshape(b, -1, cfg.dim)
+    out_b = out_b.reshape(b, -1, cfg.dim)
+    att_img = out_a[:, :s_img]
+    att_txt = jnp.concatenate([out_a[:, s_img:], out_b], axis=1)
+    return att_img, att_txt
+
+
+def double_block(p, img, txt, vec, cos, sin, cfg, attn_impl="auto"):
+    """MMDoubleStreamBlock.forward (:462-475)."""
+    sa1, sc1, g1a, sa2, sc2, g2a = _mod(p["a"]["mod"], vec, 6)
+    sb1, scb1, g1b, sb2, scb2, g2b = _mod(p["b"]["mod"], vec, 6)
+    h_img = layer_norm(img, cfg.eps) * (1 + sc1[:, None]) + sa1[:, None]
+    h_txt = layer_norm(txt, cfg.eps) * (1 + scb1[:, None]) + sb1[:, None]
+    qi, ki, vi = _qkv_norm_rope(p["a"], h_img, cfg, cos, sin)
+    qt, kt, vt = _qkv_norm_rope(p["b"], h_txt, cfg)
+    att_img, att_txt = _split_attention(qi, ki, vi, qt, kt, vt, cfg, attn_impl)
+
+    img = img + linear(p["a"]["out"], att_img) * g1a[:, None]
+    h = layer_norm(img, cfg.eps) * (1 + sc2[:, None]) + sa2[:, None]
+    img = img + _mlp_gelu(p["a"]["ff"], h) * g2a[:, None]
+
+    txt = txt + linear(p["b"]["out"], att_txt) * g1b[:, None]
+    h = layer_norm(txt, cfg.eps) * (1 + scb2[:, None]) + sb2[:, None]
+    txt = txt + _mlp_gelu(p["b"]["ff"], h) * g2b[:, None]
+    return img, txt
+
+
+def _mlp_gelu(p, x):
+    return linear(p["fc2"], gelu_tanh(linear(p["fc0"], x)))
+
+
+def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto"):
+    """MMSingleStreamBlock.forward (:537-570): parallel attention + MLP on the
+    same modulated input; rope on the image segment only."""
+    shift, scale, gate = _mod(p["mod"], vec, 3)
+    h = layer_norm(x, cfg.eps) * (1 + scale[:, None]) + shift[:, None]
+    b, s, _ = x.shape
+    n = cfg.num_heads
+    tl = cfg.txt_len
+    q, k, v = jnp.split(linear(p["qkv"], h), 3, axis=-1)
+    q = rms_norm(q.reshape(b, s, n, -1), p["norm_q"]["w"], cfg.eps)
+    k = rms_norm(k.reshape(b, s, n, -1), p["norm_k"]["w"], cfg.eps)
+    v = v.reshape(b, s, n, -1)
+    q_img, q_txt = q[:, :-tl], q[:, -tl:]
+    k_img, k_txt = k[:, :-tl], k[:, -tl:]
+    q_img = apply_rope(q_img, cos, sin)
+    k_img = apply_rope(k_img, cos, sin)
+
+    st = cfg.split_token
+    v_len = tl - st
+    q_a = jnp.concatenate([q_img, q_txt[:, :st]], axis=1)
+    k_a = jnp.concatenate([k_img, k_txt[:, :st]], axis=1)
+    v_a, v_b = v[:, :-v_len], v[:, -v_len:]
+    q_a = constrain(q_a, "dp", None, ("sp", "tp"), None)
+    k_a = constrain(k_a, "dp", None, ("sp", "tp"), None)
+    v_a = constrain(v_a, "dp", None, ("sp", "tp"), None)
+    out_a = attention(q_a, k_a, v_a, impl=attn_impl)
+    out_a = constrain(out_a, "dp", "sp", None, None).reshape(b, -1, cfg.dim)
+    out_b = attention(q_txt[:, st:], k_txt[:, st:], v_b,
+                      impl=attn_impl).reshape(b, -1, cfg.dim)
+    att = jnp.concatenate([out_a, out_b], axis=1)
+
+    x = x + linear(p["out"], att) * gate[:, None]
+    ff = gelu_tanh(linear(p["ff_fc0"], h)) @ p["ff_fc2"]["w"]  # bias-free (:534)
+    return x + ff * gate[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+def patchify3d(x, patch):
+    """(B, T, H, W, C) -> (B, S, C*prod(patch)) with (c, pt, ph, pw) feature
+    order (Conv3d kernel layout, :196-204)."""
+    pt, ph, pw = patch
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t // pt, pt, h // ph, ph, w // pw, pw, c)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    return x.reshape(b, (t // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
+
+
+def hunyuan_video_dit_forward(
+    params: Dict,
+    cfg: HunyuanVideoDiTConfig,
+    latents: jnp.ndarray,          # (B, T, H, W, 16) NTHWC
+    timestep: jnp.ndarray,         # (B,)
+    prompt_emb: jnp.ndarray,       # (B, L, text_dim) LLM hidden states
+    text_mask: jnp.ndarray,        # (B, L)
+    pooled_prompt_emb: jnp.ndarray,  # (B, 768) CLIP pooled
+    guidance: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """HunyuanVideoDiT.forward (:631-676). Returns (B, T, H, W, 16)."""
+    from goal_force_tpu.models.sd_unet import timestep_embedding
+
+    b, t, h, w, _ = latents.shape
+    gh, gw = h // 2, w // 2
+    dtype = params["final"]["linear"]["w"].dtype
+    vec = _mlp(params["time_in"],
+               timestep_embedding(timestep, cfg.freq_dim).astype(dtype))
+    vec = vec + _mlp(params["vector_in"], pooled_prompt_emb.astype(dtype))
+    if cfg.guidance_embed and guidance is not None:
+        vec = vec + _mlp(params["guidance_in"],
+                         timestep_embedding(guidance * 1000.0,
+                                            cfg.freq_dim).astype(dtype))
+    img = linear(params["img_in"], patchify3d(latents, cfg.patch))
+    txt = token_refiner(params["txt_in"], cfg, prompt_emb, timestep, text_mask)
+
+    cos_np, sin_np = hunyuan_rope_tables(t, gh, gw, tuple(cfg.rope_dims),
+                                         cfg.rope_theta)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+    def dbody(carry, p):
+        i, x = carry
+        i = constrain(i, "dp", "sp", None)
+        return double_block(p, i, x, vec, cos, sin, cfg, attn_impl), None
+
+    def sbody(carry, p):
+        carry = constrain(carry, "dp", "sp", None)
+        return single_block(p, carry, vec, cos, sin, cfg, attn_impl), None
+
+    if remat:
+        dbody = jax.checkpoint(dbody, prevent_cse=False)
+        sbody = jax.checkpoint(sbody, prevent_cse=False)
+
+    (img, txt), _ = jax.lax.scan(dbody, (img, txt), params["double_blocks"])
+    x = jnp.concatenate([img, txt], axis=1)
+    x, _ = jax.lax.scan(sbody, x, params["single_blocks"])
+    img = x[:, :-cfg.txt_len]
+
+    shift, scale = _mod(params["final"]["ada"], vec, 2)
+    img = layer_norm(img, cfg.eps) * (1 + scale[:, None]) + shift[:, None]
+    img = linear(params["final"]["linear"], img)
+    # unpatchify "(C pT pH pW)" channel-major (:640-642)
+    pt, ph, pw = cfg.patch
+    img = img.reshape(b, t // pt, gh, gw, cfg.in_channels, pt, ph, pw)
+    img = img.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    return img.reshape(b, t, h, w, cfg.in_channels)
+
+
+# ---------------------------------------------------------------------------
+# Init + converter
+# ---------------------------------------------------------------------------
+
+def _lin_init(key, d_in, d_out, dtype, bias=True):
+    s = 1.0 / math.sqrt(d_in)
+    p = {"w": jax.random.uniform(key, (d_in, d_out), dtype, -s, s)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _init_component(key, cfg, dtype):
+    d = cfg.dim
+    ks = jax.random.split(key, 5)
+    return {
+        "mod": _lin_init(ks[0], d, 6 * d, dtype),
+        "qkv": _lin_init(ks[1], d, 3 * d, dtype),
+        "norm_q": {"w": jnp.ones((cfg.head_dim,), dtype)},
+        "norm_k": {"w": jnp.ones((cfg.head_dim,), dtype)},
+        "out": _lin_init(ks[2], d, d, dtype),
+        "ff": {"fc0": _lin_init(ks[3], d, 4 * d, dtype),
+               "fc2": _lin_init(ks[4], 4 * d, d, dtype)},
+    }
+
+
+def init_hunyuan_video_dit(key, cfg: HunyuanVideoDiTConfig,
+                           dtype=jnp.bfloat16) -> Dict:
+    d = cfg.dim
+    ks = jax.random.split(key, 12)
+
+    def refiner_block(k):
+        kk = jax.random.split(k, 5)
+        return {
+            "norm1": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "qkv": _lin_init(kk[0], d, 3 * d, dtype),
+            "proj": _lin_init(kk[1], d, d, dtype),
+            "norm2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "mlp": {"fc0": _lin_init(kk[2], d, 4 * d, dtype),
+                    "fc2": _lin_init(kk[3], 4 * d, d, dtype)},
+            "ada": _lin_init(kk[4], d, 2 * d, dtype),
+        }
+
+    stack = lambda bs: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
+    params = {
+        "img_in": _lin_init(ks[0], cfg.in_channels * math.prod(cfg.patch), d, dtype),
+        "txt_in": {
+            "input_emb": _lin_init(ks[1], cfg.text_dim, d, dtype),
+            "t_emb": {"fc0": _lin_init(ks[2], cfg.freq_dim, d, dtype),
+                      "fc2": _lin_init(ks[2], d, d, dtype)},
+            "c_emb": {"fc0": _lin_init(ks[3], cfg.text_dim, d, dtype),
+                      "fc2": _lin_init(ks[3], d, d, dtype)},
+            "blocks": stack([refiner_block(k)
+                             for k in jax.random.split(ks[4], cfg.refiner_depth)]),
+        },
+        "time_in": {"fc0": _lin_init(ks[5], cfg.freq_dim, d, dtype),
+                    "fc2": _lin_init(ks[5], d, d, dtype)},
+        "vector_in": {"fc0": _lin_init(ks[6], cfg.pooled_dim, d, dtype),
+                      "fc2": _lin_init(ks[6], d, d, dtype)},
+        "double_blocks": stack([
+            {"a": _init_component(k, cfg, dtype), "b": _init_component(k, cfg, dtype)}
+            for k in jax.random.split(ks[7], cfg.num_double_blocks)]),
+        "single_blocks": stack([
+            {
+                "mod": _lin_init(jax.random.split(k, 5)[0], d, 3 * d, dtype),
+                "qkv": _lin_init(jax.random.split(k, 5)[1], d, 3 * d, dtype),
+                "norm_q": {"w": jnp.ones((cfg.head_dim,), dtype)},
+                "norm_k": {"w": jnp.ones((cfg.head_dim,), dtype)},
+                "out": _lin_init(jax.random.split(k, 5)[2], d, d, dtype),
+                "ff_fc0": _lin_init(jax.random.split(k, 5)[3], d, 4 * d, dtype),
+                "ff_fc2": _lin_init(jax.random.split(k, 5)[4], 4 * d, d, dtype,
+                                    bias=False),
+            }
+            for k in jax.random.split(ks[8], cfg.num_single_blocks)]),
+        "final": {
+            "linear": _lin_init(ks[9], d, cfg.in_channels * math.prod(cfg.patch),
+                                dtype),
+            "ada": _lin_init(ks[10], d, 2 * d, dtype),
+        },
+    }
+    if cfg.guidance_embed:
+        params["guidance_in"] = {"fc0": _lin_init(ks[11], cfg.freq_dim, d, dtype),
+                                 "fc2": _lin_init(ks[11], d, d, dtype)}
+    return params
+
+
+def hunyuan_video_dit_params_from_torch(sd, cfg: HunyuanVideoDiTConfig) -> Dict:
+    """Reference module state-dict naming (hunyuan_video_dit.py class attrs)."""
+    g = lambda k: np.asarray(sd[k])
+    lin = lambda p, bias=True: (
+        {"w": g(p + ".weight").T, "b": g(p + ".bias")} if bias
+        else {"w": g(p + ".weight").T})
+    mlp01 = lambda p: {"fc0": lin(p + ".0"), "fc2": lin(p + ".2")}
+    temb = lambda p: {"fc0": lin(p + ".timestep_embedder.0"),
+                      "fc2": lin(p + ".timestep_embedder.2")}
+
+    def component(pre):
+        return {
+            "mod": lin(pre + ".mod.linear"),
+            "qkv": lin(pre + ".to_qkv"),
+            "norm_q": {"w": g(pre + ".norm_q.weight")},
+            "norm_k": {"w": g(pre + ".norm_k.weight")},
+            "out": lin(pre + ".to_out"),
+            "ff": {"fc0": lin(pre + ".ff.0"), "fc2": lin(pre + ".ff.2")},
+        }
+
+    def refiner_block(i):
+        pre = f"txt_in.blocks.{i}"
+        return {
+            "norm1": {"scale": g(pre + ".norm1.weight"), "bias": g(pre + ".norm1.bias")},
+            "qkv": lin(pre + ".self_attn_qkv"),
+            "proj": lin(pre + ".self_attn_proj"),
+            "norm2": {"scale": g(pre + ".norm2.weight"), "bias": g(pre + ".norm2.bias")},
+            "mlp": {"fc0": lin(pre + ".mlp.0"), "fc2": lin(pre + ".mlp.2")},
+            "ada": lin(pre + ".adaLN_modulation.1"),
+        }
+
+    def single(i):
+        pre = f"single_blocks.{i}"
+        return {
+            "mod": lin(pre + ".mod.linear"),
+            "qkv": lin(pre + ".to_qkv"),
+            "norm_q": {"w": g(pre + ".norm_q.weight")},
+            "norm_k": {"w": g(pre + ".norm_k.weight")},
+            "out": lin(pre + ".to_out"),
+            "ff_fc0": lin(pre + ".ff.0"),
+            "ff_fc2": lin(pre + ".ff.2", bias=False),
+        }
+
+    stack = lambda bs: jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *bs)
+    img_w = g("img_in.proj.weight")   # (D, C, pt, ph, pw)
+    d = img_w.shape[0]
+    params = {
+        "img_in": {"w": img_w.reshape(d, -1).T, "b": g("img_in.proj.bias")},
+        "txt_in": {
+            "input_emb": lin("txt_in.input_embedder"),
+            "t_emb": temb("txt_in.t_embedder"),
+            "c_emb": {"fc0": lin("txt_in.c_embedder.0"),
+                      "fc2": lin("txt_in.c_embedder.2")},
+            "blocks": stack([refiner_block(i) for i in range(cfg.refiner_depth)]),
+        },
+        "time_in": temb("time_in"),
+        "vector_in": mlp01("vector_in"),
+        "double_blocks": stack([
+            {"a": component(f"double_blocks.{i}.component_a"),
+             "b": component(f"double_blocks.{i}.component_b")}
+            for i in range(cfg.num_double_blocks)]),
+        "single_blocks": stack([single(i) for i in range(cfg.num_single_blocks)]),
+        "final": {
+            "linear": lin("final_layer.linear"),
+            "ada": lin("final_layer.adaLN_modulation.1"),
+        },
+    }
+    if cfg.guidance_embed and "guidance_in.timestep_embedder.0.weight" in sd:
+        params["guidance_in"] = temb("guidance_in")
+    return params

@@ -537,6 +537,11 @@ def flash_attention(q, k, v, scale: float, block_q: int = 1024, block_k: int = 2
     reference stack)."""
     if q.shape[-1] != LANES:
         raise ValueError(f"flash_attention requires head_dim=128, got {q.shape[-1]}")
+    if q.dtype == jnp.float32:
+        # f32 tiles are 2x the VMEM of bf16; the default blocks overflow the 16 MB
+        # scoped budget in the backward kernels (training runs f32 master activations)
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 1024)
     block_q = min(block_q, max(LANES, q.shape[1]))
     block_k = min(block_k, max(LANES, k.shape[1]))
     return _flash(q, k, v, scale, block_q, block_k)

@@ -1,0 +1,138 @@
+"""CogVideoX text-to-video pipeline.
+
+Mirrors the reference CogVideoPipeline (/root/reference/diffsynth/pipelines/
+cog_video.py): zero-terminal-SNR DDIM with v-prediction (:17), true CFG as two
+passes merged into one batched call, 49-frame 480x720 defaults, T5-v1.1 text
+conditioning (226 tokens), video-to-video via add_noise. The Cog VAE is
+pluggable (decode: (B, T, h, w, 16) latents -> frames)."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.configs import T5Config
+from goal_force_tpu.models import t5 as t5m
+from goal_force_tpu.models.cog_dit import CogDiTConfig, cog_dit_forward, init_cog_dit
+from goal_force_tpu.schedulers.ddim import (
+    ddim_add_noise,
+    ddim_step,
+    make_ddim_schedule,
+)
+
+
+def tiny_cog_configs():
+    # rope_dim must split 1/4 + 3/8 + 3/8 into even dims -> head_dim 16
+    dit_cfg = CogDiTConfig(dim=64, cond_dim=32, num_heads=4, num_blocks=2,
+                           text_dim=32, freq_dim=32, rope_dim=16)
+    t5_cfg = T5Config(vocab=128, dim=32, dim_attn=32, dim_ffn=64, num_heads=4,
+                      num_layers=2, shared_pos=True, text_len=16)
+    return dit_cfg, t5_cfg
+
+
+@dataclasses.dataclass
+class CogVideoPipeline:
+    dit: Dict
+    t5: Optional[Dict]
+    dit_cfg: CogDiTConfig
+    t5_cfg: Optional[T5Config] = None
+    tokenize: Optional[Callable] = None
+    decode_video: Optional[Callable] = None
+    encode_video: Optional[Callable] = None
+    dtype: object = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @classmethod
+    def init_random(cls, key=None, dtype=jnp.float32):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        dit_cfg, t5_cfg = tiny_cog_configs()
+        ks = jax.random.split(key, 2)
+        return cls(dit=init_cog_dit(ks[0], dit_cfg, dtype),
+                   t5=t5m.init_t5(ks[1], t5_cfg, dtype),
+                   dit_cfg=dit_cfg, t5_cfg=t5_cfg, dtype=dtype)
+
+    @functools.cached_property
+    def _encode_text(self):
+        t5_cfg = self.t5_cfg
+
+        @jax.jit
+        def fn(t5_params, ids):
+            return t5m.t5_encode(t5_params, t5_cfg, ids, jnp.ones_like(ids))
+
+        return fn
+
+    @functools.cached_property
+    def _model_cfg(self):
+        cfg = self.dit_cfg
+        attn_impl = self.attn_impl
+
+        @jax.jit
+        def fn(dit, latents, timestep, emb2, cfg_scale):
+            b = latents.shape[0]
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            t2 = jnp.concatenate([timestep, timestep], axis=0)
+            v = cog_dit_forward(dit, cfg, x2, t2, emb2, attn_impl=attn_impl)
+            return v[b:] + cfg_scale * (v[:b] - v[b:])
+
+        return fn
+
+    def _ids(self, prompts):
+        from goal_force_tpu.pipelines.flux import _hash_ids
+
+        ids = np.stack([
+            np.asarray(self.tokenize(p)) if self.tokenize
+            else _hash_ids(p, self.t5_cfg.vocab, self.t5_cfg.text_len)
+            for p in prompts])
+        return jnp.asarray(ids, jnp.int32)
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        cfg_scale: float = 7.0,
+        input_video: Optional[np.ndarray] = None,
+        denoising_strength: float = 1.0,
+        num_frames: int = 49,
+        height: int = 480,
+        width: int = 720,
+        num_inference_steps: int = 20,
+        seed: int = 0,
+        progress: bool = False,
+    ) -> np.ndarray:
+        schedule = make_ddim_schedule(num_inference_steps,
+                                      prediction_type="v_prediction",
+                                      rescale_zero_terminal_snr=True,
+                                      denoising_strength=denoising_strength)
+        emb = self._encode_text(self.t5, self._ids([prompt, negative_prompt]))
+        emb = emb.astype(self.dtype)
+
+        lt = num_frames // 4 + 1
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (1, lt, height // 8, width // 8, self.dit_cfg.in_channels),
+            jnp.float32).astype(self.dtype)
+        if denoising_strength == 1.0 or input_video is None:
+            latents = noise
+        else:
+            z = self.encode_video(input_video).astype(self.dtype)
+            latents = ddim_add_noise(schedule, z, noise,
+                                     int(schedule.timesteps[0]))
+
+        it = range(len(schedule))
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(it)
+        for i in it:
+            ts = jnp.full((1,), float(schedule.timesteps[i]), self.dtype)
+            v = self._model_cfg(self.dit, latents, ts, emb, cfg_scale)
+            latents = ddim_step(schedule, v.astype(latents.dtype), i, latents)
+        if self.decode_video is not None:
+            return self.decode_video(latents)
+        return np.asarray(latents, np.float32)

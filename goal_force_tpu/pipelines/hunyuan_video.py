@@ -1,0 +1,128 @@
+"""HunyuanVideo text-to-video pipeline.
+
+Mirrors the reference HunyuanVideoPipeline denoise loop
+(/root/reference/diffsynth/pipelines/hunyuan_video.py): flow-match Euler schedule
+with shift 7.0 / sigma_min 0 / extra_one_step (:19), embedded guidance (Flux-dev
+style), optional true CFG as a second pass.
+
+The reference's text branch is a LLaVA-llama3 encoder plus CLIP-L pooled; both are
+host-side HF models, so the pipeline takes a pluggable `encode_prompt` callable
+returning (prompt_emb (B, 256, text_dim), text_mask (B, 256), pooled (B, 768)).
+The VAE is pluggable the same way (decode: latents (B,T,h,w,16) -> frames).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.hunyuan_video_dit import (
+    HunyuanVideoDiTConfig,
+    hunyuan_video_dit_forward,
+    init_hunyuan_video_dit,
+)
+from goal_force_tpu.schedulers import flow_match as fm
+
+
+def tiny_hunyuan_config():
+    return HunyuanVideoDiTConfig(dim=144, num_double_blocks=2,
+                                 num_single_blocks=2, text_dim=32,
+                                 rope_dims=(2, 2, 2))
+
+
+@dataclasses.dataclass
+class HunyuanVideoPipeline:
+    dit: Dict
+    dit_cfg: HunyuanVideoDiTConfig
+    encode_prompt: Optional[Callable] = None   # str -> (emb, mask, pooled)
+    decode_video: Optional[Callable] = None    # latents -> (T, H, W, 3) [0,1]
+    dtype: object = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @classmethod
+    def init_random(cls, key=None, dit_cfg=None, dtype=jnp.float32):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        dit_cfg = dit_cfg or tiny_hunyuan_config()
+        return cls(dit=init_hunyuan_video_dit(key, dit_cfg, dtype),
+                   dit_cfg=dit_cfg, dtype=dtype)
+
+    def _embed(self, prompt: str, seed: int = 0):
+        if self.encode_prompt is not None:
+            return self.encode_prompt(prompt)
+        from goal_force_tpu.pipelines.flux import _hash_ids
+
+        cfg = self.dit_cfg
+        ids = _hash_ids(prompt, 1 << 30, cfg.txt_len)
+        rng = np.random.default_rng(abs(int(ids[0])) % (1 << 31))
+        emb = rng.normal(size=(1, cfg.txt_len, cfg.text_dim)).astype(np.float32)
+        mask = np.zeros((1, cfg.txt_len), np.int32)
+        mask[:, :max(1, len(prompt.split()))] = 1
+        pooled = rng.normal(size=(1, cfg.pooled_dim)).astype(np.float32)
+        return jnp.asarray(emb), jnp.asarray(mask), jnp.asarray(pooled)
+
+    @functools.cached_property
+    def _denoise_step(self):
+        cfg = self.dit_cfg
+        attn_impl = self.attn_impl
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(dit, latents, timestep, sigma, sigma_next, emb, mask, pooled,
+               guidance):
+            v = hunyuan_video_dit_forward(
+                dit, cfg, latents, timestep, emb, mask, pooled, guidance,
+                attn_impl=attn_impl)
+            return fm.euler_step(latents, v.astype(latents.dtype), sigma,
+                                 sigma_next)
+
+        return fn
+
+    def __call__(
+        self,
+        prompt: str,
+        height: int = 720,
+        width: int = 1280,
+        num_frames: int = 129,
+        num_inference_steps: int = 30,
+        embedded_guidance: float = 6.0,
+        sigma_shift: Optional[float] = None,
+        seed: int = 0,
+        progress: bool = False,
+    ) -> np.ndarray:
+        """Returns latents (1, T, h, w, 16) (or decoded frames when decode_video
+        is supplied). Reference defaults :150-180."""
+        cfg = self.dit_cfg
+        schedule = fm.make_schedule(
+            num_steps=num_inference_steps,
+            shift=7.0 if sigma_shift is None else sigma_shift,
+            sigma_min=0.0, extra_one_step=True,
+        )
+        emb, mask, pooled = self._embed(prompt, seed)
+        emb = emb.astype(self.dtype)
+        pooled = pooled.astype(self.dtype)
+
+        lt = (num_frames - 1) // 4 + 1
+        latents = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (1, lt, height // 8, width // 8, cfg.in_channels),
+            jnp.float32).astype(self.dtype)
+        guidance = jnp.full((1,), embedded_guidance, self.dtype)
+
+        it = range(len(schedule))
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(it)
+        for i in it:
+            ts = jnp.full((1,), float(schedule.timesteps[i]), self.dtype)
+            latents = self._denoise_step(
+                self.dit, latents, ts, schedule.sigmas[i], schedule.sigma_next(i),
+                emb, mask, pooled, guidance)
+        if self.decode_video is not None:
+            return self.decode_video(latents)
+        return np.asarray(latents, np.float32)

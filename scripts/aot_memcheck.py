@@ -191,6 +191,8 @@ def main():
     ap.add_argument("--sp", type=int, default=2)
     ap.add_argument("--tp", type=int, default=2)
     ap.add_argument("--attn", default="pallas")
+    ap.add_argument("--train-topology", default="v5p:2x2x2")
+    ap.add_argument("--train-hbm-gb", type=float, default=95.0)
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -212,8 +214,15 @@ def main():
 
     records = [check_inference(mesh, dit_cfg, cn_cfg, hbm, args.attn)]
     if not args.skip_train:
+        # training targets the v5p tier (95 GB HBM — the A100-80GB-class pod the
+        # reference trains on); 81-frame training does not fit 16 GB v5e chips.
+        ttopo = topologies.get_topology_desc(platform="tpu",
+                                             topology_name=args.train_topology)
+        tmesh = Mesh(np.array(ttopo.devices[:n]).reshape(args.dp, args.sp, args.tp),
+                     ("dp", "sp", "tp"))
         records.append(
-            check_training(mesh, dit_cfg, t5_cfg, vae_cfg, cn_cfg, hbm, args.attn))
+            check_training(tmesh, dit_cfg, t5_cfg, vae_cfg, cn_cfg,
+                           args.train_hbm_gb * 1e9, args.attn))
 
     if args.json:
         with open(args.json, "w") as fh:

@@ -70,10 +70,18 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
                     sample: jnp.ndarray, timestep: jnp.ndarray,
                     text_emb: jnp.ndarray, add_time_id: jnp.ndarray,
                     add_text_embeds: jnp.ndarray,
-                    groups: int = 32) -> jnp.ndarray:
+                    groups: int = 32,
+                    controlnet_res=None) -> jnp.ndarray:
     """sample (B, H, W, 4), timestep (B,), text_emb (B, S, 2048),
-    add_time_id (6,) or (B*6,), add_text_embeds (B, 1280) -> (B, H, W, 4)."""
+    add_time_id (6,) or (B*6,), add_text_embeds (B, 1280) -> (B, H, W, 4).
+
+    Kolors checkpoints carry a text_intermediate_proj (4096 ChatGLM hidden ->
+    2048) applied to the text states (reference sdxl_unet.py:21,110);
+    controlnet_res follows the dancer.py injection contract (:227-229)."""
     b = sample.shape[0]
+    if "text_intermediate_proj" in params:
+        text_emb = text_emb @ params["text_intermediate_proj"]["w"] \
+            + params["text_intermediate_proj"]["b"]
     temb = timestep_embedding(timestep, params["conv_in"]["w"].shape[-1])
     temb = jax.nn.silu(temb.astype(sample.dtype) @ params["time_w1"]
                        + params["time_b1"])
@@ -86,8 +94,15 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
 
     x = conv2d(params["conv_in"], sample)
     stack: List[jnp.ndarray] = [x]
+    cn_applied = controlnet_res is None
     for spec, p in zip(plan, params["blocks"]):
         kind = spec[0]
+        if kind == "pop" and not cn_applied:
+            x = x + controlnet_res[-1].astype(x.dtype)
+            stack = [s_ + r.astype(s_.dtype)
+                     for s_, r in zip(stack, controlnet_res[:-1])] \
+                + stack[len(controlnet_res) - 1:]
+            cn_applied = True
         if kind == "res":
             x = _resnet(p, x, temb, groups)
         elif kind == "attn":
@@ -115,10 +130,16 @@ def _add_embedding_from_torch(sd, params: Dict, g) -> Dict:
 
 
 def sdxl_unet_params_from_torch(sd, plan: Sequence[BlockSpec] = SDXL_PLAN) -> Dict:
-    """diffsynth-format SDXLUNet state dict (reference: sdxl_unet.py)."""
+    """diffsynth-format SDXLUNet state dict (reference: sdxl_unet.py). Kolors
+    variants carry text_intermediate_proj (ChatGLM 4096 -> 2048)."""
     params = sd_unet_params_from_torch(sd, plan)
-    return _add_embedding_from_torch(sd, params,
-                                     lambda k: np.asarray(sd[k]))
+    params = _add_embedding_from_torch(sd, params, lambda k: np.asarray(sd[k]))
+    if "text_intermediate_proj.weight" in sd:
+        params["text_intermediate_proj"] = {
+            "w": np.asarray(sd["text_intermediate_proj.weight"]).T,
+            "b": np.asarray(sd["text_intermediate_proj.bias"]),
+        }
+    return params
 
 
 def sdxl_unet_params_from_civitai(sd, plan: Sequence[BlockSpec] = SDXL_PLAN) -> Dict:

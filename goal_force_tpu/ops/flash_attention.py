@@ -355,6 +355,10 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
 
 def _flash_bwd(scale, block_q, block_k, res, do):
     q, k, v, out, lse = res
+    # the dKV/dQ kernels hold s/p/ds tiles plus f32 scratch: the forward's tuned
+    # blocks overflow the 16 MB scoped VMEM (measured +3.2 MB at 1024/2048 bf16)
+    block_q = min(block_q, 512)
+    block_k = min(block_k, 1024)
     b, sq, n, h = q.shape
     skv = k.shape[1]
     qb = _pad_to(_to_bn(q), 1, block_q)

@@ -1,0 +1,154 @@
+"""Kolors text-to-image pipeline: ChatGLM3 text encoder + SDXL UNet variant.
+
+Mirrors the reference's Kolors path through SDXLImagePipeline
+(/root/reference/diffsynth/pipelines/sdxl_image.py): when a Kolors UNet is
+detected the scheduler becomes EnhancedDDIMScheduler(beta_end=0.014,
+num_train_timesteps=1100) (:68) and the text branch is ChatGLM —
+hidden_states[-2] as the 4096-dim prompt embedding (projected to 2048 inside the
+UNet via text_intermediate_proj) and the last pre-norm token as the 4096-dim
+pooled embedding feeding the 5632-wide add embedding
+(/root/reference/diffsynth/models/sdxl_unet.py:16,21).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.kolors_text_encoder import (
+    ChatGLMConfig,
+    chatglm_encode,
+    init_chatglm,
+)
+from goal_force_tpu.models.sdxl_unet import sdxl_unet_apply
+from goal_force_tpu.schedulers.ddim import ddim_step, make_ddim_schedule
+
+
+def tiny_kolors_configs():
+    glm_cfg = ChatGLMConfig(hidden_size=32, ffn_hidden_size=48, num_layers=2,
+                            num_heads=4, kv_channels=8, kv_groups=2, vocab=96)
+    plan = (("res", 8, 8), ("push",), ("down", 8), ("push",),
+            ("res", 8, 16), ("attn", 2, 8, 16, 24, 2), ("res", 16, 16),
+            ("pop",), ("res", 24, 16), ("attn", 2, 8, 16, 24, 2),
+            ("up", 16), ("pop",), ("res", 24, 8))
+    return glm_cfg, plan
+
+
+@dataclasses.dataclass
+class KolorsPipeline:
+    unet: Dict
+    glm: Dict
+    vae_encoder: Optional[Dict]
+    vae_decoder: Dict
+    glm_cfg: ChatGLMConfig
+    plan: Tuple
+    groups: int = 32
+    vae_enc_plan: Tuple = ()
+    vae_dec_plan: Tuple = ()
+    vae_groups: int = 32
+    vae_factor: int = 8
+    vae_scaling: float = 0.13025           # SDXL VAE
+    tokenize: Optional[Callable] = None
+    dtype: object = jnp.bfloat16
+
+    @classmethod
+    def init_random(cls, key=None, dtype=jnp.float32) -> "KolorsPipeline":
+        from goal_force_tpu.models.sdxl_unet import init_sdxl_unet
+        from goal_force_tpu.pipelines.sd import _init_tiny_vae
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        glm_cfg, plan = tiny_kolors_configs()
+        ks = jax.random.split(key, 4)
+        unet = init_sdxl_unet(ks[0], plan, model_dim=8, time_dim=16,
+                              add_embed_in=glm_cfg.hidden_size + 6 * 256,
+                              dtype=dtype)
+        unet["text_intermediate_proj"] = {
+            "w": jax.random.normal(ks[1], (glm_cfg.hidden_size, 24), dtype) * 0.02,
+            "b": jnp.zeros((24,), dtype),
+        }
+        vae_e, vae_d, enc_plan, dec_plan = _init_tiny_vae(ks[2], dtype)
+        return cls(unet=unet, glm=init_chatglm(ks[3], glm_cfg, dtype),
+                   vae_encoder=vae_e, vae_decoder=vae_d, glm_cfg=glm_cfg,
+                   plan=plan, groups=4, vae_enc_plan=enc_plan,
+                   vae_dec_plan=dec_plan, vae_groups=4, vae_factor=8,
+                   dtype=dtype)
+
+    @functools.cached_property
+    def _encode_text(self):
+        cfg = self.glm_cfg
+
+        @jax.jit
+        def fn(glm, ids):
+            return chatglm_encode(glm, cfg, ids, clip_skip=2)
+
+        return fn
+
+    @functools.cached_property
+    def _denoise_cfg(self):
+        plan, groups = self.plan, self.groups
+
+        @jax.jit
+        def fn(unet, latents, t, ctx2, pooled2, add_time_id, cfg_scale):
+            b = latents.shape[0]
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            eps = sdxl_unet_apply(unet, plan, x2,
+                                  jnp.full((2 * b,), t, latents.dtype),
+                                  ctx2, add_time_id, pooled2, groups=groups)
+            return eps[b:] + cfg_scale * (eps[:b] - eps[b:])
+
+        return fn
+
+    def _ids(self, prompts):
+        from goal_force_tpu.pipelines.flux import _hash_ids
+
+        ids = np.stack([
+            np.asarray(self.tokenize(p)) if self.tokenize
+            else _hash_ids(p, self.glm_cfg.vocab, 32) for p in prompts])
+        return jnp.asarray(ids, jnp.int32)
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        cfg_scale: float = 7.5,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 20,
+        seed: int = 0,
+        progress: bool = False,
+    ) -> np.ndarray:
+        from goal_force_tpu.models.sd_vae import sd_vae_decode
+
+        schedule = make_ddim_schedule(num_inference_steps, beta_end=0.014,
+                                      num_train_timesteps=1100)
+        ids = self._ids([prompt, negative_prompt])
+        ctx2, pooled2 = self._encode_text(self.glm, ids)
+        ctx2 = ctx2.astype(self.dtype)
+        pooled2 = pooled2.astype(self.dtype)
+
+        h, w = height // self.vae_factor, width // self.vae_factor
+        latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
+                                    jnp.float32).astype(self.dtype)
+        add_time_id = jnp.tile(
+            jnp.asarray([height, width, 0, 0, height, width], jnp.float32), 2)
+
+        it = range(len(schedule))
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(it)
+        for i in it:
+            eps = self._denoise_cfg(self.unet, latents,
+                                    float(schedule.timesteps[i]), ctx2, pooled2,
+                                    add_time_id, cfg_scale)
+            latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
+        img = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
+                            self.vae_dec_plan, groups=self.vae_groups,
+                            scaling=self.vae_scaling)
+        return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

@@ -199,9 +199,16 @@ def flux_dit_forward(
     guidance: Optional[jnp.ndarray] = None,   # (B,) embedded guidance (Flux-dev)
     remat: bool = False,
     attn_impl: str = "auto",
+    controlnet_res: Optional[jnp.ndarray] = None,         # (19, B, S_img, D)
+    controlnet_single_res: Optional[jnp.ndarray] = None,  # (38, B, S_img, D)
 ) -> jnp.ndarray:
     """Full MMDiT forward (reference FluxDiT.forward :406-472). Returns the velocity
-    prediction with the input latent shape."""
+    prediction with the input latent shape.
+
+    controlnet_res / controlnet_single_res: per-block residual stacks from
+    flux_controlnet_forward, added to the image stream after each joint block and
+    to the image part of the merged stream after each single block (reference
+    :792,808)."""
     b, h, w, _ = latents.shape
     gh, gw = h // 2, w // 2
     temb = time_cond(params, cfg, timestep, pooled_prompt_emb, guidance)
@@ -212,22 +219,32 @@ def flux_dit_forward(
                                       cfg.rope_theta)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
-    def joint_body(carry, p):
+    def joint_body(carry, sc):
+        p, res = sc
         xi, xt = carry
         xi = constrain(xi, "dp", "sp", None)
-        return joint_block(p, xi, xt, temb, cos, sin, cfg, attn_impl), None
+        xi, xt = joint_block(p, xi, xt, temb, cos, sin, cfg, attn_impl)
+        if res is not None:
+            xi = xi + res.astype(xi.dtype)
+        return (xi, xt), None
 
-    def single_body(carry, p):
+    def single_body(carry, sc):
+        p, res = sc
         carry = constrain(carry, "dp", "sp", None)
-        return single_block(p, carry, temb, cos, sin, cfg, attn_impl), None
+        carry = single_block(p, carry, temb, cos, sin, cfg, attn_impl)
+        if res is not None:
+            carry = carry.at[:, t_len:].add(res.astype(carry.dtype))
+        return carry, None
 
     if remat:
         joint_body = jax.checkpoint(joint_body, prevent_cse=False)
         single_body = jax.checkpoint(single_body, prevent_cse=False)
 
-    (x, txt), _ = jax.lax.scan(joint_body, (x, txt), params["joint_blocks"])
+    (x, txt), _ = jax.lax.scan(joint_body, (x, txt),
+                               (params["joint_blocks"], controlnet_res))
     merged = jnp.concatenate([txt, x], axis=1)
-    merged, _ = jax.lax.scan(single_body, merged, params["single_blocks"])
+    merged, _ = jax.lax.scan(single_body, merged,
+                             (params["single_blocks"], controlnet_single_res))
     x = merged[:, t_len:]
 
     # AdaLayerNormContinuous: scale FIRST in the chunk order (reference :270-274)
@@ -312,39 +329,43 @@ def init_flux_dit(key, cfg: FluxDiTConfig, dtype=jnp.bfloat16) -> Dict:
 # reference flux_dit.py:558-748)
 # ---------------------------------------------------------------------------
 
+def _joint_block_from_torch(sd, pre: str) -> Dict:
+    g = lambda k: np.asarray(sd[k])
+    lin = lambda p: {"w": g(p + ".weight").T, "b": g(p + ".bias")}
+    return {
+        "norm1_a": lin(pre + ".norm1_a.linear"),
+        "norm1_b": lin(pre + ".norm1_b.linear"),
+        "attn": {
+            "a_qkv": lin(pre + ".attn.a_to_qkv"),
+            "b_qkv": lin(pre + ".attn.b_to_qkv"),
+            "norm_q_a": {"w": g(pre + ".attn.norm_q_a.weight")},
+            "norm_k_a": {"w": g(pre + ".attn.norm_k_a.weight")},
+            "norm_q_b": {"w": g(pre + ".attn.norm_q_b.weight")},
+            "norm_k_b": {"w": g(pre + ".attn.norm_k_b.weight")},
+            "a_out": lin(pre + ".attn.a_to_out"),
+            "b_out": lin(pre + ".attn.b_to_out"),
+        },
+        "ff_a": {"fc0": lin(pre + ".ff_a.0"), "fc2": lin(pre + ".ff_a.2")},
+        "ff_b": {"fc0": lin(pre + ".ff_b.0"), "fc2": lin(pre + ".ff_b.2")},
+    }
+
+
+def _single_block_from_torch(sd, pre: str) -> Dict:
+    g = lambda k: np.asarray(sd[k])
+    lin = lambda p: {"w": g(p + ".weight").T, "b": g(p + ".bias")}
+    return {
+        "norm": lin(pre + ".norm.linear"),
+        "qkv_mlp": lin(pre + ".to_qkv_mlp"),
+        "norm_q": {"w": g(pre + ".norm_q_a.weight")},
+        "norm_k": {"w": g(pre + ".norm_k_a.weight")},
+        "proj_out": lin(pre + ".proj_out"),
+    }
+
+
 def flux_dit_params_from_torch(sd, cfg: FluxDiTConfig) -> Dict:
     g = lambda k: np.asarray(sd[k])
     lin = lambda p: {"w": g(p + ".weight").T, "b": g(p + ".bias")}
     mlp = lambda p: {"fc0": lin(p + ".0"), "fc2": lin(p + ".2")}
-
-    def joint(i):
-        pre = f"blocks.{i}"
-        return {
-            "norm1_a": lin(pre + ".norm1_a.linear"),
-            "norm1_b": lin(pre + ".norm1_b.linear"),
-            "attn": {
-                "a_qkv": lin(pre + ".attn.a_to_qkv"),
-                "b_qkv": lin(pre + ".attn.b_to_qkv"),
-                "norm_q_a": {"w": g(pre + ".attn.norm_q_a.weight")},
-                "norm_k_a": {"w": g(pre + ".attn.norm_k_a.weight")},
-                "norm_q_b": {"w": g(pre + ".attn.norm_q_b.weight")},
-                "norm_k_b": {"w": g(pre + ".attn.norm_k_b.weight")},
-                "a_out": lin(pre + ".attn.a_to_out"),
-                "b_out": lin(pre + ".attn.b_to_out"),
-            },
-            "ff_a": {"fc0": lin(pre + ".ff_a.0"), "fc2": lin(pre + ".ff_a.2")},
-            "ff_b": {"fc0": lin(pre + ".ff_b.0"), "fc2": lin(pre + ".ff_b.2")},
-        }
-
-    def single(i):
-        pre = f"single_blocks.{i}"
-        return {
-            "norm": lin(pre + ".norm.linear"),
-            "qkv_mlp": lin(pre + ".to_qkv_mlp"),
-            "norm_q": {"w": g(pre + ".norm_q_a.weight")},
-            "norm_k": {"w": g(pre + ".norm_k_a.weight")},
-            "proj_out": lin(pre + ".proj_out"),
-        }
 
     stack = lambda blocks: jax.tree_util.tree_map(lambda *xs: jnp.stack(
         [jnp.asarray(x) for x in xs]), *blocks)
@@ -353,8 +374,10 @@ def flux_dit_params_from_torch(sd, cfg: FluxDiTConfig) -> Dict:
         "context_embedder": lin("context_embedder"),
         "time_in": mlp("time_embedder.timestep_embedder"),
         "vector_in": mlp("pooled_text_embedder"),
-        "joint_blocks": stack([joint(i) for i in range(cfg.num_joint_blocks)]),
-        "single_blocks": stack([single(i) for i in range(cfg.num_single_blocks)]),
+        "joint_blocks": stack([_joint_block_from_torch(sd, f"blocks.{i}")
+                               for i in range(cfg.num_joint_blocks)]),
+        "single_blocks": stack([_single_block_from_torch(sd, f"single_blocks.{i}")
+                                for i in range(cfg.num_single_blocks)]),
         "final_norm": lin("final_norm_out.linear"),
         "final_proj": lin("final_proj_out"),
     }

@@ -123,7 +123,7 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 
 def _attention(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
-               num_heads: int) -> jnp.ndarray:
+               num_heads: int, ip=None) -> jnp.ndarray:
     b, s, _ = x.shape
     t = ctx.shape[1]
     q = x @ p["q_w"] + p["q_b"] if "q_b" in p else x @ p["q_w"]
@@ -136,14 +136,27 @@ def _attention(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
     logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * scale
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhc->bqhc", probs, v).reshape(b, s, -1)
+    if ip is not None:
+        # IP-Adapter: same query over image K/V, added pre-output-projection
+        # (reference attention.py:29-56 interact_with_ipadapter)
+        ti = ip["k"].shape[1]
+        ipk = jnp.broadcast_to(ip["k"], (b, ti, ip["k"].shape[-1]))
+        ipv = jnp.broadcast_to(ip["v"], (b, ti, ip["v"].shape[-1]))
+        ipk = ipk.reshape(b, ti, num_heads, -1).astype(q.dtype)
+        ipv = ipv.reshape(b, ti, num_heads, -1).astype(q.dtype)
+        lg = jnp.einsum("bqhc,bkhc->bhqk", q, ipk) * scale
+        pr = jax.nn.softmax(lg.astype(jnp.float32), -1).astype(x.dtype)
+        out = out + ip["scale"] * jnp.einsum("bhqk,bkhc->bqhc", pr,
+                                             ipv).reshape(b, s, -1)
     return out @ p["o_w"] + p["o_b"]
 
 
 def _transformer_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
-                       num_heads: int) -> jnp.ndarray:
+                       num_heads: int, ip=None) -> jnp.ndarray:
     x = x + _attention(p["attn1"], layer_norm(p["norm1"], x),
                        layer_norm(p["norm1"], x), num_heads)
-    x = x + _attention(p["attn2"], layer_norm(p["norm2"], x), ctx, num_heads)
+    x = x + _attention(p["attn2"], layer_norm(p["norm2"], x), ctx, num_heads,
+                       ip=ip)
     y = layer_norm(p["norm3"], x) @ p["geglu_w"] + p["geglu_b"]
     y, gate = jnp.split(y, 2, axis=-1)
     y = y * jax.nn.gelu(gate, approximate=False)
@@ -164,13 +177,14 @@ def _resnet(p: Dict, x: jnp.ndarray, temb, groups: int = 32,
 
 
 def _attn_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray, num_heads: int,
-                groups: int = 32, eps: float = 1e-6) -> jnp.ndarray:
+                groups: int = 32, eps: float = 1e-6, ip=None) -> jnp.ndarray:
     b, h, w, c = x.shape
     res = x
     t = group_norm(p["norm"], x, groups, eps=eps).reshape(b, h * w, c)
     t = t @ p["proj_in_w"] + p["proj_in_b"]
-    for tp in p["transformer_blocks"]:
-        t = _transformer_block(tp, t, ctx, num_heads)
+    for di, tp in enumerate(p["transformer_blocks"]):
+        t = _transformer_block(tp, t, ctx, num_heads,
+                               ip=None if ip is None else ip.get(di))
     t = t @ p["proj_out_w"] + p["proj_out_b"]
     return t.reshape(b, h, w, c) + res
 
@@ -180,7 +194,8 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
                   groups: int = 32,
                   controlnet_res: Optional[List[jnp.ndarray]] = None,
                   motion: Optional[Dict] = None,
-                  video_batch: int = 1) -> jnp.ndarray:
+                  video_batch: int = 1,
+                  ipadapter: Optional[Dict] = None) -> jnp.ndarray:
     """sample (B, H, W, 4) NHWC latents + (B,) timestep + (B, 77, ctx) text
     embeddings -> predicted noise (B, H, W, 4)
     (reference: sd_unet.py:325-345 SDUNet.forward).
@@ -210,7 +225,8 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
         if kind == "res":
             x = _resnet(p, x, temb, groups)
         elif kind == "attn":
-            x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups)
+            x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups,
+                            ip=None if ipadapter is None else ipadapter.get(i))
         elif kind == "push":
             stack.append(x)
         elif kind == "pop":

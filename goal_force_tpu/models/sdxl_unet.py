@@ -71,7 +71,8 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
                     text_emb: jnp.ndarray, add_time_id: jnp.ndarray,
                     add_text_embeds: jnp.ndarray,
                     groups: int = 32,
-                    controlnet_res=None) -> jnp.ndarray:
+                    controlnet_res=None,
+                    ipadapter: Dict = None) -> jnp.ndarray:
     """sample (B, H, W, 4), timestep (B,), text_emb (B, S, 2048),
     add_time_id (6,) or (B*6,), add_text_embeds (B, 1280) -> (B, H, W, 4).
 
@@ -95,7 +96,7 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
     x = conv2d(params["conv_in"], sample)
     stack: List[jnp.ndarray] = [x]
     cn_applied = controlnet_res is None
-    for spec, p in zip(plan, params["blocks"]):
+    for i, (spec, p) in enumerate(zip(plan, params["blocks"])):
         kind = spec[0]
         if kind == "pop" and not cn_applied:
             x = x + controlnet_res[-1].astype(x.dtype)
@@ -106,7 +107,8 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
         if kind == "res":
             x = _resnet(p, x, temb, groups)
         elif kind == "attn":
-            x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups)
+            x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups,
+                            ip=None if ipadapter is None else ipadapter.get(i))
         elif kind == "push":
             stack.append(x)
         elif kind == "pop":

@@ -1,0 +1,159 @@
+"""Nexus-Gen: Qwen2.5-VL AR model heads + embedding merger + adapter.
+
+Reference parity:
+- AR model (/root/reference/diffsynth/models/nexus_gen_ar_model.py:74-504):
+  the Qwen2.5-VL backbone (models/qwen_vl.py here) plus a bias-free
+  vision_head (hidden -> hidden) whose outputs are the autoregressive image
+  embeddings (:447), and 81 learned image-prefill embeddings that stand in
+  for the target image tokens during prefill (:87, nexus_gen.py:139-143).
+- NexusGenImageEmbeddingMerger (nexus_gen_projector.py:255-370): N
+  bidirectional Qwen2.5-VL decoder layers over image embeddings with
+  FRACTIONAL M-RoPE positions rescaled to a 72x72 base grid (:327-355), then
+  an RMS/linear/RMS/silu/linear/RMS projector to the Flux text width.
+- NexusGenAdapter (nexus_gen_projector.py:389-401): linear/LayerNorm/ReLU/
+  linear/LayerNorm from 3584 to 4096.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.qwen_vl import (
+    QwenVLTextConfig,
+    _rms,
+    _text_block,
+    mrope_tables,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class NexusGenMergerConfig:
+    text: QwenVLTextConfig = QwenVLTextConfig()
+    num_layers: int = 1
+    out_channel: int = 4096
+    expand_ratio: int = 4
+    base_grid: int = 72
+    spatial_merge_size: int = 2
+    tokens_per_second: int = 2
+
+
+def merger_position_ids(grid_thw: Tuple[int, int, int],
+                        cfg: NexusGenMergerConfig) -> np.ndarray:
+    """Fractional (3, 1, S) position ids scaled to the base grid
+    (reference get_position_ids :327-355)."""
+    t, h, w = grid_thw
+    m = cfg.spatial_merge_size
+    gt, gh, gw = t, h // m, w // m
+    scale_h = cfg.base_grid / h
+    scale_w = cfg.base_grid / w
+    t_idx = np.repeat(np.arange(gt) * cfg.tokens_per_second, gh * gw)
+    h_idx = np.tile(np.repeat(np.arange(gh), gw), gt) * scale_h
+    w_idx = np.tile(np.arange(gw), gt * gh) * scale_w
+    return np.stack([t_idx, h_idx, w_idx]).astype(np.float32)[:, None, :]
+
+
+def nexus_gen_merger_forward(params: Dict, cfg: NexusGenMergerConfig,
+                             embeds: jnp.ndarray,
+                             grid_thw: Tuple[int, int, int],
+                             ref_embeds: Optional[jnp.ndarray] = None,
+                             ref_grid_thw: Optional[Tuple[int, int, int]] = None
+                             ) -> jnp.ndarray:
+    """embeds (B, S, 3584) -> projected embeddings (B, S[, +S_ref], out)
+    (reference forward :357-370; attention is fully bidirectional)."""
+    pos = merger_position_ids(grid_thw, cfg)
+    x = embeds
+    if ref_embeds is not None:
+        pos = np.concatenate([pos, merger_position_ids(ref_grid_thw, cfg)],
+                             axis=-1)
+        x = jnp.concatenate([embeds, ref_embeds], axis=1)
+    cos, sin = mrope_tables(cfg.text, jnp.asarray(pos))
+    b, s, _ = x.shape
+    no_mask = jnp.zeros((b, s, s), jnp.float32)
+    for i in range(cfg.num_layers):
+        p = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
+        x = _text_block(p, x, no_mask, cos, sin, cfg.text)
+    # projector: RMS -> linear -> RMS -> silu -> linear -> RMS (:319-323)
+    e = cfg.text.eps
+    x = _rms(x, params["proj_norm0"]["w"], e)
+    x = x @ params["proj_fc0"]["w"] + params["proj_fc0"]["b"]
+    x = _rms(x, params["proj_norm1"]["w"], e)
+    x = jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+    x = x @ params["proj_fc1"]["w"] + params["proj_fc1"]["b"]
+    return _rms(x, params["proj_norm2"]["w"], e)
+
+
+def nexus_gen_adapter_forward(params: Dict, x: jnp.ndarray,
+                              eps: float = 1e-5) -> jnp.ndarray:
+    """linear/LayerNorm/ReLU/linear/LayerNorm (reference :389-401)."""
+    def ln(p, v):
+        vf = v.astype(jnp.float32)
+        mu = vf.mean(-1, keepdims=True)
+        var = vf.var(-1, keepdims=True)
+        return (((vf - mu) * jax.lax.rsqrt(var + eps)) * p["scale"]
+                + p["bias"]).astype(v.dtype)
+
+    x = x @ params["fc0"]["w"] + params["fc0"]["b"]
+    x = jax.nn.relu(ln(params["ln0"], x))
+    x = x @ params["fc1"]["w"] + params["fc1"]["b"]
+    return ln(params["ln1"], x)
+
+
+def nexus_gen_image_embeddings(hidden_states: jnp.ndarray,
+                               vision_head: Dict) -> jnp.ndarray:
+    """AR image embeddings = vision_head(hidden) (reference :447)."""
+    return hidden_states @ vision_head["w"]
+
+
+# ---------------------------------------------------------------------------
+# Converters
+# ---------------------------------------------------------------------------
+
+def _lin(sd, pre, bias=True):
+    p = {"w": jnp.asarray(np.asarray(sd[pre + ".weight"]).T)}
+    if bias and pre + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[pre + ".bias"]))
+    return p
+
+
+def nexus_gen_merger_params_from_torch(sd, cfg: NexusGenMergerConfig) -> Dict:
+    g = lambda k: jnp.asarray(np.asarray(sd[k]))
+
+    def block(i):
+        pre = f"layers.{i}"
+        return {
+            "norm1": {"w": g(pre + ".input_layernorm.weight")},
+            "norm2": {"w": g(pre + ".post_attention_layernorm.weight")},
+            "q": _lin(sd, pre + ".self_attn.q_proj"),
+            "k": _lin(sd, pre + ".self_attn.k_proj"),
+            "v": _lin(sd, pre + ".self_attn.v_proj"),
+            "o": _lin(sd, pre + ".self_attn.o_proj", bias=False),
+            "gate": _lin(sd, pre + ".mlp.gate_proj", bias=False),
+            "up": _lin(sd, pre + ".mlp.up_proj", bias=False),
+            "down": _lin(sd, pre + ".mlp.down_proj", bias=False),
+        }
+
+    blocks = [block(i) for i in range(cfg.num_layers)]
+    return {
+        "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
+        "proj_norm0": {"w": g("projector.0.weight")},
+        "proj_fc0": _lin(sd, "projector.1"),
+        "proj_norm1": {"w": g("projector.2.weight")},
+        "proj_fc1": _lin(sd, "projector.4"),
+        "proj_norm2": {"w": g("projector.5.weight")},
+    }
+
+
+def nexus_gen_adapter_params_from_torch(sd) -> Dict:
+    g = lambda k: jnp.asarray(np.asarray(sd[k]))
+    return {
+        "fc0": _lin(sd, "adapter.0"),
+        "ln0": {"scale": g("adapter.1.weight"), "bias": g("adapter.1.bias")},
+        "fc1": _lin(sd, "adapter.3"),
+        "ln1": {"scale": g("adapter.4.weight"), "bias": g("adapter.4.bias")},
+    }

@@ -1,0 +1,383 @@
+"""Qwen2.5-VL backbone: GQA text decoder with M-RoPE + windowed vision tower.
+
+Used by two reference components: the Qwen-Image prompt embedder
+(/root/reference/diffsynth/models/qwenvl.py — last-layer hidden states of
+Qwen2_5_VLForConditionalGeneration) and the NexusGen autoregressive model
+(/root/reference/diffsynth/models/nexus_gen_ar_model.py — same backbone plus a
+vision_head and 81 learned image-prefill embeddings).
+
+Semantics mirrored from the reference's pinned transformers implementation:
+- text M-RoPE: per-(t,h,w) frequency tables, channel sections (16, 24, 24)
+  interleaved over the duplicated half-dims, split-half rotation
+  (apply_multimodal_rotary_pos_emb).
+- get_rope_index: vision spans get 3D (t, h, w) positions, text spans run
+  sequentially from the running max (+1) (nexus_gen_ar_model.py:110-285).
+- vision tower: 14x14x2 patch embed, 2D rotary over within-merge-block
+  (h, w) ids, window-partition reordering with per-window segment attention
+  (full attention at fullatt_block_indexes), RMS-normed blocks with biased
+  qkv and gated SwiGLU, then a 2x2 patch merger MLP and inverse reorder.
+
+TPU-first: the reference's varlen (cu_seqlens) attention becomes one dense
+segment-masked attention — static shapes, single fused kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenVLTextConfig:
+    hidden_size: int = 3584
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    intermediate_size: int = 18944
+    vocab: int = 152064
+    eps: float = 1e-6
+    rope_theta: float = 1e6
+    mrope_section: Tuple[int, ...] = (16, 24, 24)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenVLVisionConfig:
+    hidden_size: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    intermediate_size: int = 3420
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    in_channels: int = 3
+    spatial_merge_size: int = 2
+    out_hidden_size: int = 3584
+    window_size: int = 112
+    fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    rope_theta: float = 1e4
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)
+    return n.astype(x.dtype) * w
+
+
+def _rotate_half(x):
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-b, a], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Text decoder
+# ---------------------------------------------------------------------------
+
+def mrope_tables(cfg: QwenVLTextConfig, position_ids: jnp.ndarray):
+    """position_ids (3, B, S) -> cos/sin (B, S, head_dim) with the per-channel
+    (t, h, w) section layout of apply_multimodal_rotary_pos_emb."""
+    d2 = cfg.head_dim // 2
+    inv_freq = 1.0 / cfg.rope_theta ** (np.arange(0, cfg.head_dim, 2) / cfg.head_dim)
+    ang = position_ids[..., None].astype(jnp.float32) * inv_freq  # (3, B, S, d2)
+    sec = np.concatenate([np.full(n, i) for i, n in enumerate(cfg.mrope_section)])
+    onehot = jnp.asarray(np.eye(3)[sec].T[:, None, None, :])      # (3, 1, 1, d2)
+    cos_h = (jnp.cos(ang) * onehot).sum(0)
+    sin_h = (jnp.sin(ang) * onehot).sum(0)
+    return (jnp.concatenate([cos_h, cos_h], -1),
+            jnp.concatenate([sin_h, sin_h], -1))
+
+
+def _text_block(p, x, mask_bias, cos, sin, cfg: QwenVLTextConfig):
+    b, s, _ = x.shape
+    n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = _rms(x, p["norm1"]["w"], cfg.eps)
+    q = (h @ p["q"]["w"] + p["q"]["b"]).reshape(b, s, n, hd)
+    k = (h @ p["k"]["w"] + p["k"]["b"]).reshape(b, s, nk, hd)
+    v = (h @ p["v"]["w"] + p["v"]["b"]).reshape(b, s, nk, hd)
+    c = cos[:, :, None, :].astype(jnp.float32)
+    si = sin[:, :, None, :].astype(jnp.float32)
+    q = (q.astype(jnp.float32) * c + _rotate_half(q.astype(jnp.float32)) * si).astype(x.dtype)
+    k = (k.astype(jnp.float32) * c + _rotate_half(k.astype(jnp.float32)) * si).astype(x.dtype)
+    k = jnp.repeat(k, n // nk, axis=2)
+    v = jnp.repeat(v, n // nk, axis=2)
+    logits = jnp.einsum("bqnc,bknc->bnqk", q, k) / math.sqrt(hd)
+    logits = logits.astype(jnp.float32) + mask_bias[:, None]
+    probs = jax.nn.softmax(logits, -1).astype(x.dtype)
+    att = jnp.einsum("bnqk,bknc->bqnc", probs, v).reshape(b, s, n * hd)
+    x = x + att @ p["o"]["w"]
+
+    h = _rms(x, p["norm2"]["w"], cfg.eps)
+    g = jax.nn.silu((h @ p["gate"]["w"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + ((g * (h @ p["up"]["w"])) @ p["down"]["w"])
+    return x
+
+
+def qwen_vl_text_forward(params: Dict, cfg: QwenVLTextConfig,
+                         embeds: jnp.ndarray, attn_mask: jnp.ndarray,
+                         position_ids: jnp.ndarray) -> jnp.ndarray:
+    """embeds (B, S, H), attn_mask (B, S) 0/1 padding mask, position_ids
+    (3, B, S) -> final-norm hidden states (B, S, H)."""
+    b, s, _ = embeds.shape
+    cos, sin = mrope_tables(cfg, position_ids)
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    ok = causal[None] & (attn_mask[:, None, :] > 0)
+    mask_bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+    x = embeds
+    for i in range(cfg.num_layers):
+        p = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
+        x = _text_block(p, x, mask_bias, cos, sin, cfg)
+    return _rms(x, params["final_norm"]["w"], cfg.eps)
+
+
+def get_rope_index(input_ids: np.ndarray, image_grid_thw: Sequence[Tuple[int, int, int]],
+                   image_token_id: int, vision_start_token_id: int,
+                   spatial_merge_size: int = 2,
+                   tokens_per_second: int = 2) -> np.ndarray:
+    """Host-side 3D position ids (3, B, S) (reference get_rope_index
+    :110-285, image-only path, no padding)."""
+    b, s = input_ids.shape
+    out = np.zeros((3, b, s), np.int32)
+    for bi in range(b):
+        toks = input_ids[bi].tolist()
+        pos_list = []
+        st, img_idx = 0, 0
+        while True:
+            try:
+                ed = toks.index(image_token_id, st)
+            except ValueError:
+                break
+            text_len = ed - st
+            st_idx = pos_list[-1].max() + 1 if pos_list else 0
+            pos_list.append(np.tile(np.arange(text_len), (3, 1)) + st_idx)
+            t, h, w = image_grid_thw[img_idx]
+            gh, gw = h // spatial_merge_size, w // spatial_merge_size
+            # images use second_per_grid_t=0 -> all temporal ids 0 (:215)
+            t_idx = np.zeros(t * gh * gw, np.int64)
+            h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
+            w_idx = np.tile(np.arange(gw), t * gh)
+            pos_list.append(np.stack([t_idx, h_idx, w_idx]) + text_len + st_idx)
+            st = ed + t * gh * gw
+            img_idx += 1
+        if st < len(toks):
+            st_idx = pos_list[-1].max() + 1 if pos_list else 0
+            pos_list.append(np.tile(np.arange(len(toks) - st), (3, 1)) + st_idx)
+        out[:, bi] = np.concatenate(pos_list, axis=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+def vision_rot_tables(cfg: QwenVLVisionConfig,
+                      grid_thw: Sequence[Tuple[int, int, int]]) -> np.ndarray:
+    """Per-token (h, w) rotary angles, within-merge-block ordering
+    (rot_pos_emb). Returns (S, head_dim // 2)."""
+    m = cfg.spatial_merge_size
+    parts = []
+    for t, h, w in grid_thw:
+        hp = np.arange(h)[:, None] * np.ones((1, w), np.int64)
+        wp = np.ones((h, 1), np.int64) * np.arange(w)[None]
+        reorder = lambda a: a.reshape(h // m, m, w // m, m) \
+            .transpose(0, 2, 1, 3).reshape(-1)
+        ids = np.stack([reorder(hp), reorder(wp)], axis=-1)
+        parts.append(np.tile(ids, (t, 1)))
+    ids = np.concatenate(parts, axis=0)          # (S, 2)
+    d = cfg.head_dim // 2
+    inv_freq = 1.0 / cfg.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+    freqs = ids[..., None].astype(np.float64) * inv_freq   # (S, 2, d//2)
+    return freqs.reshape(ids.shape[0], -1).astype(np.float32)
+
+
+def vision_window_index(cfg: QwenVLVisionConfig,
+                        grid_thw: Sequence[Tuple[int, int, int]]):
+    """(window_index over merge units, per-token window segment ids, per-token
+    image segment ids) — host-side (get_window_index)."""
+    m = cfg.spatial_merge_size
+    unit = m * m
+    vw = cfg.window_size // m // cfg.patch_size
+    index_list, seg_sizes = [], []
+    base = 0
+    img_seg = []
+    for n_img, (t, h, w) in enumerate(grid_thw):
+        gh, gw = h // m, w // m
+        idx = np.arange(t * gh * gw).reshape(t, gh, gw)
+        pad_h, pad_w = (-gh) % vw, (-gw) % vw
+        nh, nw = (gh + pad_h) // vw, (gw + pad_w) // vw
+        padded = np.full((t, gh + pad_h, gw + pad_w), -100, np.int64)
+        padded[:, :gh, :gw] = idx
+        padded = padded.reshape(t, nh, vw, nw, vw).transpose(0, 1, 3, 2, 4) \
+            .reshape(t, nh * nw, vw, vw)
+        seqlens = (padded != -100).sum((2, 3)).reshape(-1)
+        flat = padded.reshape(-1)
+        keep = flat[flat != -100]
+        index_list.append(keep + base)
+        seg_sizes.extend([int(x) * unit for x in seqlens if x > 0])
+        base += t * gh * gw
+        img_seg.extend([n_img] * (t * gh * gw * unit))
+    window_index = np.concatenate(index_list)
+    win_seg = np.concatenate([np.full(n, i) for i, n in enumerate(seg_sizes)])
+    return window_index, win_seg, np.asarray(img_seg, np.int64)
+
+
+def _seg_attention(p, x, seg_ids, n_heads, eps):
+    """Dense segment-masked attention over the (S, D) token list."""
+    s, d = x.shape
+    hd = d // n_heads
+    qkv = x @ p["qkv"]["w"] + p["qkv"]["b"]
+    q, k, v = jnp.split(qkv.reshape(s, 3, n_heads, hd).transpose(1, 0, 2, 3),
+                        3, axis=0)
+    q, k, v = q[0], k[0], v[0]
+    cos, sin = p["_cos"], p["_sin"]
+    c = cos[:, None, :].astype(jnp.float32)
+    si = sin[:, None, :].astype(jnp.float32)
+    q = (q.astype(jnp.float32) * c + _rotate_half(q.astype(jnp.float32)) * si).astype(x.dtype)
+    k = (k.astype(jnp.float32) * c + _rotate_half(k.astype(jnp.float32)) * si).astype(x.dtype)
+    logits = jnp.einsum("qnc,knc->nqk", q, k) / math.sqrt(hd)
+    ok = seg_ids[:, None] == seg_ids[None, :]
+    logits = jnp.where(ok[None], logits.astype(jnp.float32),
+                       jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, -1).astype(x.dtype)
+    att = jnp.einsum("nqk,knc->qnc", probs, v).reshape(s, d)
+    return att @ p["proj"]["w"] + p["proj"]["b"]
+
+
+def qwen_vl_vision_forward(params: Dict, cfg: QwenVLVisionConfig,
+                           pixels: jnp.ndarray,
+                           grid_thw: Sequence[Tuple[int, int, int]]) -> jnp.ndarray:
+    """pixels (S, in_ch * tp * p * p) flattened patches (processor layout) ->
+    merged features (S / merge^2, out_hidden)."""
+    unit = cfg.spatial_merge_size ** 2
+    x = pixels.astype(params["patch_embed"]["w"].dtype) @ params["patch_embed"]["w"]
+    s = x.shape[0]
+
+    rot = vision_rot_tables(cfg, tuple(grid_thw))
+    widx, win_seg, img_seg = vision_window_index(cfg, tuple(grid_thw))
+    perm = (widx[:, None] * unit + np.arange(unit)[None]).reshape(-1)
+    x = x[jnp.asarray(perm)]
+    rot = rot[perm]
+    emb = np.concatenate([rot, rot], axis=-1)
+    cos, sin = jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+    img_seg_perm = jnp.asarray(img_seg[perm])
+    win_seg = jnp.asarray(win_seg)
+
+    for i in range(cfg.depth):
+        p = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
+        p = dict(p, attn=dict(p["attn"], _cos=cos, _sin=sin))
+        seg = img_seg_perm if i in cfg.fullatt_block_indexes else win_seg
+        h = _rms(x, p["norm1"]["w"], cfg.eps)
+        x = x + _seg_attention(p["attn"], h, seg, cfg.num_heads, cfg.eps)
+        h = _rms(x, p["norm2"]["w"], cfg.eps)
+        g = jax.nn.silu((h @ p["gate"]["w"] + p["gate"]["b"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + ((g * (h @ p["up"]["w"] + p["up"]["b"])) @ p["down"]["w"]
+                 + p["down"]["b"])
+
+    # merger: RMS norm then 2x2-unit MLP (Qwen2_5_VLPatchMerger)
+    x = _rms(x, params["merger"]["ln_q"]["w"], cfg.eps)
+    x = x.reshape(s // unit, unit * cfg.hidden_size)
+    x = jax.nn.gelu(x @ params["merger"]["fc0"]["w"] + params["merger"]["fc0"]["b"],
+                    approximate=False)
+    x = x @ params["merger"]["fc2"]["w"] + params["merger"]["fc2"]["b"]
+    inv = np.argsort(widx)
+    return x[jnp.asarray(inv)]
+
+
+# ---------------------------------------------------------------------------
+# Full model helpers
+# ---------------------------------------------------------------------------
+
+def qwen_vl_embed(params: Dict, cfg: QwenVLTextConfig, input_ids: jnp.ndarray,
+                  image_embeds: Optional[jnp.ndarray],
+                  image_token_id: int) -> jnp.ndarray:
+    """Token embeddings with image features scattered over image tokens
+    (reference nexus_gen_ar_model.py:357-377)."""
+    emb = jnp.asarray(params["wte"])[input_ids]
+    if image_embeds is not None:
+        mask = (input_ids == image_token_id).reshape(-1)
+        idx = jnp.cumsum(mask) - 1
+        flat = emb.reshape(-1, emb.shape[-1])
+        flat = jnp.where(mask[:, None],
+                         image_embeds.astype(emb.dtype)[jnp.clip(idx, 0)],
+                         flat)
+        emb = flat.reshape(emb.shape)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# Converters (HF naming)
+# ---------------------------------------------------------------------------
+
+def _lin(sd, pre, bias=True):
+    p = {"w": jnp.asarray(np.asarray(sd[pre + ".weight"]).T)}
+    if bias and pre + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[pre + ".bias"]))
+    return p
+
+
+def qwen_vl_text_params_from_torch(sd, cfg: QwenVLTextConfig,
+                                   prefix: str = "model.") -> Dict:
+    g = lambda k: jnp.asarray(np.asarray(sd[prefix + k]))
+
+    def block(i):
+        pre = f"{prefix}layers.{i}"
+        return {
+            "norm1": {"w": g(f"layers.{i}.input_layernorm.weight")},
+            "norm2": {"w": g(f"layers.{i}.post_attention_layernorm.weight")},
+            "q": _lin(sd, pre + ".self_attn.q_proj"),
+            "k": _lin(sd, pre + ".self_attn.k_proj"),
+            "v": _lin(sd, pre + ".self_attn.v_proj"),
+            "o": _lin(sd, pre + ".self_attn.o_proj", bias=False),
+            "gate": _lin(sd, pre + ".mlp.gate_proj", bias=False),
+            "up": _lin(sd, pre + ".mlp.up_proj", bias=False),
+            "down": _lin(sd, pre + ".mlp.down_proj", bias=False),
+        }
+
+    blocks = [block(i) for i in range(cfg.num_layers)]
+    return {
+        "wte": g("embed_tokens.weight"),
+        "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
+        "final_norm": {"w": g("norm.weight")},
+    }
+
+
+def qwen_vl_vision_params_from_torch(sd, cfg: QwenVLVisionConfig,
+                                     prefix: str = "visual.") -> Dict:
+    g = lambda k: jnp.asarray(np.asarray(sd[prefix + k]))
+
+    def block(i):
+        pre = f"{prefix}blocks.{i}"
+        return {
+            "norm1": {"w": g(f"blocks.{i}.norm1.weight")},
+            "norm2": {"w": g(f"blocks.{i}.norm2.weight")},
+            "attn": {"qkv": _lin(sd, pre + ".attn.qkv"),
+                     "proj": _lin(sd, pre + ".attn.proj")},
+            "gate": _lin(sd, pre + ".mlp.gate_proj"),
+            "up": _lin(sd, pre + ".mlp.up_proj"),
+            "down": _lin(sd, pre + ".mlp.down_proj"),
+        }
+
+    pw = np.asarray(sd[prefix + "patch_embed.proj.weight"])  # (D, C, tp, p, p)
+    blocks = [block(i) for i in range(cfg.depth)]
+    return {
+        "patch_embed": {"w": jnp.asarray(pw.reshape(pw.shape[0], -1).T)},
+        "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
+        "merger": {
+            "ln_q": {"w": g("merger.ln_q.weight")},
+            "fc0": _lin(sd, prefix + "merger.mlp.0"),
+            "fc2": _lin(sd, prefix + "merger.mlp.2"),
+        },
+    }

@@ -61,7 +61,9 @@ class StepVideoVAEConfig:
 
 
 def tiny_stepvideo_vae_config():
-    return StepVideoVAEConfig(enc_ch=4, enc_mult=(2, 2, 4, 4), dec_ch=8,
+    # constraint: block_in * 8 must divide/exceed 4*z*8 for the channel
+    # duplicating/averaging shortcuts (:273, :364)
+    return StepVideoVAEConfig(enc_ch=8, enc_mult=(2, 2, 4, 4), dec_ch=16,
                               dec_mult=(1, 1, 2, 2), num_res_blocks=1,
                               z_dim=4, groups=4)
 

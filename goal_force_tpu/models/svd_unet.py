@@ -416,3 +416,93 @@ def _ln(sd, pre):
             "bias": np.asarray(sd[pre + ".bias"])}
 
 
+
+def init_svd_unet(key, plan: Sequence[BlockSpec] = SVD_PLAN,
+                  model_dim: int = 320, time_dim: int = 1280,
+                  clip_dim: int = 1024, in_channels: int = 8,
+                  out_channels: int = 4, dtype=jnp.float32) -> Dict:
+    """Random params in the converter's layout (for tests / tiny pipelines)."""
+    rng = np.random.RandomState(0)
+    j = lambda a: jnp.asarray(a, dtype)
+    lin = lambda di, do: (j(rng.randn(di, do) * 0.05), j(np.zeros(do)))
+    conv = lambda ci, co, k=3: {"w": j(rng.randn(k, k, ci, co) * 0.05),
+                                "b": j(np.zeros(co))}
+    nrm = lambda c: {"scale": j(np.ones(c)), "bias": j(np.zeros(c))}
+
+    blocks = []
+    for spec in plan:
+        kind = spec[0]
+        if kind == "res":
+            ci, co = spec[1], spec[2]
+            tw, tb = lin(time_dim, co)
+            p = {"norm1": nrm(ci), "conv1": conv(ci, co), "temb_w": tw,
+                 "temb_b": tb, "norm2": nrm(co), "conv2": conv(co, co)}
+            if ci != co:
+                p["shortcut"] = conv(ci, co, k=1)
+            blocks.append(p)
+        elif kind == "tres":
+            ci, co = spec[1], spec[2]
+            tw, tb = lin(time_dim, co)
+            c3 = lambda a, b_: {"w": j(rng.randn(3, a, b_) * 0.05),
+                                "b": j(np.zeros(b_))}
+            p = {"norm1": nrm(ci), "conv1": c3(ci, co), "temb_w": tw,
+                 "temb_b": tb, "norm2": nrm(co), "conv2": c3(co, co)}
+            if ci != co:
+                p["shortcut"] = conv(ci, co, k=1)
+            blocks.append(p)
+        elif kind == "attn_np":
+            _, n, hd, c, ctx = spec[:5]
+            attn = lambda kv: {"q_w": lin(c, c)[0], "k_w": lin(kv, c)[0],
+                               "v_w": lin(kv, c)[0], "o_w": lin(c, c)[0],
+                               "o_b": j(np.zeros(c))}
+            tb_ = {"norm1": nrm(c), "attn1": attn(c), "norm2": nrm(c),
+                   "attn2": attn(ctx), "norm3": nrm(c),
+                   "geglu_w": lin(c, 8 * c)[0], "geglu_b": j(np.zeros(8 * c)),
+                   "ff_w": lin(4 * c, c)[0], "ff_b": j(np.zeros(c))}
+            piw, pib = lin(c, c)
+            blocks.append({"norm": nrm(c), "proj_in_w": piw, "proj_in_b": pib,
+                           "transformer_blocks": [tb_]})
+        elif kind == "tattn":
+            _, n, hd, c, ctx = spec[:5]
+            attn = lambda kv: {"q_w": lin(c, c)[0], "k_w": lin(kv, c)[0],
+                               "v_w": lin(kv, c)[0], "o_w": lin(c, c)[0],
+                               "o_b": j(np.zeros(c))}
+            pe_w1, pe_b1 = lin(c, 4 * c)
+            pe_w2, pe_b2 = lin(4 * c, c)
+            gi_w, gi_b = lin(c, 8 * c)
+            fi_w, fi_b = lin(4 * c, c)
+            go_w, go_b = lin(c, 8 * c)
+            fo_w, fo_b = lin(4 * c, c)
+            blocks.append({
+                "pe_w1": pe_w1, "pe_b1": pe_b1, "pe_w2": pe_w2, "pe_b2": pe_b2,
+                "norm_in": nrm(c), "geglu_in_w": gi_w, "geglu_in_b": gi_b,
+                "ff_in_w": fi_w, "ff_in_b": fi_b,
+                "norm1": nrm(c), "attn1": attn(c),
+                "norm2": nrm(c), "attn2": attn(ctx),
+                "norm_out": nrm(c), "geglu_out_w": go_w, "geglu_out_b": go_b,
+                "ff_out_w": fo_w, "ff_out_b": fo_b,
+            })
+        elif kind == "popmix":
+            p = {"mix_factor": j(np.zeros(1))}
+            if len(spec) > 1:
+                pw, pb = lin(spec[1], spec[1])
+                p["proj_w"], p["proj_b"] = pw, pb
+            blocks.append(p)
+        elif kind in ("down", "up"):
+            blocks.append({"conv": conv(spec[1], spec[1])})
+        else:
+            blocks.append({})
+    tw1, tb1 = lin(model_dim, time_dim)
+    tw2, tb2 = lin(time_dim, time_dim)
+    aw1, ab1 = lin(3 * 256, time_dim)
+    aw2, ab2 = lin(time_dim, time_dim)
+    return {
+        "time_w1": tw1, "time_b1": tb1, "time_w2": tw2, "time_b2": tb2,
+        "add_time_w1": aw1, "add_time_b1": ab1,
+        "add_time_w2": aw2, "add_time_b2": ab2,
+        "conv_in": conv(in_channels, model_dim),
+        "blocks": blocks,
+        "conv_norm_out": nrm(plan[-1][1] if plan[-1][0] != "popmix"
+                             else model_dim),
+        "conv_out": conv(model_dim, out_channels),
+    }

@@ -1,0 +1,162 @@
+"""OmniGen unified image-generation pipeline.
+
+Mirrors /root/reference/diffsynth/pipelines/omnigen_image.py: FlowMatch with
+inverted timesteps (shift 1, train steps 1, :124), sequence = [text (+ spliced
+reference-image latents), time token, output image], attention = causal over
+text, bidirectional within input-image spans and for the output image block
+(omnigen_prompter.py:187-231), three-way CFG
+cond = uncond + img_cfg*(img_cond - uncond) + cfg*(cond - img_cond)
+(omnigen.py:565-576), SDXL VAE (scaling 0.13025).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.omnigen import (
+    OmniGenConfig,
+    init_omnigen,
+    omnigen_forward,
+)
+from goal_force_tpu.schedulers import flow_match
+
+
+def omnigen_attention_mask(text_len: int, num_img_tokens: int,
+                           image_spans: Sequence[Tuple[int, int]] = ()
+                           ) -> np.ndarray:
+    """(1, S, S) 0/1 mask: causal text+time prefix, full-attention output image
+    block, bidirectional input-image spans (reference create_mask
+    :187-231, adjust_attention_for_input_images :226-231)."""
+    l = text_len + 1            # + time token
+    s = l + num_img_tokens
+    m = np.zeros((s, s), np.float32)
+    m[:l, :l] = np.tril(np.ones((l, l), np.float32))
+    m[l:, :] = 1.0
+    for (s0, s1) in image_spans:
+        m[s0:s1, s0:s1] = 1.0
+    return m[None]
+
+
+@dataclasses.dataclass
+class OmniGenImagePipeline:
+    transformer: Dict
+    vae_encoder: Optional[Dict]
+    vae_decoder: Dict
+    cfg: OmniGenConfig
+    vae_enc_plan: Tuple = ()
+    vae_dec_plan: Tuple = ()
+    vae_groups: int = 32
+    vae_scaling: float = 0.13025       # SDXL VAE
+    vae_factor: int = 8
+    tokenize: Optional[Callable] = None
+    dtype: object = jnp.bfloat16
+
+    @classmethod
+    def init_random(cls, key=None, dtype=jnp.float32) -> "OmniGenImagePipeline":
+        from goal_force_tpu.pipelines.sd import _init_tiny_vae
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 2)
+        cfg = OmniGenConfig(hidden_size=32, num_layers=2, num_heads=4,
+                            num_kv_heads=4, intermediate_size=48, vocab=96,
+                            original_max_positions=64, max_positions=64,
+                            pos_embed_max_size=16)
+        tf = init_omnigen(ks[0], cfg, dtype=dtype)
+        vae_e, vae_d, enc_plan, dec_plan = _init_tiny_vae(ks[1], dtype)
+        return cls(transformer=tf, vae_encoder=vae_e, vae_decoder=vae_d,
+                   cfg=cfg, vae_enc_plan=enc_plan, vae_dec_plan=dec_plan,
+                   vae_groups=4, dtype=dtype)
+
+    def _ids(self, text: str, length: int = 24) -> List[int]:
+        if self.tokenize is not None:
+            return list(self.tokenize(text))
+        from goal_force_tpu.pipelines.flux import _hash_ids
+
+        return list(np.asarray(_hash_ids(text, self.cfg.vocab, length)))
+
+    def __call__(
+        self,
+        prompt: str,
+        reference_images: Sequence[np.ndarray] = (),
+        cfg_scale: float = 2.5,
+        image_cfg_scale: float = 1.6,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 20,
+        seed: int = 0,
+    ) -> np.ndarray:
+        from goal_force_tpu.models.sd_vae import sd_vae_decode, sd_vae_encode
+
+        schedule = flow_match.make_schedule(
+            num_inference_steps, shift=1.0, sigma_min=0.0, sigma_max=1.0,
+            inverse_timesteps=True, num_train_timesteps=1)
+        h, w = height // self.vae_factor, width // self.vae_factor
+        n_img = (h // 2) * (w // 2)
+        latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
+                                    jnp.float32).astype(self.dtype)
+
+        # --- build the conditioning branches (prompter __call__ semantics) ---
+        ref_latents, spans, cond_ids = [], [], self._ids(prompt)
+        for img in reference_images:
+            lat = sd_vae_encode(self.vae_encoder, jnp.asarray(img)[None],
+                                self.vae_enc_plan, groups=self.vae_groups,
+                                scaling=self.vae_scaling)
+            size = (lat.shape[1] // 2) * (lat.shape[2] // 2)
+            spans.append((len(cond_ids), len(cond_ids) + size))
+            cond_ids = cond_ids + [0] * size
+            ref_latents.append(lat.astype(self.dtype))
+        uncond_ids = self._ids("")
+
+        branches = [
+            (cond_ids, ref_latents, spans),
+            (uncond_ids, [], []),
+        ]
+        if ref_latents:
+            # img-cond branch: references only, no text instruction
+            ic_ids = self._ids("")
+            ic_spans = []
+            for lat in ref_latents:
+                size = (lat.shape[1] // 2) * (lat.shape[2] // 2)
+                ic_spans.append((len(ic_ids), len(ic_ids) + size))
+                ic_ids = ic_ids + [0] * size
+            branches.append((ic_ids, ref_latents, ic_spans))
+
+        branch_fns = []
+        for ids, refs, sp in branches:
+            mask = jnp.asarray(omnigen_attention_mask(len(ids), n_img, sp))
+            id_arr = jnp.asarray(np.asarray(ids)[None], jnp.int32)
+            pos = jnp.asarray(np.arange(len(ids) + 1 + n_img)[None])
+            slices = [(0, s0, s1) for (s0, s1) in sp]
+
+            def fn(tf, lat, t, _ids=id_arr, _m=mask, _p=pos, _r=tuple(refs),
+                   _s=tuple(slices)):
+                return omnigen_forward(tf, self.cfg, lat, t, _ids, _m,
+                                       input_img_latents=list(_r),
+                                       image_slices=list(_s), position_ids=_p)
+
+            branch_fns.append(jax.jit(fn))
+
+        for i in range(len(schedule)):
+            t = jnp.full((1,), schedule.timesteps[i], self.dtype)
+            outs = [fn(self.transformer, latents, t) for fn in branch_fns]
+            if len(outs) == 3:
+                cond, uncond, img_cond = outs
+                v = uncond + image_cfg_scale * (img_cond - uncond) \
+                    + cfg_scale * (cond - img_cond)
+            else:
+                cond, uncond = outs
+                v = uncond + cfg_scale * (cond - uncond)
+            latents = flow_match.euler_step(latents, v.astype(latents.dtype),
+                                            schedule.sigmas[i],
+                                            schedule.sigma_next(i))
+        img = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
+                            self.vae_dec_plan, groups=self.vae_groups,
+                            scaling=self.vae_scaling)
+        return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

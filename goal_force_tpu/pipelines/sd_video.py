@@ -1,0 +1,124 @@
+"""SD/AnimateDiff text-to-video pipeline.
+
+Mirrors /root/reference/diffsynth/pipelines/sd_video.py: the SD-1.5 UNet run
+over all frames with AnimateDiff temporal modules applied after the mapped
+blocks (dancer.py via sd_unet_apply's motion hooks), EnhancedDDIM with LINEAR
+betas for original AnimateDiff (:70-72), CFG, per-frame VAE decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.sd_motion import SD_MOTION_CALL, init_motion_modules
+from goal_force_tpu.models.sd_unet import sd_unet_apply, tiny_sd_plan
+from goal_force_tpu.schedulers.ddim import ddim_step, make_ddim_schedule
+
+
+@dataclasses.dataclass
+class SDVideoPipeline:
+    unet: Dict
+    motion: Optional[Dict]
+    text_encoder: Dict
+    vae_decoder: Dict
+    plan: Tuple
+    text_cfg: object
+    groups: int = 32
+    vae_dec_plan: Tuple = ()
+    vae_groups: int = 32
+    tokenize: Optional[Callable] = None
+    dtype: object = jnp.float32
+
+    @classmethod
+    def init_random(cls, key=None, dtype=jnp.float32) -> "SDVideoPipeline":
+        from goal_force_tpu.models.clip import CLIPConfig, init_clip
+        from goal_force_tpu.models.sd_unet import init_sd_unet
+        from goal_force_tpu.pipelines.sd import _init_tiny_vae
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 4)
+        plan = tiny_sd_plan(ctx_dim=24)
+        unet = init_sd_unet(ks[0], plan, model_dim=8, time_dim=16, dtype=dtype)
+        # temporal modules after each attn block of the tiny plan
+        attn_ids = [i for i, s in enumerate(plan) if s[0] == "attn"]
+        call = {pi: j for j, pi in enumerate(attn_ids)}
+        channels = [plan[pi][3] for pi in attn_ids]
+        motion = init_motion_modules(ks[1], channels, call, heads=2,
+                                     dtype=dtype)
+        tcfg = CLIPConfig(vocab_size=64, text_dim=24, text_heads=2,
+                          text_layers=2, max_positions=12, image_size=14,
+                          patch_size=7, vision_dim=16, vision_heads=2,
+                          vision_layers=1, proj_dim=8)
+        te = init_clip(ks[2], tcfg, dtype)
+        _, vae_d, _, dec_plan = _init_tiny_vae(ks[3], dtype)
+        return cls(unet=unet, motion=motion, text_encoder=te,
+                   vae_decoder=vae_d, plan=plan, text_cfg=tcfg, groups=4,
+                   vae_dec_plan=dec_plan, vae_groups=4, dtype=dtype)
+
+    @functools.cached_property
+    def _denoise(self):
+        plan, groups = self.plan, self.groups
+        motion = self.motion  # closed over: its call map holds static indices
+
+        @jax.jit
+        def fn(unet, latents, t, ctx):
+            return sd_unet_apply(unet, plan, latents,
+                                 jnp.full((latents.shape[0],), t,
+                                          latents.dtype),
+                                 jnp.broadcast_to(
+                                     ctx, (latents.shape[0],) + ctx.shape[1:]),
+                                 groups=groups, motion=motion, video_batch=1)
+
+        return fn
+
+    def _encode_text(self, prompt):
+        from goal_force_tpu.models.sd_text_encoder import sd_text_encode
+        from goal_force_tpu.pipelines.flux import _hash_ids
+
+        ids = _hash_ids(prompt, self.text_cfg.vocab_size, 8)[None] \
+            if self.tokenize is None else np.asarray(self.tokenize(prompt))[None]
+        hidden = sd_text_encode(self.text_encoder, jnp.asarray(ids, jnp.int32),
+                                self.text_cfg, 1)
+        return hidden.astype(self.dtype)
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        cfg_scale: float = 7.5,
+        num_frames: int = 16,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 20,
+        seed: int = 0,
+        use_original_animatediff: bool = True,
+    ) -> np.ndarray:
+        from goal_force_tpu.models.sd_vae import sd_vae_decode
+
+        schedule = make_ddim_schedule(
+            num_inference_steps,
+            beta_schedule="linear" if use_original_animatediff
+            else "scaled_linear")
+        ctx_p = self._encode_text(prompt)
+        ctx_n = self._encode_text(negative_prompt)
+
+        h, w = height // 8, width // 8
+        latents = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (num_frames, h, w, 4),
+                                    jnp.float32).astype(self.dtype)
+        for i in range(len(schedule)):
+            t = float(schedule.timesteps[i])
+            e_p = self._denoise(self.unet, latents, t, ctx_p)
+            e_n = self._denoise(self.unet, latents, t, ctx_n)
+            eps = e_n + cfg_scale * (e_p - e_n)
+            latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
+        video = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
+                              self.vae_dec_plan, groups=self.vae_groups)
+        return np.asarray((video + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

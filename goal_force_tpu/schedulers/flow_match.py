@@ -50,6 +50,9 @@ def make_schedule(
     exponential_shift: bool = False,
     exponential_shift_mu: float | None = None,
     shift_terminal: float | None = None,
+    dynamic_shift_len: int | None = None,
+    inverse_timesteps: bool = False,
+    reverse_sigmas: bool = False,
 ) -> FlowMatchSchedule:
     """Build the sigma/timestep table.
 
@@ -61,8 +64,15 @@ def make_schedule(
         sigmas = np.linspace(sigma_start, sigma_min, num_steps + 1, dtype=np.float64)[:-1]
     else:
         sigmas = np.linspace(sigma_start, sigma_min, num_steps, dtype=np.float64)
+    if inverse_timesteps:
+        sigmas = sigmas[::-1].copy()
     if exponential_shift:
-        mu = exponential_shift_mu if exponential_shift_mu is not None else 0.0
+        if exponential_shift_mu is not None:
+            mu = exponential_shift_mu
+        elif dynamic_shift_len is not None:
+            mu = calculate_shift(dynamic_shift_len)
+        else:
+            mu = 0.0
         sigmas = math.exp(mu) / (math.exp(mu) + (1.0 / sigmas - 1.0))
     else:
         sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
@@ -70,6 +80,8 @@ def make_schedule(
         one_minus = 1.0 - sigmas
         scale = one_minus[-1] / (1.0 - shift_terminal)
         sigmas = 1.0 - one_minus / scale
+    if reverse_sigmas:
+        sigmas = 1.0 - sigmas
     timesteps = sigmas * num_train_timesteps
 
     weights = None
@@ -88,6 +100,15 @@ def make_schedule(
         training=training,
         training_weights=weights,
     )
+
+
+def calculate_shift(image_seq_len: int, base_seq_len: int = 256,
+                    max_seq_len: int = 8192, base_shift: float = 0.5,
+                    max_shift: float = 0.9) -> float:
+    """Sequence-length-dependent exponential-shift mu (reference
+    flow_match.py:114-126)."""
+    m = (max_shift - base_shift) / (max_seq_len - base_seq_len)
+    return image_seq_len * m + (base_shift - m * base_seq_len)
 
 
 def euler_step(sample: jnp.ndarray, velocity: jnp.ndarray, sigma, sigma_next) -> jnp.ndarray:

@@ -1,0 +1,96 @@
+"""NexusGen merger/adapter golden parity vs the reference projector module."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu.models.nexus_gen import (
+    NexusGenMergerConfig,
+    merger_position_ids,
+    nexus_gen_adapter_forward,
+    nexus_gen_adapter_params_from_torch,
+    nexus_gen_merger_forward,
+    nexus_gen_merger_params_from_torch,
+)
+from goal_force_tpu.models.qwen_vl import QwenVLTextConfig
+
+from conftest import reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference repo not mounted")
+
+if reference_available():
+    import importlib
+    import importlib.machinery
+    import sys
+
+    pkg = importlib.util.module_from_spec(
+        importlib.machinery.ModuleSpec("refmodels", None, is_package=True))
+    pkg.__path__ = ["/root/reference/diffsynth/models"]
+    sys.modules.setdefault("refmodels", pkg)
+    ref_pj = importlib.import_module("refmodels.nexus_gen_projector")
+
+
+def test_merger_golden_parity():
+    import torch
+
+    torch.manual_seed(0)
+    m = ref_pj.NexusGenImageEmbeddingMerger(num_layers=1,
+                                            out_channel=64).eval().float()
+    for p in m.parameters():
+        p.data = torch.randn_like(p.data) * 0.02
+
+    grid = (1, 18, 18)      # 81 merged tokens at merge size 2
+    emb = torch.randn(1, 81, 3584)
+    with torch.no_grad():
+        ref_out = m(emb, torch.tensor([list(grid)])).numpy()
+
+    cfg = NexusGenMergerConfig(text=QwenVLTextConfig(), num_layers=1,
+                               out_channel=64)
+    params = nexus_gen_merger_params_from_torch(
+        {k: v.numpy() for k, v in m.state_dict().items()}, cfg)
+    ours = nexus_gen_merger_forward(params, cfg, jnp.asarray(emb.numpy()),
+                                    grid)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-3, rtol=5e-3)
+
+
+def test_merger_with_reference_image():
+    import torch
+
+    torch.manual_seed(1)
+    m = ref_pj.NexusGenImageEmbeddingMerger(num_layers=1,
+                                            out_channel=32).eval().float()
+    for p in m.parameters():
+        p.data = torch.randn_like(p.data) * 0.02
+    grid, ref_grid = (1, 6, 6), (1, 4, 4)
+    emb = torch.randn(1, 9, 3584)
+    ref_emb = torch.randn(1, 4, 3584)
+    with torch.no_grad():
+        ref_out = m(emb, torch.tensor([list(grid)]), ref_emb,
+                    torch.tensor([list(ref_grid)])).numpy()
+    cfg = NexusGenMergerConfig(text=QwenVLTextConfig(), num_layers=1,
+                               out_channel=32)
+    params = nexus_gen_merger_params_from_torch(
+        {k: v.numpy() for k, v in m.state_dict().items()}, cfg)
+    ours = nexus_gen_merger_forward(params, cfg, jnp.asarray(emb.numpy()),
+                                    grid, jnp.asarray(ref_emb.numpy()),
+                                    ref_grid)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-3, rtol=5e-3)
+
+
+def test_adapter_golden_parity():
+    import torch
+
+    torch.manual_seed(0)
+    m = ref_pj.NexusGenAdapter(input_dim=24, output_dim=32).eval().float()
+    for p in m.parameters():
+        p.data = torch.randn_like(p.data) * 0.1
+    x = torch.randn(2, 5, 24)
+    with torch.no_grad():
+        ref_out = m(x).numpy()
+    params = nexus_gen_adapter_params_from_torch(
+        {k: v.numpy() for k, v in m.state_dict().items()})
+    ours = nexus_gen_adapter_forward(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-5, rtol=2e-4)

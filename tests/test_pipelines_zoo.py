@@ -1,0 +1,70 @@
+"""Smoke tests for the model-zoo pipelines (tiny random weights).
+
+The underlying models all have golden-parity tests; these verify the pipeline
+plumbing (schedulers, CFG composition, VAE wiring) runs end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_qwen_image_pipeline():
+    from goal_force_tpu.pipelines.qwen_image import QwenImagePipeline
+
+    pipe = QwenImagePipeline.init_random()
+    img = pipe("a paper crane", height=16, width=16, num_inference_steps=2)
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+
+
+def test_stepvideo_pipeline():
+    from goal_force_tpu.pipelines.step_video import StepVideoPipeline
+
+    pipe = StepVideoPipeline.init_random()
+    vid = pipe("lava flow", height=32, width=32, num_frames=17,
+               num_inference_steps=2)
+    assert vid.shape == (17, 32, 32, 3) and np.isfinite(vid).all()
+
+
+def test_svd_pipeline():
+    from goal_force_tpu.pipelines.svd_video import SVDVideoPipeline
+
+    pipe = SVDVideoPipeline.init_random()
+    img = np.zeros((16, 16, 3), np.float32)
+    vid = pipe(img, num_frames=3, height=16, width=16, num_inference_steps=2)
+    assert vid.shape[0] == 3 and np.isfinite(vid).all()
+
+
+def test_omnigen_pipeline_with_reference_image():
+    from goal_force_tpu.pipelines.omnigen_image import OmniGenImagePipeline
+
+    pipe = OmniGenImagePipeline.init_random()
+    ref = np.zeros((32, 32, 3), np.float32)
+    img = pipe("swap the cat for a dog", reference_images=[ref], height=32,
+               width=32, num_inference_steps=2)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
+def test_hunyuan_image_pipeline():
+    from goal_force_tpu.pipelines.hunyuan_image import HunyuanImagePipeline
+
+    pipe = HunyuanImagePipeline.init_random()
+    img = pipe("an ink-wash mountain", height=32, width=32,
+               num_inference_steps=2)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
+def test_sd_video_pipeline():
+    from goal_force_tpu.pipelines.sd_video import SDVideoPipeline
+
+    pipe = SDVideoPipeline.init_random()
+    vid = pipe("a dancing robot", num_frames=4, height=32, width=32,
+               num_inference_steps=2)
+    assert vid.shape == (4, 32, 32, 3) and np.isfinite(vid).all()
+
+
+def test_kolors_pipeline():
+    from goal_force_tpu.pipelines.kolors import KolorsPipeline
+
+    pipe = KolorsPipeline.init_random()
+    img = pipe("a red lantern", height=32, width=32, num_inference_steps=2)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()

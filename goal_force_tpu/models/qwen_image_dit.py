@@ -147,9 +147,15 @@ def qwen_image_dit_forward(
     prompt_emb: jnp.ndarray,       # (B, L, text_dim)
     remat: bool = False,
     attn_impl: str = "auto",
+    controlnet: Dict = None,       # blockwise controlnet params
+    controlnet_cond: jnp.ndarray = None,   # (B, S, in_dim) patchified cond
 ) -> jnp.ndarray:
     """QwenImageDiT.forward (:502-538). Returns image TOKENS (B, S, 64) like the
-    reference (the pipeline unpatchifies)."""
+    reference (the pipeline unpatchifies).
+
+    controlnet/controlnet_cond: blockwise Qwen-Image ControlNet — after every
+    block the image stream receives the zero-init residual of
+    qwen_image_controlnet.qwen_cn_block (reference qwen_image.py:37-45)."""
     from goal_force_tpu.models.sd_unet import timestep_embedding
 
     b, h, w, c = latents.shape
@@ -173,15 +179,32 @@ def qwen_image_dit_forward(
     img_rope = (jnp.asarray(icos), jnp.asarray(isin))
     txt_rope = (jnp.asarray(tcos), jnp.asarray(tsin))
 
+    cn_cond = None
+    if controlnet is not None and controlnet_cond is not None:
+        from goal_force_tpu.models.qwen_image_controlnet import (
+            qwen_cn_block_p,
+            qwen_cn_process_conditioning,
+        )
+
+        cn_cond = qwen_cn_process_conditioning(
+            controlnet, controlnet_cond.astype(dtype))
+
     def body(carry, p):
         xi, xt = carry
         xi = constrain(xi, "dp", "sp", None)
-        return qwen_block(p, xi, xt, temb, img_rope, txt_rope, cfg,
-                          attn_impl), None
+        if cn_cond is not None:
+            p, cn_p = p
+        xi, xt = qwen_block(p, xi, xt, temb, img_rope, txt_rope, cfg,
+                            attn_impl)
+        if cn_cond is not None:
+            xi = xi + qwen_cn_block_p(cn_p, xi, cn_cond, cfg.eps)
+        return (xi, xt), None
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])
+    xs = params["blocks"] if cn_cond is None \
+        else (params["blocks"], controlnet["blocks"])
+    (img, txt), _ = jax.lax.scan(body, (img, txt), xs)
 
     # AdaLayerNorm single: scale FIRST (sd3_dit.py :96-98)
     e = linear(params["norm_out"],

@@ -72,7 +72,9 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
                     add_text_embeds: jnp.ndarray,
                     groups: int = 32,
                     controlnet_res=None,
-                    ipadapter: Dict = None) -> jnp.ndarray:
+                    ipadapter: Dict = None,
+                    motion: Dict = None,
+                    video_batch: int = 1) -> jnp.ndarray:
     """sample (B, H, W, 4), timestep (B,), text_emb (B, S, 2048),
     add_time_id (6,) or (B*6,), add_text_embeds (B, 1280) -> (B, H, W, 4).
 
@@ -119,6 +121,11 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
             bb, h, w, c = x.shape
             x = jax.image.resize(x, (bb, 2 * h, 2 * w, c), "nearest")
             x = conv2d(p["conv"], x)
+        if motion is not None and i in motion["call"]:
+            from goal_force_tpu.models.sd_motion import temporal_block_apply
+
+            x = temporal_block_apply(motion["modules"][motion["call"][i]], x,
+                                     groups=groups, video_batch=video_batch)
     x = jax.nn.silu(group_norm(params["conv_norm_out"], x, groups))
     return conv2d(params["conv_out"], x)
 

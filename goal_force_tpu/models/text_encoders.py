@@ -185,3 +185,100 @@ def step1_params_from_torch(sd, cfg: Step1Config) -> Dict:
         "word_emb": g_("tok_embeddings.word_embeddings.weight"),
         "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
     }
+
+
+# ---------------------------------------------------------------------------
+# Llama (HunyuanVideo LLM text encoder)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """HunyuanVideo's llava-llama-3-8B text tower (reference
+    hunyuan_video_text_encoder.py:6-49)."""
+
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    intermediate_size: int = 14336
+    vocab: int = 128320
+    eps: float = 1e-5
+    rope_theta: float = 500000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def _rotate_half(x):
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-b, a], axis=-1)
+
+
+def llama_encode(params: Dict, cfg: LlamaConfig, input_ids: jnp.ndarray,
+                 attention_mask: jnp.ndarray,
+                 hidden_state_skip_layer: int = 2) -> jnp.ndarray:
+    """(B, S) ids + 0/1 mask -> hidden states with the LAST
+    hidden_state_skip_layer layers skipped (reference forward :15-49; no
+    final norm)."""
+    b, s = input_ids.shape
+    n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    inv_freq = 1.0 / cfg.rope_theta ** (np.arange(0, hd, 2) / hd)
+    ang = np.arange(s)[:, None] * inv_freq[None]
+    cos = jnp.asarray(np.concatenate([np.cos(ang), np.cos(ang)], -1),
+                      jnp.float32)[None, :, None, :]
+    sin = jnp.asarray(np.concatenate([np.sin(ang), np.sin(ang)], -1),
+                      jnp.float32)[None, :, None, :]
+
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    ok = causal[None] & (attention_mask[:, None, :] > 0)
+    bias = jnp.where(ok[:, None], 0.0, jnp.finfo(jnp.float32).min)
+
+    x = jnp.asarray(params["word_emb"])[input_ids]
+    keep = cfg.num_layers - hidden_state_skip_layer
+    for i in range(keep):
+        p = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
+        h = _rms(x, p["norm1"]["w"], cfg.eps)
+        q = (h @ p["q"]["w"]).reshape(b, s, n, hd)
+        k = (h @ p["k"]["w"]).reshape(b, s, nk, hd)
+        v = (h @ p["v"]["w"]).reshape(b, s, nk, hd)
+        q = (q.astype(jnp.float32) * cos
+             + _rotate_half(q.astype(jnp.float32)) * sin).astype(x.dtype)
+        k = (k.astype(jnp.float32) * cos
+             + _rotate_half(k.astype(jnp.float32)) * sin).astype(x.dtype)
+        k = jnp.repeat(k, n // nk, axis=2)
+        v = jnp.repeat(v, n // nk, axis=2)
+        logits = jnp.einsum("bqnc,bknc->bnqk", q, k) / math.sqrt(hd)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias,
+                               -1).astype(x.dtype)
+        att = jnp.einsum("bnqk,bknc->bqnc", probs, v).reshape(b, s, -1)
+        x = x + att @ p["o"]["w"]
+        h = _rms(x, p["norm2"]["w"], cfg.eps)
+        gate = jax.nn.silu((h @ p["gate"]["w"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + (gate * (h @ p["up"]["w"])) @ p["down"]["w"]
+    return x
+
+
+def llama_params_from_torch(sd, cfg: LlamaConfig, prefix: str = "") -> Dict:
+    g = lambda k: jnp.asarray(np.asarray(sd[prefix + k]))
+
+    def block(i):
+        pre = f"{prefix}layers.{i}"
+        t = lambda k: jnp.asarray(np.asarray(sd[pre + k]).T)
+        return {
+            "norm1": {"w": g(f"layers.{i}.input_layernorm.weight")},
+            "norm2": {"w": g(f"layers.{i}.post_attention_layernorm.weight")},
+            "q": {"w": t(".self_attn.q_proj.weight")},
+            "k": {"w": t(".self_attn.k_proj.weight")},
+            "v": {"w": t(".self_attn.v_proj.weight")},
+            "o": {"w": t(".self_attn.o_proj.weight")},
+            "gate": {"w": t(".mlp.gate_proj.weight")},
+            "up": {"w": t(".mlp.up_proj.weight")},
+            "down": {"w": t(".mlp.down_proj.weight")},
+        }
+
+    blocks = [block(i) for i in range(cfg.num_layers)]
+    return {
+        "word_emb": g("embed_tokens.weight"),
+        "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
+    }

@@ -123,19 +123,25 @@ class FluxPipeline:
 
         @functools.partial(jax.jit, static_argnames=("use_cfg",), donate_argnums=(1,))
         def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
-               guidance, cfg_scale, use_cfg):
+               guidance, cfg_scale, use_cfg, cn_res=None, cn_single_res=None):
             b = latents.shape[0]
             if use_cfg:
                 x = jnp.concatenate([latents, latents], axis=0)
                 t = jnp.concatenate([timestep, timestep], axis=0)
                 g = jnp.concatenate([guidance, guidance], axis=0)
+                tile = lambda r: None if r is None else \
+                    jnp.concatenate([r, r], axis=1)
                 v = flux_dit_forward(dit, cfg, x, t, prompt_emb, pooled, g,
-                                     attn_impl=attn_impl)
+                                     attn_impl=attn_impl,
+                                     controlnet_res=tile(cn_res),
+                                     controlnet_single_res=tile(cn_single_res))
                 v = v[b:] + cfg_scale * (v[:b] - v[b:])
             else:
                 v = flux_dit_forward(dit, cfg, latents, timestep,
                                      prompt_emb[:b], pooled[:b], guidance,
-                                     attn_impl=attn_impl)
+                                     attn_impl=attn_impl,
+                                     controlnet_res=cn_res,
+                                     controlnet_single_res=cn_single_res)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
         return fn
@@ -176,8 +182,16 @@ class FluxPipeline:
         sigma_shift: Optional[float] = None,
         seed: int = 0,
         progress: bool = False,
+        controlnet: Optional[Dict] = None,         # flux_controlnet params+cfg
+        controlnet_image: Optional[np.ndarray] = None,   # (H, W, 3) in [0,1]
+        controlnet_mode: Optional[int] = None,
     ) -> np.ndarray:
-        """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560)."""
+        """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
+
+        controlnet: {"params": ..., "cfg": FluxControlNetConfig}; the control
+        image is VAE-encoded and the per-block residual stacks are recomputed
+        each step and fed into the DiT scans (reference flux_dit.py:728,792,808).
+        """
         schedule = fm.make_schedule(
             num_steps=num_inference_steps,
             shift=FLUX_SHIFT if sigma_shift is None else sigma_shift,
@@ -200,6 +214,24 @@ class FluxPipeline:
             latents = fm.add_noise(z, latents, schedule.sigmas[0])
 
         guidance = jnp.full((1,), embedded_guidance, self.dtype)
+
+        cn_fn = None
+        if controlnet is not None and controlnet_image is not None:
+            from goal_force_tpu.models.flux_controlnet import (
+                flux_controlnet_forward,
+            )
+
+            cimg = jnp.asarray(controlnet_image, jnp.float32)[None] * 2.0 - 1.0
+            cond_lat = self._encode(self.vae_encoder, cimg).astype(self.dtype)
+            cn_params, cn_cfg = controlnet["params"], controlnet["cfg"]
+
+            @jax.jit
+            def cn_fn(lat, t):
+                return flux_controlnet_forward(
+                    cn_params, cn_cfg, lat, cond_lat, t,
+                    prompt_emb[:1], pooled[:1], guidance,
+                    mode_id=controlnet_mode)
+
         it = range(len(schedule))
         if progress:
             import tqdm
@@ -207,9 +239,13 @@ class FluxPipeline:
             it = tqdm.tqdm(it)
         for i in it:
             tstep = jnp.full((1,), float(schedule.timesteps[i]), self.dtype)
+            cn_res = cn_single_res = None
+            if cn_fn is not None:
+                cn_res, cn_single_res = cn_fn(latents, tstep)
             latents = self._denoise_step(
                 self.dit, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
                 prompt_emb, pooled, guidance, cfg_scale, use_cfg,
+                cn_res, cn_single_res,
             )
         img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

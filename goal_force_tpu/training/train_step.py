@@ -114,13 +114,25 @@ def make_train_step(
         video = video.astype(vae_dtype)
         batch = dict(batch, video=video, control=batch["control"].astype(vae_dtype))
 
+        # Spatially shard the pixel-space VAE activations over (sp, tp): GSPMD
+        # partitions the convs (automatic halo exchange), dividing the encoder's
+        # transient HBM by the mesh's sp*tp (the v5p memcheck measured 92 GB of
+        # per-chip temps with replicated H/W)
+        from goal_force_tpu.parallel.mesh import constrain
+
+        shard_px = lambda v: constrain(v, "dp", None, "sp", "tp", None)
+        video = shard_px(video)
+        control_px = shard_px(batch["control"])
+
         # Conditioning (inside the step, as the reference does on-GPU — SURVEY §3.2)
-        x0 = vaem.encode_video(frozen["vae"], vae_cfg, video)
-        control_latents = vaem.encode_video(frozen["vae"], vae_cfg, batch["control"])
+        enc = jax.checkpoint(lambda v: vaem.encode_video(frozen["vae"], vae_cfg, v),
+                             prevent_cse=False)
+        x0 = enc(video)
+        control_latents = enc(control_px)
         first = jnp.concatenate(
             [video[:, :1], jnp.zeros_like(video[:, 1:])], axis=1
         )
-        cond = vaem.encode_video(frozen["vae"], vae_cfg, first)
+        cond = enc(shard_px(first))
         lat_f = (t - 1) // 4 + 1
         mask = jnp.asarray(build_i2v_mask(t, lat_f, cond.shape[2], cond.shape[3]))
         y = jnp.concatenate([jnp.broadcast_to(mask[None], (*cond.shape[:-1], 4)), cond], axis=-1)

@@ -68,3 +68,23 @@ def test_kolors_pipeline():
     pipe = KolorsPipeline.init_random()
     img = pipe("a red lantern", height=32, width=32, num_inference_steps=2)
     assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
+def test_tiled_vae_decode_matches_full():
+    import jax
+    import jax.numpy as jnp
+
+    from goal_force_tpu.models.sd_vae import sd_vae_decode
+    from goal_force_tpu.pipelines.sd import _init_tiny_vae
+    from goal_force_tpu.utils.tiler import tiled_forward_2d
+
+    _, vae_d, _, dec_plan = _init_tiny_vae(jax.random.PRNGKey(0), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4)) * 0.2
+    full = sd_vae_decode(vae_d, z, dec_plan, groups=4)
+    tiled = tiled_forward_2d(
+        lambda t: sd_vae_decode(vae_d, t, dec_plan, groups=4),
+        z, tile_size=12, tile_stride=8, scale=8)
+    assert tiled.shape == full.shape
+    # interior matches closely; borders blend (reference contract)
+    diff = np.abs(np.asarray(tiled) - np.asarray(full))
+    assert np.median(diff) < 2e-2

@@ -43,17 +43,27 @@ from goal_force_tpu.parallel.mesh import constrain
 
 @lru_cache(maxsize=8)
 def flux_rope_tables(text_len: int, grid_h: int, grid_w: int,
-                     axes_dim: Tuple[int, ...], theta: float):
-    """(S_total, head_dim//2) f32 cos/sin for cat(text_ids=0, image_ids).
+                     axes_dim: Tuple[int, ...], theta: float,
+                     kontext_grids: Tuple[Tuple[int, int], ...] = ()):
+    """(S_total, head_dim//2) f32 cos/sin for cat(text_ids=0, image_ids
+    [, kontext_ids]).
 
     image ids: (0, row, col) per latent 2x2 patch (reference prepare_image_ids
-    :307-321); per-axis angles pos/theta^(2j/dim_i) (reference rope() :23-36,
-    computed in f64 there and here on host).
+    :307-321); kontext reference images use axis-0 id 1
+    (flux_image_new.py:654-655); per-axis angles pos/theta^(2j/dim_i)
+    (reference rope() :23-36, computed in f64 there and here on host).
     """
     s_img = grid_h * grid_w
-    ids = np.zeros((text_len + s_img, 3), np.float64)
-    ids[text_len:, 1] = np.repeat(np.arange(grid_h), grid_w)
-    ids[text_len:, 2] = np.tile(np.arange(grid_w), grid_h)
+    s_k = sum(gh * gw for gh, gw in kontext_grids)
+    ids = np.zeros((text_len + s_img + s_k, 3), np.float64)
+    ids[text_len:text_len + s_img, 1] = np.repeat(np.arange(grid_h), grid_w)
+    ids[text_len:text_len + s_img, 2] = np.tile(np.arange(grid_w), grid_h)
+    off = text_len + s_img
+    for gh, gw in kontext_grids:
+        ids[off:off + gh * gw, 0] = 1.0
+        ids[off:off + gh * gw, 1] = np.repeat(np.arange(gh), gw)
+        ids[off:off + gh * gw, 2] = np.tile(np.arange(gw), gh)
+        off += gh * gw
     parts_cos, parts_sin = [], []
     for i, d in enumerate(axes_dim):
         omega = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
@@ -201,6 +211,7 @@ def flux_dit_forward(
     attn_impl: str = "auto",
     controlnet_res: Optional[jnp.ndarray] = None,         # (19, B, S_img, D)
     controlnet_single_res: Optional[jnp.ndarray] = None,  # (38, B, S_img, D)
+    kontext_latents: Optional[jnp.ndarray] = None,        # (B, Hk, Wk, 16)
 ) -> jnp.ndarray:
     """Full MMDiT forward (reference FluxDiT.forward :406-472). Returns the velocity
     prediction with the input latent shape.
@@ -208,15 +219,25 @@ def flux_dit_forward(
     controlnet_res / controlnet_single_res: per-block residual stacks from
     flux_controlnet_forward, added to the image stream after each joint block and
     to the image part of the merged stream after each single block (reference
-    :792,808)."""
+    :792,808).
+    kontext_latents: Flux-Kontext reference image latents appended to the
+    image token stream with axis-0 rope id 1; the output keeps only the
+    original image tokens (reference flux_image_new.py:1221-1224)."""
     b, h, w, _ = latents.shape
     gh, gw = h // 2, w // 2
     temb = time_cond(params, cfg, timestep, pooled_prompt_emb, guidance)
     x = linear(params["x_embedder"], patchify2d(latents))
+    s_img = x.shape[1]
+    kontext_grids = ()
+    if kontext_latents is not None:
+        kg = (kontext_latents.shape[1] // 2, kontext_latents.shape[2] // 2)
+        kontext_grids = (kg,)
+        xk = linear(params["x_embedder"], patchify2d(kontext_latents))
+        x = jnp.concatenate([x, xk], axis=1)
     txt = linear(params["context_embedder"], prompt_emb.astype(x.dtype))
     t_len = txt.shape[1]
     cos_np, sin_np = flux_rope_tables(t_len, gh, gw, tuple(cfg.axes_dim),
-                                      cfg.rope_theta)
+                                      cfg.rope_theta, kontext_grids)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
     def joint_body(carry, sc):
@@ -240,12 +261,15 @@ def flux_dit_forward(
         joint_body = jax.checkpoint(joint_body, prevent_cse=False)
         single_body = jax.checkpoint(single_body, prevent_cse=False)
 
+    pad_res = lambda r: r if (r is None or x.shape[1] == s_img) else \
+        jnp.pad(r, ((0, 0), (0, 0), (0, x.shape[1] - s_img), (0, 0)))
     (x, txt), _ = jax.lax.scan(joint_body, (x, txt),
-                               (params["joint_blocks"], controlnet_res))
+                               (params["joint_blocks"], pad_res(controlnet_res)))
     merged = jnp.concatenate([txt, x], axis=1)
     merged, _ = jax.lax.scan(single_body, merged,
-                             (params["single_blocks"], controlnet_single_res))
-    x = merged[:, t_len:]
+                             (params["single_blocks"],
+                              pad_res(controlnet_single_res)))
+    x = merged[:, t_len:t_len + s_img]
 
     # AdaLayerNormContinuous: scale FIRST in the chunk order (reference :270-274)
     e = linear(params["final_norm"], jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))

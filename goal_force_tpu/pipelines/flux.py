@@ -123,7 +123,8 @@ class FluxPipeline:
 
         @functools.partial(jax.jit, static_argnames=("use_cfg",), donate_argnums=(1,))
         def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
-               guidance, cfg_scale, use_cfg, cn_res=None, cn_single_res=None):
+               guidance, cfg_scale, use_cfg, cn_res=None, cn_single_res=None,
+               kontext=None):
             b = latents.shape[0]
             if use_cfg:
                 x = jnp.concatenate([latents, latents], axis=0)
@@ -131,17 +132,21 @@ class FluxPipeline:
                 g = jnp.concatenate([guidance, guidance], axis=0)
                 tile = lambda r: None if r is None else \
                     jnp.concatenate([r, r], axis=1)
+                k2 = None if kontext is None else \
+                    jnp.concatenate([kontext, kontext], axis=0)
                 v = flux_dit_forward(dit, cfg, x, t, prompt_emb, pooled, g,
                                      attn_impl=attn_impl,
                                      controlnet_res=tile(cn_res),
-                                     controlnet_single_res=tile(cn_single_res))
+                                     controlnet_single_res=tile(cn_single_res),
+                                     kontext_latents=k2)
                 v = v[b:] + cfg_scale * (v[:b] - v[b:])
             else:
                 v = flux_dit_forward(dit, cfg, latents, timestep,
                                      prompt_emb[:b], pooled[:b], guidance,
                                      attn_impl=attn_impl,
                                      controlnet_res=cn_res,
-                                     controlnet_single_res=cn_single_res)
+                                     controlnet_single_res=cn_single_res,
+                                     kontext_latents=kontext)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
         return fn
@@ -185,6 +190,7 @@ class FluxPipeline:
         controlnet: Optional[Dict] = None,         # flux_controlnet params+cfg
         controlnet_image: Optional[np.ndarray] = None,   # (H, W, 3) in [0,1]
         controlnet_mode: Optional[int] = None,
+        kontext_image: Optional[np.ndarray] = None,      # (H, W, 3) in [0,1]
     ) -> np.ndarray:
         """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
 
@@ -232,6 +238,11 @@ class FluxPipeline:
                     prompt_emb[:1], pooled[:1], guidance,
                     mode_id=controlnet_mode)
 
+        kontext = None
+        if kontext_image is not None:
+            kimg = jnp.asarray(kontext_image, jnp.float32)[None] * 2.0 - 1.0
+            kontext = self._encode(self.vae_encoder, kimg).astype(self.dtype)
+
         it = range(len(schedule))
         if progress:
             import tqdm
@@ -245,7 +256,7 @@ class FluxPipeline:
             latents = self._denoise_step(
                 self.dit, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
                 prompt_emb, pooled, guidance, cfg_scale, use_cfg,
-                cn_res, cn_single_res,
+                cn_res, cn_single_res, kontext,
             )
         img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

@@ -92,7 +92,7 @@ def _heads(x, n):
 
 
 def joint_block(p, x_img, x_txt, temb, cos, sin, cfg: FluxDiTConfig,
-                attn_impl: str = "auto"):
+                attn_impl: str = "auto", attn_bias=None):
     """One double-stream block (reference FluxJointTransformerBlock :132-149)."""
     n = cfg.num_heads
     sm_a, sc_a, g_a, smlp_a, scmlp_a, gmlp_a = _ada_mod(p["norm1_a"], temb, 6)
@@ -117,7 +117,7 @@ def joint_block(p, x_img, x_txt, temb, cos, sin, cfg: FluxDiTConfig,
     q = constrain(q, "dp", None, ("sp", "tp"), None)
     k = constrain(k, "dp", None, ("sp", "tp"), None)
     v = constrain(v, "dp", None, ("sp", "tp"), None)
-    out = attention(q, k, v, impl=attn_impl)
+    out = attention(q, k, v, impl=attn_impl, bias=attn_bias)
     out = constrain(out, "dp", "sp", None, None)
     b, s, _, _ = out.shape
     out = out.reshape(b, s, cfg.dim)
@@ -135,7 +135,8 @@ def joint_block(p, x_img, x_txt, temb, cos, sin, cfg: FluxDiTConfig,
     return x_img, x_txt
 
 
-def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig, attn_impl: str = "auto"):
+def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig,
+                 attn_impl: str = "auto", attn_bias=None):
     """One single-stream block (reference FluxSingleTransformerBlock :246-259):
     fused qkv+mlp projection, parallel attention+GELU, joint output projection."""
     n = cfg.num_heads
@@ -151,7 +152,7 @@ def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig, attn_impl: str = "aut
     q = constrain(q, "dp", None, ("sp", "tp"), None)
     k = constrain(k, "dp", None, ("sp", "tp"), None)
     v = constrain(_heads(v, n), "dp", None, ("sp", "tp"), None)
-    att = attention(q, k, v, impl=attn_impl)
+    att = attention(q, k, v, impl=attn_impl, bias=attn_bias)
     att = constrain(att, "dp", "sp", None, None).reshape(x.shape[0], x.shape[1], d)
     out = linear(p["proj_out"], jnp.concatenate([att, gelu_tanh(mlp)], axis=-1))
     return x + gate * out
@@ -166,6 +167,37 @@ def _mlp_embed(p, x):
     reference sd3_dit.py:74-76, flux_dit.py:284)."""
     h = linear(p["fc0"], x)
     return linear(p["fc2"], jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype))
+
+
+def eligen_entity_bias(entity_masks: jnp.ndarray, txt_len: int,
+                       s_img: int) -> jnp.ndarray:
+    """EliGen attention bias (B, 1, S, S), S = (M+1)*txt_len + s_img.
+
+    Reference construct_mask (flux_dit.py:343-376): each entity's prompt block
+    attends only its own image patches (and vice versa), entity prompts don't
+    attend each other, the global prompt (appended LAST) and image-image
+    attention stay dense. entity_masks: (B, M, H, W) binary at latent
+    resolution."""
+    b, m, h, w = entity_masks.shape
+    patch = entity_masks.reshape(b, m, h // 2, 2, w // 2, 2)
+    patch = (patch.sum((3, 5)) > 0).reshape(b, m, s_img)
+    n = m + 1                                      # + global prompt
+    s = n * txt_len + s_img
+    mask = jnp.ones((b, s, s), bool)
+    img0 = n * txt_len
+    for i in range(m):
+        p0, p1 = i * txt_len, (i + 1) * txt_len
+        im = jnp.repeat(patch[:, i][:, None], txt_len, axis=1)  # (B, L, S_img)
+        mask = mask.at[:, p0:p1, img0:].set(im)
+        mask = mask.at[:, img0:, p0:p1].set(im.transpose(0, 2, 1))
+    # ALL distinct prompt blocks are mutually masked — including the global
+    # prompt appended last (reference loops over N = m+1 blocks :363-370)
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                mask = mask.at[:, i * txt_len:(i + 1) * txt_len,
+                               j * txt_len:(j + 1) * txt_len].set(False)
+    return jnp.where(mask, 0.0, -jnp.inf)[:, None]
 
 
 def patchify2d(x):
@@ -212,6 +244,8 @@ def flux_dit_forward(
     controlnet_res: Optional[jnp.ndarray] = None,         # (19, B, S_img, D)
     controlnet_single_res: Optional[jnp.ndarray] = None,  # (38, B, S_img, D)
     kontext_latents: Optional[jnp.ndarray] = None,        # (B, Hk, Wk, 16)
+    entity_prompt_emb: Optional[jnp.ndarray] = None,      # (B, M, L, text_dim)
+    entity_masks: Optional[jnp.ndarray] = None,           # (B, M, H, W)
 ) -> jnp.ndarray:
     """Full MMDiT forward (reference FluxDiT.forward :406-472). Returns the velocity
     prediction with the input latent shape.
@@ -234,7 +268,20 @@ def flux_dit_forward(
         kontext_grids = (kg,)
         xk = linear(params["x_embedder"], patchify2d(kontext_latents))
         x = jnp.concatenate([x, xk], axis=1)
-    txt = linear(params["context_embedder"], prompt_emb.astype(x.dtype))
+    attn_bias = None
+    if entity_prompt_emb is not None and entity_masks is not None:
+        # EliGen (reference process_entity_masks :378-403): local prompts
+        # first, global prompt LAST, block-structured attention bias
+        locals_ = entity_prompt_emb.astype(x.dtype)
+        bb, m, ll, _ = locals_.shape
+        merged_txt = jnp.concatenate(
+            [locals_.reshape(bb, m * ll, -1), prompt_emb.astype(x.dtype)],
+            axis=1)
+        txt = linear(params["context_embedder"], merged_txt)
+        attn_bias = eligen_entity_bias(entity_masks, prompt_emb.shape[1],
+                                       x.shape[1])
+    else:
+        txt = linear(params["context_embedder"], prompt_emb.astype(x.dtype))
     t_len = txt.shape[1]
     cos_np, sin_np = flux_rope_tables(t_len, gh, gw, tuple(cfg.axes_dim),
                                       cfg.rope_theta, kontext_grids)
@@ -244,7 +291,8 @@ def flux_dit_forward(
         p, res = sc
         xi, xt = carry
         xi = constrain(xi, "dp", "sp", None)
-        xi, xt = joint_block(p, xi, xt, temb, cos, sin, cfg, attn_impl)
+        xi, xt = joint_block(p, xi, xt, temb, cos, sin, cfg, attn_impl,
+                             attn_bias=attn_bias)
         if res is not None:
             xi = xi + res.astype(xi.dtype)
         return (xi, xt), None
@@ -252,7 +300,8 @@ def flux_dit_forward(
     def single_body(carry, sc):
         p, res = sc
         carry = constrain(carry, "dp", "sp", None)
-        carry = single_block(p, carry, temb, cos, sin, cfg, attn_impl)
+        carry = single_block(p, carry, temb, cos, sin, cfg, attn_impl,
+                             attn_bias=attn_bias)
         if res is not None:
             carry = carry.at[:, t_len:].add(res.astype(carry.dtype))
         return carry, None

@@ -14,23 +14,32 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, scale):
+def _xla_attention(q, k, v, scale, bias=None):
     """(B, S, N, H) einsum attention with f32 softmax."""
     logits = jnp.einsum("bsnh,btnh->bnst", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bnst,btnh->bsnh", probs, v)
 
 
-def attention(q, k, v, impl: str = "auto", scale: float | None = None):
+def attention(q, k, v, impl: str = "auto", scale: float | None = None,
+              bias=None):
     """q: (B, Sq, N, H); k/v: (B, Skv, N, H) -> (B, Sq, N, H).
 
     impl: "auto" | "xla" | "pallas". "auto" uses the Pallas flash kernel on TPU when shapes
     qualify, else XLA. Under an ambient mesh the Pallas call is wrapped in shard_map
     (heads over ("sp","tp"), batch over "dp" — the Ulysses layout; Mosaic kernels
     cannot be GSPMD-partitioned automatically).
+
+    bias: optional additive attention bias (B, 1|N, Sq, Skv) — e.g. the EliGen
+    entity mask. Forces the XLA path (the flash kernel has no bias operand).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if bias is not None:
+        return _xla_attention(q, k, v, scale, bias)
     if impl == "auto":
         impl = _default_impl(q)
     if impl in ("pallas", "pallas_int8"):

@@ -248,3 +248,48 @@ def test_flux_pipeline_true_cfg_and_i2i():
                height=32, width=32, num_inference_steps=2, seed=1)
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_eligen_entity_bias_matches_reference():
+    import torch
+
+    from goal_force_tpu.models.flux_dit import eligen_entity_bias
+
+    ref_flux = importlib.import_module("refmodels.flux_dit")
+
+    class _Stub:
+        patchify = ref_flux.FluxDiT.patchify
+
+    b, m, h, w, L = 1, 2, 8, 8, 5
+    torch.manual_seed(0)
+    masks = (torch.rand(b, m, h, w) > 0.5).float()
+    # reference expects per-entity (B, C, H, W) repeated over channels
+    ent = [masks[:, i, None].repeat(1, 16, 1, 1) for i in range(m)]
+    ent = ent + [torch.ones_like(ent[0])]
+    ref_mask = ref_flux.FluxDiT.construct_mask(_Stub(), ent, L, (h // 2) * (w // 2))
+
+    ours = eligen_entity_bias(jnp.asarray(masks.numpy()), L,
+                              (h // 2) * (w // 2))
+    ref_np = ref_mask.numpy()
+    np.testing.assert_array_equal(np.asarray(ours)[:, 0] == 0.0, ref_np == 0.0)
+
+
+def test_eligen_forward_runs():
+    from goal_force_tpu.models.flux_dit import flux_dit_forward, init_flux_dit
+
+    cfg, _, _ = tiny_flux_configs()
+    dit = init_flux_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.text_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim))
+    t = jnp.asarray([0.4])
+    g = jnp.asarray([3.5])
+    ent_emb = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 5, cfg.text_dim))
+    masks = (jax.random.uniform(jax.random.PRNGKey(5), (1, 2, 8, 8)) > 0.5)
+    base = flux_dit_forward(dit, cfg, lat, t, txt, pooled, g)
+    out = flux_dit_forward(dit, cfg, lat, t, txt, pooled, g,
+                           entity_prompt_emb=ent_emb,
+                           entity_masks=masks.astype(jnp.float32))
+    assert out.shape == base.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-4

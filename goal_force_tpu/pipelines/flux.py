@@ -191,6 +191,12 @@ class FluxPipeline:
         controlnet_image: Optional[np.ndarray] = None,   # (H, W, 3) in [0,1]
         controlnet_mode: Optional[int] = None,
         kontext_image: Optional[np.ndarray] = None,      # (H, W, 3) in [0,1]
+        id_embeds: Optional[np.ndarray] = None,    # (B, N, 512) ArcFace tokens
+        infiniteyou: Optional[Dict] = None,        # projector params
+        infiniteyou_guidance: float = 1.0,
+        step1x: Optional[Dict] = None,             # {"params", "cfg"} connector
+        step1x_llm_embedding: Optional[np.ndarray] = None,  # (B, S, 3584)
+        step1x_mask: Optional[np.ndarray] = None,           # (B, S)
     ) -> np.ndarray:
         """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
 
@@ -231,12 +237,42 @@ class FluxPipeline:
             cond_lat = self._encode(self.vae_encoder, cimg).astype(self.dtype)
             cn_params, cn_cfg = controlnet["params"], controlnet["cfg"]
 
+            # InfiniteYou: the ControlNet consumes the projected identity
+            # tokens as its prompt, with its own guidance scale (reference
+            # flux_image_new.py:1190-1192)
+            cn_prompt, cn_guidance = prompt_emb[:1], guidance
+            if id_embeds is not None and infiniteyou is not None:
+                from goal_force_tpu.models.flux_adapters import (
+                    infiniteyou_projector,
+                )
+
+                cn_prompt = infiniteyou_projector(
+                    infiniteyou, jnp.asarray(id_embeds)).astype(self.dtype)
+                cn_guidance = jnp.full((1,), infiniteyou_guidance, self.dtype)
+
             @jax.jit
             def cn_fn(lat, t):
                 return flux_controlnet_forward(
                     cn_params, cn_cfg, lat, cond_lat, t,
-                    prompt_emb[:1], pooled[:1], guidance,
+                    cn_prompt, pooled[:1], cn_guidance,
                     mode_id=controlnet_mode)
+
+        step1x_fn = None
+        if step1x is not None and step1x_llm_embedding is not None:
+            from goal_force_tpu.models.step1x_connector import (
+                step1x_connector_forward,
+            )
+
+            s1_emb = jnp.asarray(step1x_llm_embedding)
+            s1_mask = jnp.asarray(step1x_mask) if step1x_mask is not None \
+                else jnp.ones(s1_emb.shape[:2], jnp.int32)
+
+            @jax.jit
+            def step1x_fn(t):
+                # reference feeds timestep/1000 (flux_image_new.py:1206-1208)
+                return step1x_connector_forward(
+                    step1x["params"], step1x["cfg"], s1_emb, t / 1000.0,
+                    s1_mask)
 
         kontext = None
         if kontext_image is not None:
@@ -253,9 +289,16 @@ class FluxPipeline:
             cn_res = cn_single_res = None
             if cn_fn is not None:
                 cn_res, cn_single_res = cn_fn(latents, tstep)
+            step_prompt, step_pooled = prompt_emb, pooled
+            if step1x_fn is not None:
+                s1_tokens, s1_glob = step1x_fn(tstep)
+                reps = prompt_emb.shape[0] // s1_tokens.shape[0]
+                step_prompt = jnp.tile(s1_tokens.astype(self.dtype),
+                                       (reps, 1, 1))
+                step_pooled = jnp.tile(s1_glob.astype(self.dtype), (reps, 1))
             latents = self._denoise_step(
                 self.dit, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
-                prompt_emb, pooled, guidance, cfg_scale, use_cfg,
+                step_prompt, step_pooled, guidance, cfg_scale, use_cfg,
                 cn_res, cn_single_res, kontext,
             )
         img = self._decode(self.vae_decoder, latents.astype(jnp.float32))

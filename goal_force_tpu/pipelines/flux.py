@@ -124,10 +124,12 @@ class FluxPipeline:
         @functools.partial(jax.jit, static_argnames=("use_cfg",), donate_argnums=(1,))
         def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
                guidance, cfg_scale, use_cfg, cn_res=None, cn_single_res=None,
-               kontext=None):
+               kontext=None, flex=None):
             b = latents.shape[0]
+            model_in = latents if flex is None else \
+                jnp.concatenate([latents, flex.astype(latents.dtype)], axis=-1)
             if use_cfg:
-                x = jnp.concatenate([latents, latents], axis=0)
+                x = jnp.concatenate([model_in, model_in], axis=0)
                 t = jnp.concatenate([timestep, timestep], axis=0)
                 g = jnp.concatenate([guidance, guidance], axis=0)
                 tile = lambda r: None if r is None else \
@@ -141,7 +143,7 @@ class FluxPipeline:
                                      kontext_latents=k2)
                 v = v[b:] + cfg_scale * (v[:b] - v[b:])
             else:
-                v = flux_dit_forward(dit, cfg, latents, timestep,
+                v = flux_dit_forward(dit, cfg, model_in, timestep,
                                      prompt_emb[:b], pooled[:b], guidance,
                                      attn_impl=attn_impl,
                                      controlnet_res=cn_res,
@@ -197,6 +199,11 @@ class FluxPipeline:
         step1x: Optional[Dict] = None,             # {"params", "cfg"} connector
         step1x_llm_embedding: Optional[np.ndarray] = None,  # (B, S, 3584)
         step1x_mask: Optional[np.ndarray] = None,           # (B, S)
+        flex_condition=None,                       # (1, h, w, C) extra channels
+        flex_uncondition=None,
+        flex_control_stop_timestep: float = 0.0,
+        prompt_emb_override=None,                  # (B, S, text_dim), e.g.
+        # NexusGen adapter/merger outputs (flux_image_new.py:791-812)
     ) -> np.ndarray:
         """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
 
@@ -216,6 +223,10 @@ class FluxPipeline:
         prompt_emb, pooled = self._encode_text(self.t5, self.clip, t5_ids, clip_ids)
         prompt_emb = prompt_emb.astype(self.dtype)
         pooled = pooled.astype(self.dtype)
+        if prompt_emb_override is not None:
+            ov = jnp.asarray(prompt_emb_override).astype(self.dtype)
+            prompt_emb = jnp.broadcast_to(ov, (prompt_emb.shape[0],)
+                                          + ov.shape[1:])
 
         h, w = height // self.vae_factor, width // self.vae_factor
         latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 16),
@@ -296,10 +307,17 @@ class FluxPipeline:
                 step_prompt = jnp.tile(s1_tokens.astype(self.dtype),
                                        (reps, 1, 1))
                 step_pooled = jnp.tile(s1_glob.astype(self.dtype), (reps, 1))
+            flex = None
+            if flex_condition is not None:
+                # reference switches to the uncondition branch below the stop
+                # timestep (flux_image_new.py:1198-1203)
+                use_cond = float(schedule.timesteps[i]) >= flex_control_stop_timestep
+                flex = jnp.asarray(flex_condition if use_cond
+                                   else flex_uncondition)
             latents = self._denoise_step(
                 self.dit, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
                 step_prompt, step_pooled, guidance, cfg_scale, use_cfg,
-                cn_res, cn_single_res, kontext,
+                cn_res, cn_single_res, kontext, flex,
             )
         img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

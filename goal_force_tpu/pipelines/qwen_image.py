@@ -80,9 +80,11 @@ class QwenImagePipeline:
         cfg = self.dit_cfg
 
         @jax.jit
-        def fn(dit, latents, t, ctx_p, ctx_n, cfg_scale):
-            vp = qwen_image_dit_forward(dit, cfg, latents, t, ctx_p)
-            vn = qwen_image_dit_forward(dit, cfg, latents, t, ctx_n)
+        def fn(dit, latents, t, ctx_p, ctx_n, cfg_scale, cn=None, cn_cond=None):
+            vp = qwen_image_dit_forward(dit, cfg, latents, t, ctx_p,
+                                        controlnet=cn, controlnet_cond=cn_cond)
+            vn = qwen_image_dit_forward(dit, cfg, latents, t, ctx_n,
+                                        controlnet=cn, controlnet_cond=cn_cond)
             return vn + cfg_scale * (vp - vn)
 
         return fn
@@ -113,13 +115,17 @@ class QwenImagePipeline:
         width: int = 1328,
         num_inference_steps: int = 30,
         seed: int = 0,
+        input_image: Optional[np.ndarray] = None,    # (H, W, 3) in [0,1]
+        denoising_strength: float = 1.0,
+        controlnet: Optional[Dict] = None,           # blockwise cn params
+        controlnet_image: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        from goal_force_tpu.models.vae import decode_video
+        from goal_force_tpu.models.vae import decode_video, encode_video
 
         schedule = flow_match.make_schedule(
             num_inference_steps, sigma_min=0.0, sigma_max=1.0,
             extra_one_step=True, exponential_shift=True,
-            shift_terminal=0.02,
+            shift_terminal=0.02, denoising_strength=denoising_strength,
             dynamic_shift_len=(height // 16) * (width // 16))
         ctx_p = self._encode_prompt(prompt).astype(self.dtype)
         ctx_n = self._encode_prompt(negative_prompt).astype(self.dtype)
@@ -132,10 +138,26 @@ class QwenImagePipeline:
         latents = jax.random.normal(
             jax.random.PRNGKey(seed),
             (1, h, w, self.dit_cfg.in_dim // 4), jnp.float32).astype(self.dtype)
+        if input_image is not None:
+            img = jnp.asarray(input_image, jnp.float32)[None] * 2.0 - 1.0
+            z = encode_video(self.vae_encoder, self.vae_cfg,
+                             img[:, None])[:, 0].astype(self.dtype)
+            latents = flow_match.add_noise(z, latents, schedule.sigmas[0])
+
+        cn_cond = None
+        if controlnet is not None and controlnet_image is not None:
+            cimg = jnp.asarray(controlnet_image, jnp.float32)[None] * 2.0 - 1.0
+            cz = encode_video(self.vae_encoder, self.vae_cfg,
+                              cimg[:, None])[:, 0]
+            gh, gw = h // 2, w // 2
+            cn_cond = cz.reshape(1, gh, 2, gw, 2, cz.shape[-1]) \
+                .transpose(0, 1, 3, 5, 2, 4).reshape(1, gh * gw, -1) \
+                .astype(self.dtype)
+
         for i in range(len(schedule)):
             t = jnp.full((1,), schedule.sigmas[i], self.dtype)
             tok = self._denoise(self.dit, latents, t, ctx_p, ctx_n,
-                                float(cfg_scale))
+                                float(cfg_scale), controlnet, cn_cond)
             c = latents.shape[-1]
             gh, gw = h // 2, w // 2
             v = tok.reshape(1, gh, gw, c, 2, 2).transpose(0, 1, 4, 2, 5, 3) \

@@ -246,6 +246,7 @@ def flux_dit_forward(
     kontext_latents: Optional[jnp.ndarray] = None,        # (B, Hk, Wk, 16)
     entity_prompt_emb: Optional[jnp.ndarray] = None,      # (B, M, L, text_dim)
     entity_masks: Optional[jnp.ndarray] = None,           # (B, M, H, W)
+    rope_tables_override: Optional[Tuple] = None,         # (cos, sin) host arrays
 ) -> jnp.ndarray:
     """Full MMDiT forward (reference FluxDiT.forward :406-472). Returns the velocity
     prediction with the input latent shape.
@@ -283,8 +284,13 @@ def flux_dit_forward(
     else:
         txt = linear(params["context_embedder"], prompt_emb.astype(x.dtype))
     t_len = txt.shape[1]
-    cos_np, sin_np = flux_rope_tables(t_len, gh, gw, tuple(cfg.axes_dim),
-                                      cfg.rope_theta, kontext_grids)
+    if rope_tables_override is not None:
+        # e.g. NexusGen editing: spatial text ids instead of zeros
+        # (flux_image_new.py:815-835)
+        cos_np, sin_np = rope_tables_override
+    else:
+        cos_np, sin_np = flux_rope_tables(t_len, gh, gw, tuple(cfg.axes_dim),
+                                          cfg.rope_theta, kontext_grids)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
     def joint_body(carry, sc):

@@ -157,3 +157,38 @@ def nexus_gen_adapter_params_from_torch(sd) -> Dict:
         "fc1": _lin(sd, "adapter.3"),
         "ln1": {"scale": g("adapter.4.weight"), "bias": g("adapter.4.bias")},
     }
+
+
+def nexus_editing_rope_tables(latent_gh: int, latent_gw: int,
+                              target_hw, ref_hw, axes_dim, theta: float = 1e4):
+    """Flux rope tables for NexusGen editing: text positions carry SPATIAL
+    ids — target-embedding grid scaled to the latent grid, reference grid with
+    axis-0 id 1 — followed by the usual (0, row, col) image ids (reference
+    flux_image_new.py:815-835). Returns host (cos, sin) for
+    flux_dit_forward(rope_tables_override=...)."""
+    th, tw = target_hw
+    rh, rw = ref_hw
+
+    def grid_ids(gh, gw, axis0, sh, sw):
+        ids = np.zeros((gh * gw, 3), np.float64)
+        ids[:, 0] = axis0
+        ids[:, 1] = np.repeat(np.arange(gh) * sh, gw)
+        ids[:, 2] = np.tile(np.arange(gw) * sw, gh)
+        return ids
+
+    # embeds are 2x2-merged like latents (grid = hw // 2)
+    tgt = grid_ids(th // 2, tw // 2, 0.0, (2 * latent_gh) / th,
+                   (2 * latent_gw) / tw)
+    ref = grid_ids(rh // 2, rw // 2, 1.0, (2 * latent_gh) / rh,
+                   (2 * latent_gw) / rw)
+    img = grid_ids(latent_gh, latent_gw, 0.0, 1.0, 1.0)
+    ids = np.concatenate([tgt, ref, img], axis=0)
+
+    parts_cos, parts_sin = [], []
+    for i, d in enumerate(axes_dim):
+        omega = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+        ang = np.outer(ids[:, i], omega)
+        parts_cos.append(np.cos(ang))
+        parts_sin.append(np.sin(ang))
+    return (np.concatenate(parts_cos, -1).astype(np.float32),
+            np.concatenate(parts_sin, -1).astype(np.float32))

@@ -69,13 +69,13 @@ class SDPipeline:
 
     # one CFG step: merged (posi, nega) batch, epsilon blended on host weights
     def _denoise_cfg(self, unet, latents, t, ctx_pos, ctx_neg, cfg_scale,
-                     w_x, w_e):
+                     w_x, w_e, ipadapter=None):
         b = latents.shape[0]
         ctx = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
         x2 = jnp.concatenate([latents, latents], axis=0)
         eps = sd_unet_apply(self.unet if unet is None else unet, self.plan,
                             x2, jnp.full((2 * b,), t, latents.dtype), ctx,
-                            groups=self.groups)
+                            groups=self.groups, ipadapter=ipadapter)
         eps_pos, eps_neg = eps[:b], eps[b:]
         eps = eps_neg + cfg_scale * (eps_pos - eps_neg)
         return latents * w_x + eps * w_e
@@ -100,8 +100,15 @@ class SDPipeline:
                  clip_skip: int = 1,
                  input_image: Optional[np.ndarray] = None,
                  denoising_strength: float = 1.0,
-                 seed: int = 0) -> np.ndarray:
-        """-> (H, W, 3) float image in [0, 1]."""
+                 seed: int = 0,
+                 ipadapter: Optional[Dict] = None,
+                 ipadapter_image_emb: Optional[np.ndarray] = None,
+                 ipadapter_scale: float = 1.0) -> np.ndarray:
+        """-> (H, W, 3) float image in [0, 1].
+
+        ipadapter: SD IP-Adapter params (models/ipadapter.py) driven by the
+        CLIP image embedding ipadapter_image_emb (B, clip_dim); the image K/V
+        are injected into every mapped cross-attention unit."""
         import math
 
         sched = make_ddim_schedule(num_inference_steps,
@@ -126,6 +133,16 @@ class SDPipeline:
                                     self._ids(negative_prompt),
                                     1).astype(self.dtype)
 
+        ip_kwargs = None
+        if ipadapter is not None and ipadapter_image_emb is not None:
+            from goal_force_tpu.models.ipadapter import (
+                ipadapter_kwargs_for_plan,
+            )
+
+            ip_kwargs = ipadapter_kwargs_for_plan(
+                self.plan, ipadapter, jnp.asarray(ipadapter_image_emb),
+                scale=ipadapter_scale)
+
         acp = sched.alphas_cumprod
         for i in range(len(sched)):
             t = int(sched.timesteps[i])
@@ -135,7 +152,8 @@ class SDPipeline:
             w_e = math.sqrt(1 - a_prev) - math.sqrt(a_prev * (1 - a_t) / a_t)
             w_x = math.sqrt(a_prev / a_t)
             latents = self._step(self.unet, latents, float(t), ctx_pos,
-                                 ctx_neg, float(cfg_scale), w_x, w_e)
+                                 ctx_neg, float(cfg_scale), w_x, w_e,
+                                 ip_kwargs)
         image = self._decode(self.vae_decoder, latents)
         return np.clip((np.asarray(image[0], np.float32) + 1.0) / 2.0, 0.0, 1.0)
 

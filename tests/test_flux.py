@@ -293,3 +293,39 @@ def test_eligen_forward_runs():
     assert out.shape == base.shape
     assert np.isfinite(np.asarray(out)).all()
     assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-4
+
+
+def test_kontext_conditioning_changes_output():
+    from goal_force_tpu.models.flux_dit import flux_dit_forward, init_flux_dit
+
+    cfg, _, _ = tiny_flux_configs()
+    dit = init_flux_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.text_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim))
+    t = jnp.asarray([0.4])
+    g = jnp.asarray([3.5])
+    kx = jax.random.normal(jax.random.PRNGKey(4), (1, 6, 8, 16))
+    base = flux_dit_forward(dit, cfg, lat, t, txt, pooled, g)
+    out = flux_dit_forward(dit, cfg, lat, t, txt, pooled, g,
+                           kontext_latents=kx)
+    assert out.shape == base.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-4
+
+
+def test_nexus_editing_rope_override():
+    from goal_force_tpu.models.flux_dit import flux_dit_forward, init_flux_dit
+    from goal_force_tpu.models.nexus_gen import nexus_editing_rope_tables
+
+    cfg, _, _ = tiny_flux_configs()
+    dit = init_flux_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim))
+    tables = nexus_editing_rope_tables(4, 4, (4, 4), (4, 4), cfg.axes_dim)
+    assert tables[0].shape == (8 + 16, sum(cfg.axes_dim) // 2)
+    out = flux_dit_forward(dit, cfg, lat, jnp.asarray([0.4]), txt, pooled,
+                           jnp.asarray([3.5]), rope_tables_override=tables)
+    assert out.shape == (1, 8, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()

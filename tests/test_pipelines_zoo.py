@@ -88,3 +88,28 @@ def test_tiled_vae_decode_matches_full():
     # interior matches closely; borders blend (reference contract)
     diff = np.abs(np.asarray(tiled) - np.asarray(full))
     assert np.median(diff) < 2e-2
+
+
+def test_video_pipeline_runner():
+    import os
+    import tempfile
+
+    from goal_force_tpu.pipelines.runner import VideoPipelineRunner
+
+    video = np.random.RandomState(0).rand(3, 8, 8, 3).astype(np.float32)
+    runner = VideoPipelineRunner(pipeline=lambda seed=0, **kw: video)
+    with tempfile.TemporaryDirectory() as d:
+        out = runner.run({"data": {"output_folder": d, "fps": 8},
+                          "pipeline": {"seed": 1,
+                                       "pipeline_inputs": {"prompt": "x"}}})
+        assert os.path.exists(out)
+        assert os.path.exists(os.path.join(d, "config.json"))
+
+
+def test_sdxl_video_pipeline():
+    from goal_force_tpu.pipelines.sdxl_video import SDXLVideoPipeline
+
+    pipe = SDXLVideoPipeline.init_random()
+    vid = pipe("a balloon", num_frames=2, height=32, width=32,
+               num_inference_steps=1)
+    assert vid.shape == (2, 32, 32, 3) and np.isfinite(vid).all()

@@ -126,3 +126,40 @@ class HunyuanVideoPipeline:
         if self.decode_video is not None:
             return self.decode_video(latents)
         return np.asarray(latents, np.float32)
+
+
+def make_llama_prompt_encoder(llama_params, llama_cfg, clip_params, clip_cfg,
+                              txt_len: int, tokenize_llama=None,
+                              tokenize_clip=None, hidden_state_skip_layer=2):
+    """Build an encode_prompt callable from the HunyuanVideo text towers: the
+    Llama LLM hidden states (skip-2 layers, models/text_encoders.llama_encode)
+    and the CLIP pooled embedding (reference hunyuan_video_text_encoder.py:6-49
+    + the CLIP conditioner)."""
+    import numpy as _np
+
+    from goal_force_tpu.models.sd_text_encoder import SD_TEXT_CONFIG  # noqa
+    from goal_force_tpu.models.text_encoders import llama_encode
+    from goal_force_tpu.pipelines.flux import _hash_ids
+
+    def encode(prompt: str):
+        if tokenize_llama is not None:
+            ids = _np.asarray(tokenize_llama(prompt))[None]
+        else:
+            ids = _hash_ids(prompt, llama_cfg.vocab, txt_len)[None]
+        ids = jnp.asarray(ids, jnp.int32)
+        mask = (ids > 0).astype(jnp.int32)
+        emb = llama_encode(llama_params, llama_cfg, ids, mask,
+                           hidden_state_skip_layer=hidden_state_skip_layer)
+        if clip_params is not None:
+            from goal_force_tpu.models.clip import clip_encode_text
+
+            cids = _np.asarray(tokenize_clip(prompt))[None] \
+                if tokenize_clip is not None else \
+                _hash_ids(prompt, clip_cfg.vocab_size, clip_cfg.max_positions)[None]
+            pooled = clip_encode_text(clip_params, clip_cfg,
+                                      jnp.asarray(cids, jnp.int32))
+        else:
+            pooled = jnp.zeros((1, emb.shape[-1]), emb.dtype)
+        return emb, mask, pooled
+
+    return encode

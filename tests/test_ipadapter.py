@@ -105,3 +105,39 @@ def test_tiny_unet_consumes_ipadapter():
     sched = attn_unit_schedule(plan)
     assign = ip_plan_assignments(plan, module_ids=[0])
     assert list(assign.keys()) == [sched[0][0]]
+
+
+def test_sdxl_ipadapter_golden_parity():
+    import torch
+
+    ref = importlib.import_module("refmodels.sdxl_ipadapter")
+    torch.manual_seed(0)
+    m = ref.SDXLIpAdapter().eval().float()
+    for p in m.parameters():
+        p.data = torch.randn_like(p.data) * 0.02
+    emb = torch.randn(1, 1280)
+    with torch.no_grad():
+        kv_dict = m(emb, scale=0.55)
+
+    params = ip_adapter_params_from_torch(
+        {k: v.numpy() for k, v in m.state_dict().items()})
+    kvs = ip_adapter_apply(params, jnp.asarray(emb.numpy()), scale=0.55)
+    assert len(kvs) == 70
+
+    # reference map_list ordering == our attn_unit_schedule ordering: compare
+    # every (block, transformer) entry
+    from goal_force_tpu.models.sdxl_unet import SDXL_PLAN
+
+    sched = attn_unit_schedule(SDXL_PLAN)
+    ref_entries = sorted(kv_dict.keys())
+    j = 0
+    for (block_id, t_id), ipadapter_id in m.call_block_id.items():
+        ref_kv = kv_dict[block_id][t_id]
+        np.testing.assert_allclose(np.asarray(kvs[ipadapter_id]["k"]),
+                                   ref_kv["ip_k"].numpy(), atol=2e-5,
+                                   rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(kvs[ipadapter_id]["v"]),
+                                   ref_kv["ip_v"].numpy(), atol=2e-5,
+                                   rtol=2e-3)
+        j += 1
+    assert j == 70

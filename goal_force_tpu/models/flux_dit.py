@@ -247,7 +247,8 @@ def flux_dit_forward(
     entity_prompt_emb: Optional[jnp.ndarray] = None,      # (B, M, L, text_dim)
     entity_masks: Optional[jnp.ndarray] = None,           # (B, M, H, W)
     rope_tables_override: Optional[Tuple] = None,         # (cos, sin) host arrays
-) -> jnp.ndarray:
+    return_tokens: bool = False,
+):
     """Full MMDiT forward (reference FluxDiT.forward :406-472). Returns the velocity
     prediction with the input latent shape.
 
@@ -318,6 +319,7 @@ def flux_dit_forward(
 
     pad_res = lambda r: r if (r is None or x.shape[1] == s_img) else \
         jnp.pad(r, ((0, 0), (0, 0), (0, x.shape[1] - s_img), (0, 0)))
+    x_in = x
     (x, txt), _ = jax.lax.scan(joint_body, (x, txt),
                                (params["joint_blocks"], pad_res(controlnet_res)))
     merged = jnp.concatenate([txt, x], axis=1)
@@ -326,12 +328,35 @@ def flux_dit_forward(
                               pad_res(controlnet_single_res)))
     x = merged[:, t_len:t_len + s_img]
 
-    # AdaLayerNormContinuous: scale FIRST in the chunk order (reference :270-274)
+    v = flux_dit_head(params, cfg, x, temb, gh, gw)
+    if return_tokens:
+        # TeaCache needs the pre-blocks and post-blocks image tokens
+        # (reference flux_image_new.py:1079-1106)
+        return v, x_in[:, :s_img], x
+    return v
+
+
+def flux_dit_head(params: Dict, cfg: FluxDiTConfig, x: jnp.ndarray,
+                  temb: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+    """Final AdaLayerNormContinuous + projection + unpatchify (reference
+    :270-274, :466-470); standalone so TeaCache skip steps can reuse it."""
     e = linear(params["final_norm"], jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
     scale, shift = jnp.split(e, 2, axis=-1)
     x = layer_norm(x, cfg.eps) * (1 + scale[:, None]) + shift[:, None]
     x = linear(params["final_proj"], x)
     return unpatchify2d(x, gh, gw, cfg.out_dim // 4)
+
+
+def flux_dit_mod_input(params: Dict, cfg: FluxDiTConfig, latents: jnp.ndarray,
+                       timestep: jnp.ndarray, pooled_prompt_emb: jnp.ndarray,
+                       guidance: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Block-0 modulated image-stream input — the TeaCache change signal
+    (reference tea_cache.check: norm1_a(x_embed, emb=conditioning))."""
+    temb = time_cond(params, cfg, timestep, pooled_prompt_emb, guidance)
+    x = linear(params["x_embedder"], patchify2d(latents))
+    p0 = jax.tree_util.tree_map(lambda a: a[0], params["joint_blocks"])
+    sm, sc, *_ = _ada_mod(p0["norm1_a"], temb, 6)
+    return layer_norm(x, cfg.eps) * (1 + sc) + sm
 
 
 # ---------------------------------------------------------------------------

@@ -204,6 +204,7 @@ class FluxPipeline:
         flex_control_stop_timestep: float = 0.0,
         prompt_emb_override=None,                  # (B, S, text_dim), e.g.
         # NexusGen adapter/merger outputs (flux_image_new.py:791-812)
+        tea_cache_thresh: float = 0.0,             # >0 enables Flux TeaCache
     ) -> np.ndarray:
         """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
 
@@ -290,6 +291,64 @@ class FluxPipeline:
             kimg = jnp.asarray(kontext_image, jnp.float32)[None] * 2.0 - 1.0
             kontext = self._encode(self.vae_encoder, kimg).astype(self.dtype)
 
+        tc = None
+        if tea_cache_thresh > 0:
+            from goal_force_tpu.models.flux_dit import (
+                flux_dit_head,
+                flux_dit_mod_input,
+            )
+            from goal_force_tpu.pipelines.teacache import TeaCache
+
+            if cn_fn is not None or kontext is not None or step1x is not None:
+                raise ValueError("TeaCache composes only with the base path")
+            tc = TeaCache(num_inference_steps, tea_cache_thresh, "FLUX.1-dev")
+            dcfg = self.dit_cfg
+
+            @jax.jit
+            def _tc_mod(dit, lat, t):
+                return flux_dit_mod_input(dit, dcfg, lat, t, pooled[:1],
+                                          guidance)
+
+            @functools.partial(jax.jit, static_argnames=("use_cfg_",))
+            def _tc_full(dit, lat, t, sigma, sigma_next, use_cfg_):
+                b = lat.shape[0]
+                if use_cfg_:
+                    x2 = jnp.concatenate([lat, lat], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    g2 = jnp.concatenate([guidance, guidance], axis=0)
+                    v, x_in, x_out = flux_dit_forward(
+                        dit, dcfg, x2, t2, prompt_emb, pooled, g2,
+                        attn_impl=self.attn_impl, return_tokens=True)
+                    v = v[b:] + cfg_scale * (v[:b] - v[b:])
+                else:
+                    v, x_in, x_out = flux_dit_forward(
+                        dit, dcfg, lat, t, prompt_emb[:b], pooled[:b],
+                        guidance, attn_impl=self.attn_impl, return_tokens=True)
+                new = fm.euler_step(lat, v.astype(lat.dtype), sigma, sigma_next)
+                return new, x_in, x_out
+
+            @functools.partial(jax.jit, static_argnames=("use_cfg_",))
+            def _tc_skip(dit, lat, t, sigma, sigma_next, residual, use_cfg_):
+                from goal_force_tpu.models.flux_dit import (linear, patchify2d,
+                                                            time_cond)
+
+                b = lat.shape[0]
+                gh, gw = lat.shape[1] // 2, lat.shape[2] // 2
+                if use_cfg_:
+                    x2 = jnp.concatenate([lat, lat], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    g2 = jnp.concatenate([guidance, guidance], axis=0)
+                else:
+                    x2, t2, g2 = lat, t, guidance
+                temb = time_cond(dit, dcfg, t2, pooled[:x2.shape[0]], g2)
+                x_in = linear(dit["x_embedder"], patchify2d(x2))
+                v = flux_dit_head(dit, dcfg, x_in + residual.astype(x_in.dtype),
+                                  temb, gh, gw)
+                if use_cfg_:
+                    v = v[b:] + cfg_scale * (v[:b] - v[b:])
+                return fm.euler_step(lat, v.astype(lat.dtype), sigma,
+                                     sigma_next)
+
         it = range(len(schedule))
         if progress:
             import tqdm
@@ -297,6 +356,20 @@ class FluxPipeline:
             it = tqdm.tqdm(it)
         for i in it:
             tstep = jnp.full((1,), float(schedule.timesteps[i]), self.dtype)
+            if tc is not None:
+                t_mod = _tc_mod(self.dit, latents, tstep)
+                if tc.should_skip(t_mod) and tc.residual is not None:
+                    latents = _tc_skip(self.dit, latents, tstep,
+                                       schedule.sigmas[i],
+                                       schedule.sigma_next(i), tc.residual,
+                                       use_cfg_=use_cfg)
+                else:
+                    latents, x_in, x_out = _tc_full(self.dit, latents, tstep,
+                                                    schedule.sigmas[i],
+                                                    schedule.sigma_next(i),
+                                                    use_cfg_=use_cfg)
+                    tc.store(x_in, x_out)
+                continue
             cn_res = cn_single_res = None
             if cn_fn is not None:
                 cn_res, cn_single_res = cn_fn(latents, tstep)

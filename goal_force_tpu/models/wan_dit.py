@@ -40,6 +40,12 @@ from goal_force_tpu.parallel.mesh import constrain
 # ---------------------------------------------------------------------------
 
 def linear(p, x):
+    if "w_i8" in p:
+        # weight-only int8 pack from ops/quant.quantize_linear_tree — W8A8 on
+        # the MXU (the v5e-native analog of the reference's fp8 linear path)
+        from goal_force_tpu.ops.quant import int8_linear
+
+        return int8_linear(p, x, p.get("b"))
     return jnp.matmul(x, p["w"]) + p["b"]
 
 

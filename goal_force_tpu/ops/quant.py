@@ -16,11 +16,14 @@ import jax.numpy as jnp
 
 
 def quantize_weight_int8(w: jnp.ndarray) -> Dict:
-    """(in, out) -> int8 weights + per-output-channel f32 scales."""
-    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    """(..., in, out) -> int8 weights + per-output-channel f32 scales.
+
+    Reduces over the INPUT axis (-2) so stacked per-layer weights (L, in, out)
+    keep their leading layer axis — required for lax.scan over block stacks."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     wi = jnp.round(w.astype(jnp.float32) / scale).astype(jnp.int8)
-    return {"w_i8": wi, "w_scale": scale}
+    return {"w_i8": wi, "w_scale": scale[..., 0, :]}
 
 
 def int8_linear(qp: Dict, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -255,3 +255,36 @@ def flux_lora_encoder_params_from_torch(sd, patterns: List[Dict] = None) -> Dict
                        "bias": g("final_layer_norm.bias")},
         "final_w": g("final_linear.weight").T, "final_b": g("final_linear.bias"),
     }
+
+
+def flux_ip_kwargs(params: Dict, image_embeds: jnp.ndarray,
+                   num_heads: int = 24, head_dim: int = 128,
+                   scale: float = 1.0,
+                   num_joint: int = 19, num_single: int = 38) -> Dict:
+    """Project the SigLIP image embedding and emit stacked per-block IP K/V
+    for flux_dit_forward(ipadapter=...): modules 0..18 feed the joint blocks,
+    19..56 the single blocks (reference FluxIpAdapter.forward :60-72;
+    norm_added_k RMS-normalizes the keys per head, :35-43)."""
+    from goal_force_tpu.models.ipadapter import flux_ip_image_proj_apply
+
+    tokens = flux_ip_image_proj_apply(params["image_proj"], image_embeds)
+
+    def kv(m):
+        k = (tokens @ m["k_w"]).reshape(tokens.shape[0], -1, num_heads,
+                                        head_dim)
+        # RMS over head_dim, no affine (flux_ipadapter.py:35)
+        kf = k.astype(jnp.float32)
+        k = (kf * jax.lax.rsqrt(jnp.mean(kf * kf, -1, keepdims=True) + 1e-5)
+             ).astype(tokens.dtype)
+        v = (tokens @ m["v_w"]).reshape(tokens.shape[0], -1, num_heads,
+                                        head_dim)
+        return k, v
+
+    ks, vs = zip(*(kv(m) for m in params["modules"]))
+    stack = lambda xs: jnp.stack(xs)
+    joint = {"k": stack(ks[:num_joint]), "v": stack(vs[:num_joint]),
+             "scale": jnp.full((num_joint,), scale, tokens.dtype)}
+    single = {"k": stack(ks[num_joint:num_joint + num_single]),
+              "v": stack(vs[num_joint:num_joint + num_single]),
+              "scale": jnp.full((num_single,), scale, tokens.dtype)}
+    return {"joint": joint, "single": single}

@@ -91,8 +91,21 @@ def _heads(x, n):
     return x.reshape(b, s, n, d // n)
 
 
+def _ip_attend(q, ip, dtype):
+    """IP-Adapter side attention: same query over the projected image K/V,
+    scaled and added to the attention output pre-projection (reference
+    flux_dit.py:7-11 interact_with_ipadapter). q: (B, S, N, H); ip k/v:
+    (B*, T, N, H)."""
+    b = q.shape[0]
+    k = jnp.broadcast_to(ip["k"], (b,) + ip["k"].shape[1:]).astype(dtype)
+    v = jnp.broadcast_to(ip["v"], (b,) + ip["v"].shape[1:]).astype(dtype)
+    logits = jnp.einsum("bqnc,bknc->bnqk", q, k) / math.sqrt(q.shape[-1])
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(dtype)
+    return ip["scale"] * jnp.einsum("bnqk,bknc->bqnc", probs, v)
+
+
 def joint_block(p, x_img, x_txt, temb, cos, sin, cfg: FluxDiTConfig,
-                attn_impl: str = "auto", attn_bias=None):
+                attn_impl: str = "auto", attn_bias=None, ip=None):
     """One double-stream block (reference FluxJointTransformerBlock :132-149)."""
     n = cfg.num_heads
     sm_a, sc_a, g_a, smlp_a, scmlp_a, gmlp_a = _ada_mod(p["norm1_a"], temb, 6)
@@ -120,8 +133,11 @@ def joint_block(p, x_img, x_txt, temb, cos, sin, cfg: FluxDiTConfig,
     out = attention(q, k, v, impl=attn_impl, bias=attn_bias)
     out = constrain(out, "dp", "sp", None, None)
     b, s, _, _ = out.shape
-    out = out.reshape(b, s, cfg.dim)
     t = x_txt.shape[1]
+    if ip is not None:
+        # image-stream query attends the IP tokens (reference :98-99)
+        out = out.at[:, t:].add(_ip_attend(q[:, t:], ip, out.dtype))
+    out = out.reshape(b, s, cfg.dim)
     o_txt = linear(p["attn"]["b_out"], out[:, :t])
     o_img = linear(p["attn"]["a_out"], out[:, t:])
 
@@ -136,7 +152,7 @@ def joint_block(p, x_img, x_txt, temb, cos, sin, cfg: FluxDiTConfig,
 
 
 def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig,
-                 attn_impl: str = "auto", attn_bias=None):
+                 attn_impl: str = "auto", attn_bias=None, ip=None):
     """One single-stream block (reference FluxSingleTransformerBlock :246-259):
     fused qkv+mlp projection, parallel attention+GELU, joint output projection."""
     n = cfg.num_heads
@@ -153,7 +169,12 @@ def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig,
     k = constrain(k, "dp", None, ("sp", "tp"), None)
     v = constrain(_heads(v, n), "dp", None, ("sp", "tp"), None)
     att = attention(q, k, v, impl=attn_impl, bias=attn_bias)
-    att = constrain(att, "dp", "sp", None, None).reshape(x.shape[0], x.shape[1], d)
+    att = constrain(att, "dp", "sp", None, None)
+    if ip is not None:
+        # the single-stream query (text+image merged) attends the IP tokens
+        # (reference :241-242)
+        att = att + _ip_attend(q, ip, att.dtype)
+    att = att.reshape(x.shape[0], x.shape[1], d)
     out = linear(p["proj_out"], jnp.concatenate([att, gelu_tanh(mlp)], axis=-1))
     return x + gate * out
 
@@ -248,6 +269,9 @@ def flux_dit_forward(
     entity_masks: Optional[jnp.ndarray] = None,           # (B, M, H, W)
     rope_tables_override: Optional[Tuple] = None,         # (cos, sin) host arrays
     return_tokens: bool = False,
+    ipadapter: Optional[Dict] = None,   # {"joint": {k,v,scale} stacked 19,
+                                        #  "single": ... stacked 38} — see
+                                        # flux_ip_kwargs below
 ):
     """Full MMDiT forward (reference FluxDiT.forward :406-472). Returns the velocity
     prediction with the input latent shape.
@@ -294,21 +318,24 @@ def flux_dit_forward(
                                           cfg.rope_theta, kontext_grids)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
+    ip_joint = None if ipadapter is None else ipadapter.get("joint")
+    ip_single = None if ipadapter is None else ipadapter.get("single")
+
     def joint_body(carry, sc):
-        p, res = sc
+        p, res, ip = sc
         xi, xt = carry
         xi = constrain(xi, "dp", "sp", None)
         xi, xt = joint_block(p, xi, xt, temb, cos, sin, cfg, attn_impl,
-                             attn_bias=attn_bias)
+                             attn_bias=attn_bias, ip=ip)
         if res is not None:
             xi = xi + res.astype(xi.dtype)
         return (xi, xt), None
 
     def single_body(carry, sc):
-        p, res = sc
+        p, res, ip = sc
         carry = constrain(carry, "dp", "sp", None)
         carry = single_block(p, carry, temb, cos, sin, cfg, attn_impl,
-                             attn_bias=attn_bias)
+                             attn_bias=attn_bias, ip=ip)
         if res is not None:
             carry = carry.at[:, t_len:].add(res.astype(carry.dtype))
         return carry, None
@@ -321,11 +348,12 @@ def flux_dit_forward(
         jnp.pad(r, ((0, 0), (0, 0), (0, x.shape[1] - s_img), (0, 0)))
     x_in = x
     (x, txt), _ = jax.lax.scan(joint_body, (x, txt),
-                               (params["joint_blocks"], pad_res(controlnet_res)))
+                               (params["joint_blocks"], pad_res(controlnet_res),
+                                ip_joint))
     merged = jnp.concatenate([txt, x], axis=1)
     merged, _ = jax.lax.scan(single_body, merged,
                              (params["single_blocks"],
-                              pad_res(controlnet_single_res)))
+                              pad_res(controlnet_single_res), ip_single))
     x = merged[:, t_len:t_len + s_img]
 
     v = flux_dit_head(params, cfg, x, temb, gh, gw)

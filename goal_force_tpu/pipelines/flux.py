@@ -124,7 +124,7 @@ class FluxPipeline:
         @functools.partial(jax.jit, static_argnames=("use_cfg",), donate_argnums=(1,))
         def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
                guidance, cfg_scale, use_cfg, cn_res=None, cn_single_res=None,
-               kontext=None, flex=None):
+               kontext=None, flex=None, ip=None):
             b = latents.shape[0]
             model_in = latents if flex is None else \
                 jnp.concatenate([latents, flex.astype(latents.dtype)], axis=-1)
@@ -140,7 +140,7 @@ class FluxPipeline:
                                      attn_impl=attn_impl,
                                      controlnet_res=tile(cn_res),
                                      controlnet_single_res=tile(cn_single_res),
-                                     kontext_latents=k2)
+                                     kontext_latents=k2, ipadapter=ip)
                 v = v[b:] + cfg_scale * (v[:b] - v[b:])
             else:
                 v = flux_dit_forward(dit, cfg, model_in, timestep,
@@ -148,7 +148,7 @@ class FluxPipeline:
                                      attn_impl=attn_impl,
                                      controlnet_res=cn_res,
                                      controlnet_single_res=cn_single_res,
-                                     kontext_latents=kontext)
+                                     kontext_latents=kontext, ipadapter=ip)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
         return fn
@@ -205,6 +205,9 @@ class FluxPipeline:
         prompt_emb_override=None,                  # (B, S, text_dim), e.g.
         # NexusGen adapter/merger outputs (flux_image_new.py:791-812)
         tea_cache_thresh: float = 0.0,             # >0 enables Flux TeaCache
+        ipadapter: Optional[Dict] = None,          # FluxIpAdapter params
+        ipadapter_image_emb: Optional[np.ndarray] = None,  # (B, siglip_dim)
+        ipadapter_scale: float = 1.0,
     ) -> np.ndarray:
         """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
 
@@ -286,6 +289,18 @@ class FluxPipeline:
                     step1x["params"], step1x["cfg"], s1_emb, t / 1000.0,
                     s1_mask)
 
+        ip = None
+        if ipadapter is not None and ipadapter_image_emb is not None:
+            from goal_force_tpu.models.flux_adapters import flux_ip_kwargs
+
+            ip = flux_ip_kwargs(
+                ipadapter, jnp.asarray(ipadapter_image_emb, self.dtype),
+                num_heads=self.dit_cfg.num_heads,
+                head_dim=self.dit_cfg.dim // self.dit_cfg.num_heads,
+                scale=ipadapter_scale,
+                num_joint=self.dit_cfg.num_joint_blocks,
+                num_single=self.dit_cfg.num_single_blocks)
+
         kontext = None
         if kontext_image is not None:
             kimg = jnp.asarray(kontext_image, jnp.float32)[None] * 2.0 - 1.0
@@ -299,7 +314,8 @@ class FluxPipeline:
             )
             from goal_force_tpu.pipelines.teacache import TeaCache
 
-            if cn_fn is not None or kontext is not None or step1x is not None:
+            if cn_fn is not None or kontext is not None or step1x is not None \
+                    or ipadapter is not None:
                 raise ValueError("TeaCache composes only with the base path")
             tc = TeaCache(num_inference_steps, tea_cache_thresh, "FLUX.1-dev")
             dcfg = self.dit_cfg
@@ -390,7 +406,7 @@ class FluxPipeline:
             latents = self._denoise_step(
                 self.dit, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
                 step_prompt, step_pooled, guidance, cfg_scale, use_cfg,
-                cn_res, cn_single_res, kontext, flex,
+                cn_res, cn_single_res, kontext, flex, ip,
             )
         img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

@@ -250,6 +250,37 @@ def test_flux_pipeline_true_cfg_and_i2i():
     assert np.isfinite(img).all()
 
 
+def test_flux_pipeline_ipadapter_changes_output():
+    from goal_force_tpu.pipelines.flux import tiny_flux_configs as _cfgs
+
+    pipe = FluxPipeline.init_random(jax.random.PRNGKey(2))
+    cfg = pipe.dit_cfg
+    rng = np.random.default_rng(0)
+    nmod = cfg.num_joint_blocks + cfg.num_single_blocks
+    dim, hd = cfg.dim, cfg.dim // cfg.num_heads
+    modules = [{"k_w": jnp.asarray(rng.normal(0, 0.05, (24, dim)), jnp.float32),
+                "v_w": jnp.asarray(rng.normal(0, 0.05, (24, dim)), jnp.float32)}
+               for _ in range(nmod)]
+    ip_params = {
+        "modules": modules,
+        "image_proj": {
+            "proj0": {"w": jnp.asarray(rng.normal(0, 0.05, (16, 32)),
+                                       jnp.float32), "b": jnp.zeros(32)},
+            "proj2": {"w": jnp.asarray(rng.normal(0, 0.05, (32, 96)),
+                                       jnp.float32), "b": jnp.zeros(96)},
+            "norm": {"scale": jnp.ones(24), "bias": jnp.zeros(24)},
+        },
+    }
+    emb = rng.normal(0, 1, (1, 16)).astype(np.float32)
+    base = pipe("a cat", height=32, width=32, num_inference_steps=2, seed=0)
+    img = pipe("a cat", height=32, width=32, num_inference_steps=2, seed=0,
+               ipadapter=ip_params, ipadapter_image_emb=emb,
+               ipadapter_scale=0.8)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert np.abs(img - base).max() > 1e-5
+
+
 def test_eligen_entity_bias_matches_reference():
     import torch
 

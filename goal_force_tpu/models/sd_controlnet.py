@@ -129,6 +129,54 @@ def sd_controlnet_apply(
     return out
 
 
+def init_sd_controlnet(key, plan: Sequence[BlockSpec] = SD_CONTROLNET_PLAN,
+                       model_dim: int = 320, time_dim: int = 1280,
+                       cond_channels: Sequence[int] = (3, 16, 32, 96, 256),
+                       in_channels: int = 4, dtype=jnp.float32) -> Dict:
+    """Random-init SDControlNet params (reference sd_controlnet.py:25-94):
+    the UNet down+mid half plus the conditioning conv pyramid and ZERO-init
+    1x1 controlnet blocks — so a fresh controlnet is an exact no-op until
+    trained, like the reference's zero_module convs."""
+    from goal_force_tpu.models.sd_unet import init_sd_unet
+
+    ks = jax.random.split(key, 4 + 2 * len(cond_channels))
+    n = lambda k, *s: jax.random.normal(k, s, dtype) * 0.02
+    conv = lambda k, ci, co: {"w": n(k, 3, 3, ci, co),
+                              "b": jnp.zeros((co,), dtype)}
+
+    base = init_sd_unet(ks[0], plan, model_dim=model_dim, time_dim=time_dim,
+                        in_channels=in_channels, dtype=dtype)
+
+    ch = tuple(cond_channels) + (model_dim,)
+    it = iter(ks[4:])
+    convs = [conv(next(it), ch[0], ch[1])]
+    for i in range(1, len(ch) - 2):
+        convs.append(conv(next(it), ch[i], ch[i]))
+        convs.append(conv(next(it), ch[i], ch[i + 1]))
+    convs.append(conv(next(it), ch[-2], ch[-1]))
+
+    # stack channels at each push: conv_in output + traced plan outputs
+    widths, cur = [model_dim], model_dim
+    for spec in plan:
+        if spec[0] == "res":
+            cur = spec[2]
+        elif spec[0] == "attn":
+            cur = spec[1] * spec[2]
+        elif spec[0] == "push":
+            widths.append(cur)
+    zero = [{"w": jnp.zeros((1, 1, c, c), dtype),
+             "b": jnp.zeros((c,), dtype)} for c in widths]
+
+    return {
+        "time_w1": base["time_w1"], "time_b1": base["time_b1"],
+        "time_w2": base["time_w2"], "time_b2": base["time_b2"],
+        "conv_in": base["conv_in"],
+        "cond_in": {"convs": convs},
+        "blocks": base["blocks"],
+        "controlnet_blocks": zero,
+    }
+
+
 def _residual_attention(p, x):
     """Reference ResidualAttentionBlock (:17-42) incl. the torch
     nn.MultiheadAttention convention: attention runs over axis 0 of the

@@ -177,14 +177,23 @@ def _resnet(p: Dict, x: jnp.ndarray, temb, groups: int = 32,
 
 
 def _attn_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray, num_heads: int,
-                groups: int = 32, eps: float = 1e-6, ip=None) -> jnp.ndarray:
+                groups: int = 32, eps: float = 1e-6, ip=None,
+                cross_frame: bool = False) -> jnp.ndarray:
+    """cross_frame: flatten all frames into ONE sequence so self-attention
+    spans the whole video, with the batch-mean text context (reference
+    sd_unet.py:164-166,198-199)."""
     b, h, w, c = x.shape
     res = x
     t = group_norm(p["norm"], x, groups, eps=eps).reshape(b, h * w, c)
     t = t @ p["proj_in_w"] + p["proj_in_b"]
+    if cross_frame:
+        t = t.reshape(1, b * h * w, c)
+        ctx = ctx.mean(axis=0, keepdims=True)
     for di, tp in enumerate(p["transformer_blocks"]):
         t = _transformer_block(tp, t, ctx, num_heads,
                                ip=None if ip is None else ip.get(di))
+    if cross_frame:
+        t = t.reshape(b, h * w, c)
     t = t @ p["proj_out_w"] + p["proj_out_b"]
     return t.reshape(b, h, w, c) + res
 
@@ -195,7 +204,8 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
                   controlnet_res: Optional[List[jnp.ndarray]] = None,
                   motion: Optional[Dict] = None,
                   video_batch: int = 1,
-                  ipadapter: Optional[Dict] = None) -> jnp.ndarray:
+                  ipadapter: Optional[Dict] = None,
+                  cross_frame_attention: bool = False) -> jnp.ndarray:
     """sample (B, H, W, 4) NHWC latents + (B,) timestep + (B, 77, ctx) text
     embeddings -> predicted noise (B, H, W, 4)
     (reference: sd_unet.py:325-345 SDUNet.forward).
@@ -226,7 +236,8 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
             x = _resnet(p, x, temb, groups)
         elif kind == "attn":
             x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups,
-                            ip=None if ipadapter is None else ipadapter.get(i))
+                            ip=None if ipadapter is None else ipadapter.get(i),
+                            cross_frame=cross_frame_attention)
         elif kind == "push":
             stack.append(x)
         elif kind == "pop":

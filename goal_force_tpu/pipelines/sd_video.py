@@ -67,14 +67,16 @@ class SDVideoPipeline:
         plan, groups = self.plan, self.groups
         motion = self.motion  # closed over: its call map holds static indices
 
-        @jax.jit
-        def fn(unet, latents, t, ctx):
+        @functools.partial(jax.jit, static_argnames=("cross_frame",))
+        def fn(unet, latents, t, ctx, cn_res=None, cross_frame=False):
             return sd_unet_apply(unet, plan, latents,
                                  jnp.full((latents.shape[0],), t,
                                           latents.dtype),
                                  jnp.broadcast_to(
                                      ctx, (latents.shape[0],) + ctx.shape[1:]),
-                                 groups=groups, motion=motion, video_batch=1)
+                                 groups=groups, motion=motion, video_batch=1,
+                                 controlnet_res=cn_res,
+                                 cross_frame_attention=cross_frame)
 
         return fn
 
@@ -99,7 +101,13 @@ class SDVideoPipeline:
         num_inference_steps: int = 20,
         seed: int = 0,
         use_original_animatediff: bool = True,
+        cross_frame_attention: bool = False,
+        controlnet: Optional[Dict] = None,      # {"params", "plan"(opt)}
+        controlnet_frames: Optional[np.ndarray] = None,  # (F, 8h, 8w, 3) [0,1]
     ) -> np.ndarray:
+        """dancer.py parity: per-frame ControlNet residual stacks injected into
+        the UNet skip stack each step (reference dancer.py:33-60,104-110) and
+        optional cross-frame self-attention over the whole clip (:88)."""
         from goal_force_tpu.models.sd_vae import sd_vae_decode
 
         schedule = make_ddim_schedule(
@@ -113,10 +121,31 @@ class SDVideoPipeline:
         latents = jax.random.normal(jax.random.PRNGKey(seed),
                                     (num_frames, h, w, 4),
                                     jnp.float32).astype(self.dtype)
+
+        cn_fn = None
+        if controlnet is not None and controlnet_frames is not None:
+            from goal_force_tpu.models.sd_controlnet import sd_controlnet_apply
+
+            cn_params = controlnet["params"]
+            cn_plan = controlnet.get("plan")
+            cond = jnp.asarray(controlnet_frames, jnp.float32).astype(self.dtype)
+            cn_kwargs = {} if cn_plan is None else {"plan": cn_plan}
+
+            @jax.jit
+            def cn_fn(lat, t, ctx):
+                return sd_controlnet_apply(
+                    cn_params, lat, jnp.full((lat.shape[0],), t, lat.dtype),
+                    jnp.broadcast_to(ctx, (lat.shape[0],) + ctx.shape[1:]),
+                    cond, groups=self.groups, **cn_kwargs)
+
         for i in range(len(schedule)):
             t = float(schedule.timesteps[i])
-            e_p = self._denoise(self.unet, latents, t, ctx_p)
-            e_n = self._denoise(self.unet, latents, t, ctx_n)
+            res_p = cn_fn(latents, t, ctx_p) if cn_fn is not None else None
+            res_n = cn_fn(latents, t, ctx_n) if cn_fn is not None else None
+            e_p = self._denoise(self.unet, latents, t, ctx_p, res_p,
+                                cross_frame=cross_frame_attention)
+            e_n = self._denoise(self.unet, latents, t, ctx_n, res_n,
+                                cross_frame=cross_frame_attention)
             eps = e_n + cfg_scale * (e_p - e_n)
             latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
         video = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),

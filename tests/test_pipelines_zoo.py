@@ -62,6 +62,47 @@ def test_sd_video_pipeline():
     assert vid.shape == (4, 32, 32, 3) and np.isfinite(vid).all()
 
 
+def test_sd_video_dancer_controlnet_and_cross_frame():
+    """dancer.py parity: a zero-init ControlNet is an exact no-op; perturbed
+    zero convs change the video; cross-frame attention changes the video."""
+    import jax
+
+    from goal_force_tpu.models.sd_controlnet import init_sd_controlnet
+    from goal_force_tpu.pipelines.sd_video import SDVideoPipeline
+
+    pipe = SDVideoPipeline.init_random()
+    tiny_cn_plan = pipe.plan[:10] + (("push",),)
+    cn = init_sd_controlnet(jax.random.PRNGKey(7), tiny_cn_plan, model_dim=8,
+                            time_dim=16, cond_channels=(3, 4, 4, 4, 4))
+    frames = np.random.default_rng(0).uniform(
+        0, 1, (4, 32, 32, 3)).astype(np.float32)
+
+    base = pipe("a dancing robot", num_frames=4, height=32, width=32,
+                num_inference_steps=2)
+    with_zero_cn = pipe("a dancing robot", num_frames=4, height=32, width=32,
+                        num_inference_steps=2,
+                        controlnet={"params": cn, "plan": tiny_cn_plan},
+                        controlnet_frames=frames)
+    np.testing.assert_allclose(with_zero_cn, base, atol=1e-5)
+
+    import jax.numpy as jnp
+
+    cn["controlnet_blocks"] = [
+        {"w": jnp.full_like(p["w"], 0.05), "b": p["b"]}
+        for p in cn["controlnet_blocks"]]
+    with_cn = pipe("a dancing robot", num_frames=4, height=32, width=32,
+                   num_inference_steps=2,
+                   controlnet={"params": cn, "plan": tiny_cn_plan},
+                   controlnet_frames=frames)
+    assert np.isfinite(with_cn).all()
+    assert np.abs(with_cn - base).max() > 1e-5
+
+    xf = pipe("a dancing robot", num_frames=4, height=32, width=32,
+              num_inference_steps=2, cross_frame_attention=True)
+    assert np.isfinite(xf).all()
+    assert np.abs(xf - base).max() > 1e-5
+
+
 def test_kolors_pipeline():
     from goal_force_tpu.pipelines.kolors import KolorsPipeline
 

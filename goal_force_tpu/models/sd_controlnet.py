@@ -177,6 +177,46 @@ def init_sd_controlnet(key, plan: Sequence[BlockSpec] = SD_CONTROLNET_PLAN,
     }
 
 
+def init_sdxl_controlnet(key, plan: Sequence[BlockSpec] = SDXL_CONTROLNET_PLAN,
+                         model_dim: int = 320, time_dim: int = 1280,
+                         add_text_dim: int = 1280,
+                         cond_channels: Sequence[int] = (3, 16, 32, 96, 256),
+                         n_head: int = 8, dtype=jnp.float32) -> Dict:
+    """Random-init SDXLControlNetUnion params (reference sdxl_controlnet.py:43-113)
+    with ZERO-init 1x1 controlnet blocks, mirroring init_sd_controlnet."""
+    ks = jax.random.split(key, 12)
+    n = lambda k, *s: jax.random.normal(k, s, dtype) * 0.02
+    base = init_sd_controlnet(ks[0], plan, model_dim=model_dim,
+                              time_dim=time_dim, cond_channels=cond_channels,
+                              dtype=dtype)
+    d = model_dim
+    base.update({
+        "add_time_w1": n(ks[1], add_text_dim + 6 * 256, time_dim),
+        "add_time_b1": jnp.zeros((time_dim,), dtype),
+        "add_time_w2": n(ks[2], time_dim, time_dim),
+        "add_time_b2": jnp.zeros((time_dim,), dtype),
+        "ct_w1": n(ks[3], 8 * 256, time_dim),
+        "ct_b1": jnp.zeros((time_dim,), dtype),
+        "ct_w2": n(ks[4], time_dim, time_dim),
+        "ct_b2": jnp.zeros((time_dim,), dtype),
+        "task_embedding": n(ks[5], 8, d),
+        "spatial_w": n(ks[6], d, d),
+        "spatial_b": jnp.zeros((d,), dtype),
+        "cn_transformer": {
+            "n_head": n_head,
+            "in_w": n(ks[7], 3 * d, d), "in_b": jnp.zeros((3 * d,), dtype),
+            "out_w": n(ks[8], d, d), "out_b": jnp.zeros((d,), dtype),
+            "ln1": {"scale": jnp.ones((d,), dtype),
+                    "bias": jnp.zeros((d,), dtype)},
+            "ln2": {"scale": jnp.ones((d,), dtype),
+                    "bias": jnp.zeros((d,), dtype)},
+            "fc_w": n(ks[9], 4 * d, d), "fc_b": jnp.zeros((4 * d,), dtype),
+            "proj_w": n(ks[10], d, 4 * d), "proj_b": jnp.zeros((d,), dtype),
+        },
+    })
+    return base
+
+
 def _residual_attention(p, x):
     """Reference ResidualAttentionBlock (:17-42) incl. the torch
     nn.MultiheadAttention convention: attention runs over axis 0 of the

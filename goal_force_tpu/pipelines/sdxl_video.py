@@ -59,15 +59,17 @@ class SDXLVideoPipeline:
         plan, groups = self.plan, self.groups
         motion = self.motion
 
-        @jax.jit
-        def fn(unet, latents, t, ctx, add_time_id, pooled):
+        @functools.partial(jax.jit, static_argnames=("cross_frame",))
+        def fn(unet, latents, t, ctx, add_time_id, pooled, cn_res=None,
+               cross_frame=False):
             f = latents.shape[0]
             return sdxl_unet_apply(
                 unet, plan, latents, jnp.full((f,), t, latents.dtype),
                 jnp.broadcast_to(ctx, (f,) + ctx.shape[1:]),
                 add_time_id,
                 jnp.broadcast_to(pooled, (f,) + pooled.shape[1:]),
-                groups=groups, motion=motion, video_batch=1)
+                groups=groups, motion=motion, video_batch=1,
+                controlnet_res=cn_res, cross_frame_attention=cross_frame)
 
         return fn
 
@@ -96,7 +98,13 @@ class SDXLVideoPipeline:
         width: int = 1024,
         num_inference_steps: int = 20,
         seed: int = 0,
+        cross_frame_attention: bool = False,
+        controlnet: Optional[Dict] = None,      # {"params", "plan"(opt), "task_id"(opt)}
+        controlnet_frames: Optional[np.ndarray] = None,  # (F, 8h, 8w, 3) [0,1]
     ) -> np.ndarray:
+        """lets_dance_xl parity (reference dancer.py:119-245): per-frame
+        ControlNet residuals injected into the skip stack each step, optional
+        cross-frame self-attention over the whole clip."""
         from goal_force_tpu.models.sd_vae import (SDXL_SCALING_FACTOR,
                                                   sd_vae_decode)
 
@@ -110,10 +118,38 @@ class SDXLVideoPipeline:
         latents = jax.random.normal(jax.random.PRNGKey(seed),
                                     (num_frames, height // 8, width // 8, 4),
                                     jnp.float32).astype(self.dtype)
+
+        cn_fn = None
+        if controlnet is not None and controlnet_frames is not None:
+            from goal_force_tpu.models.sd_controlnet import (
+                sdxl_controlnet_apply,
+            )
+
+            cn_params = controlnet["params"]
+            task_id = controlnet.get("task_id", 3)
+            cn_kwargs = {} if controlnet.get("plan") is None \
+                else {"plan": controlnet["plan"]}
+            cond = jnp.asarray(controlnet_frames, jnp.float32).astype(self.dtype)
+
+            @jax.jit
+            def cn_fn(lat, t, ctx, pooled):
+                f = lat.shape[0]
+                return sdxl_controlnet_apply(
+                    cn_params, lat, jnp.full((f,), t, lat.dtype),
+                    jnp.broadcast_to(ctx, (f,) + ctx.shape[1:]), cond, add_id,
+                    jnp.broadcast_to(pooled, (f,) + pooled.shape[1:]),
+                    task_id=task_id, groups=self.groups, **cn_kwargs)
+
         for i in range(len(schedule)):
             t = float(schedule.timesteps[i])
-            e_p = self._denoise(self.unet, latents, t, ctx_p, add_id, pool_p)
-            e_n = self._denoise(self.unet, latents, t, ctx_n, add_id, pool_n)
+            res_p = cn_fn(latents, t, ctx_p, pool_p) if cn_fn is not None \
+                else None
+            res_n = cn_fn(latents, t, ctx_n, pool_n) if cn_fn is not None \
+                else None
+            e_p = self._denoise(self.unet, latents, t, ctx_p, add_id, pool_p,
+                                res_p, cross_frame=cross_frame_attention)
+            e_n = self._denoise(self.unet, latents, t, ctx_n, add_id, pool_n,
+                                res_n, cross_frame=cross_frame_attention)
             eps = e_n + cfg_scale * (e_p - e_n)
             latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
         video = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),

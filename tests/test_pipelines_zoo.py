@@ -103,6 +103,47 @@ def test_sd_video_dancer_controlnet_and_cross_frame():
     assert np.abs(xf - base).max() > 1e-5
 
 
+def test_sdxl_video_dancer_controlnet_and_cross_frame():
+    """lets_dance_xl parity: zero-init union ControlNet is a no-op; perturbed
+    zero convs and cross-frame attention both change the video."""
+    import jax
+    import jax.numpy as jnp
+
+    from goal_force_tpu.models.sd_controlnet import init_sdxl_controlnet
+    from goal_force_tpu.pipelines.sdxl_video import SDXLVideoPipeline
+
+    pipe = SDXLVideoPipeline.init_random()
+    cn_plan = pipe.plan[:7] + (("push",),)
+    cn = init_sdxl_controlnet(jax.random.PRNGKey(7), cn_plan, model_dim=8,
+                              time_dim=16, add_text_dim=16,
+                              cond_channels=(3, 4, 4, 4, 4), n_head=2)
+    frames = np.random.default_rng(0).uniform(
+        0, 1, (4, 32, 32, 3)).astype(np.float32)
+
+    base = pipe("a city timelapse", num_frames=4, height=32, width=32,
+                num_inference_steps=2)
+    with_zero_cn = pipe("a city timelapse", num_frames=4, height=32, width=32,
+                        num_inference_steps=2,
+                        controlnet={"params": cn, "plan": cn_plan},
+                        controlnet_frames=frames)
+    np.testing.assert_allclose(with_zero_cn, base, atol=1e-5)
+
+    cn["controlnet_blocks"] = [
+        {"w": jnp.full_like(p["w"], 0.05), "b": p["b"]}
+        for p in cn["controlnet_blocks"]]
+    with_cn = pipe("a city timelapse", num_frames=4, height=32, width=32,
+                   num_inference_steps=2,
+                   controlnet={"params": cn, "plan": cn_plan},
+                   controlnet_frames=frames)
+    assert np.isfinite(with_cn).all()
+    assert np.abs(with_cn - base).max() > 1e-5
+
+    xf = pipe("a city timelapse", num_frames=4, height=32, width=32,
+              num_inference_steps=2, cross_frame_attention=True)
+    assert np.isfinite(xf).all()
+    assert np.abs(xf - base).max() > 1e-5
+
+
 def test_kolors_pipeline():
     from goal_force_tpu.pipelines.kolors import KolorsPipeline
 

@@ -111,6 +111,79 @@ def nexus_gen_image_embeddings(hidden_states: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Autoregressive image-embedding generation
+# ---------------------------------------------------------------------------
+
+def nexus_ar_image_positions(text_len: int,
+                             grid_thw: Tuple[int, int, int] = (1, 18, 18),
+                             spatial_merge_size: int = 2) -> np.ndarray:
+    """(3, 1, N) integer M-RoPE ids for the generated image tokens: spatial
+    grid ids offset by the prompt length, matching get_rope_index over the
+    image-token-padded sequence (reference nexus_gen_ar_model.py:747-764)."""
+    t, h, w = grid_thw
+    gh, gw = h // spatial_merge_size, w // spatial_merge_size
+    t_idx = np.zeros(t * gh * gw, np.int64)
+    h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
+    w_idx = np.tile(np.arange(gw), t * gh)
+    return ((np.stack([t_idx, h_idx, w_idx]) + text_len)[:, None, :]
+            .astype(np.int32))
+
+
+def nexus_gen_ar_generate(params: Dict, cfg: QwenVLTextConfig, heads: Dict,
+                          prompt_embeds: jnp.ndarray,
+                          prompt_position_ids: jnp.ndarray,
+                          grid_thw: Tuple[int, int, int] = (1, 18, 18),
+                          spatial_merge_size: int = 2) -> jnp.ndarray:
+    """Generate the (B, N, H) autoregressive image embeddings, N =
+    prod(grid)/merge^2 (81 by default).
+
+    Mirrors the reference decode loop (nexus_gen_ar_model.py:593-720): the
+    prompt must end with the <vision_start> token, whose hidden state yields
+    embedding #1; each subsequent step consumes the LEARNED prefill-table
+    entry image_prefill_embeds[i] (:87,725-731) — not the model's own
+    prediction — at the image-grid M-RoPE position i, and its vision_head
+    output is collected. Token identities are forced to <image> so logits
+    never matter during the image phase. Implemented as a KV-cached
+    jax.lax.scan: one compiled step reused for all N-1 decode iterations."""
+    from goal_force_tpu.models.qwen_vl import (
+        qwen_vl_text_decode_step,
+        qwen_vl_text_prefill,
+    )
+
+    b, p_len, hidden = prompt_embeds.shape
+    t, h, w = grid_thw
+    n_img = t * (h // spatial_merge_size) * (w // spatial_merge_size)
+    cache_len = p_len + n_img
+
+    last_h, kc, vc = qwen_vl_text_prefill(params, cfg, prompt_embeds,
+                                          prompt_position_ids, cache_len)
+    vh = heads["vision_head"]["w"]
+    emb0 = last_h[:, -1:] @ vh
+
+    img_pos = jnp.asarray(
+        nexus_ar_image_positions(p_len, grid_thw, spatial_merge_size))
+    cos, sin = mrope_tables(cfg, img_pos)           # (1, N, head_dim)
+    steps = n_img - 1
+    xs = (jnp.arange(steps),
+          jnp.swapaxes(cos[:, :steps], 0, 1),     # (steps, 1, head_dim)
+          jnp.swapaxes(sin[:, :steps], 0, 1))
+
+    table = heads["image_prefill"]
+
+    def step(carry, x):
+        kcache, vcache = carry
+        i, c, s = x                                  # c/s: (1, head_dim)
+        emb = jnp.broadcast_to(table[i][None, None], (b, 1, hidden)
+                               ).astype(prompt_embeds.dtype)
+        hh, kcache, vcache = qwen_vl_text_decode_step(
+            params, cfg, emb, c[None], s[None], kcache, vcache, p_len + i)
+        return (kcache, vcache), hh[:, 0] @ vh
+
+    (_, _), embs = jax.lax.scan(step, (kc, vc), xs)
+    return jnp.concatenate([emb0, jnp.swapaxes(embs, 0, 1)], axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Converters
 # ---------------------------------------------------------------------------
 
@@ -146,6 +219,17 @@ def nexus_gen_merger_params_from_torch(sd, cfg: NexusGenMergerConfig) -> Dict:
         "proj_norm1": {"w": g("projector.2.weight")},
         "proj_fc1": _lin(sd, "projector.4"),
         "proj_norm2": {"w": g("projector.5.weight")},
+    }
+
+
+def nexus_gen_ar_heads_from_torch(sd) -> Dict:
+    """vision_head + the 81-entry learned image-prefill table
+    (reference nexus_gen_ar_model.py:84-87)."""
+    return {
+        "vision_head": {"w": jnp.asarray(
+            np.asarray(sd["vision_head.weight"]).T)},
+        "image_prefill": jnp.asarray(
+            np.asarray(sd["image_prefill_embeds.weight"])),
     }
 
 

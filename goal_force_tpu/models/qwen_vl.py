@@ -297,6 +297,119 @@ def qwen_vl_vision_forward(params: Dict, cfg: QwenVLVisionConfig,
 
 
 # ---------------------------------------------------------------------------
+# KV-cached decoding (for autoregressive generation, e.g. NexusGen image
+# tokens — reference nexus_gen_ar_model.py:508-720 drives HF's cache; here
+# the cache is two stacked arrays updated inside a jitted loop)
+# ---------------------------------------------------------------------------
+
+def _block_qkv(p, x, cos, sin, cfg: QwenVLTextConfig):
+    """Shared projection+rope piece: x (B, S, H) -> q (B,S,n,hd), k/v (B,S,nk,hd)."""
+    b, s, _ = x.shape
+    n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    h = _rms(x, p["norm1"]["w"], cfg.eps)
+    q = (h @ p["q"]["w"] + p["q"]["b"]).reshape(b, s, n, hd)
+    k = (h @ p["k"]["w"] + p["k"]["b"]).reshape(b, s, nk, hd)
+    v = (h @ p["v"]["w"] + p["v"]["b"]).reshape(b, s, nk, hd)
+    c = cos[:, :, None, :].astype(jnp.float32)
+    si = sin[:, :, None, :].astype(jnp.float32)
+    q = (q.astype(jnp.float32) * c + _rotate_half(q.astype(jnp.float32)) * si).astype(x.dtype)
+    k = (k.astype(jnp.float32) * c + _rotate_half(k.astype(jnp.float32)) * si).astype(x.dtype)
+    return q, k, v
+
+
+def _block_finish(p, x, att, cfg: QwenVLTextConfig):
+    x = x + att @ p["o"]["w"]
+    h = _rms(x, p["norm2"]["w"], cfg.eps)
+    g = jax.nn.silu((h @ p["gate"]["w"]).astype(jnp.float32)).astype(x.dtype)
+    return x + ((g * (h @ p["up"]["w"])) @ p["down"]["w"])
+
+
+def qwen_vl_text_prefill(params: Dict, cfg: QwenVLTextConfig,
+                         embeds: jnp.ndarray, position_ids: jnp.ndarray,
+                         cache_len: int):
+    """Causal prefill returning (hidden (B,S,H), kcache, vcache), the caches
+    (L, B, cache_len, nk, hd) holding the rope'd keys/values padded to
+    cache_len for subsequent qwen_vl_text_decode_step calls."""
+    b, s, _ = embeds.shape
+    n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos, sin = mrope_tables(cfg, position_ids)
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    mask_bias = jnp.where(causal, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+    x = embeds
+    ks, vs = [], []
+    pad = cache_len - s
+    for i in range(cfg.num_layers):
+        p = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
+        q, k, v = _block_qkv(p, x, cos, sin, cfg)
+        ks.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
+        vs.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
+        kr = jnp.repeat(k, n // nk, axis=2)
+        vr = jnp.repeat(v, n // nk, axis=2)
+        logits = jnp.einsum("bqnc,bknc->bnqk", q, kr) / math.sqrt(hd)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + mask_bias,
+                               -1).astype(x.dtype)
+        att = jnp.einsum("bnqk,bknc->bqnc", probs, vr).reshape(b, s, n * hd)
+        x = _block_finish(p, x, att, cfg)
+    return (_rms(x, params["final_norm"]["w"], cfg.eps),
+            jnp.stack(ks), jnp.stack(vs))
+
+
+def qwen_vl_text_decode_step(params: Dict, cfg: QwenVLTextConfig,
+                             emb: jnp.ndarray, cos: jnp.ndarray,
+                             sin: jnp.ndarray, kcache: jnp.ndarray,
+                             vcache: jnp.ndarray, pos):
+    """One cached decode step: emb (B, 1, H) is the new token's input
+    embedding sitting at sequence index `pos` (traced scalar); cos/sin are its
+    (B, 1, head_dim) rope tables. Returns (hidden (B, 1, H), kcache, vcache)."""
+    b = emb.shape[0]
+    n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cache_len = kcache.shape[2]
+    visible = jnp.arange(cache_len) <= pos
+    bias = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)[None, None, None]
+    x = emb
+    for i in range(cfg.num_layers):
+        p = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
+        q, k, v = _block_qkv(p, x, cos, sin, cfg)
+        kcache = kcache.at[i].set(jax.lax.dynamic_update_slice_in_dim(
+            kcache[i], k, pos, axis=1))
+        vcache = vcache.at[i].set(jax.lax.dynamic_update_slice_in_dim(
+            vcache[i], v, pos, axis=1))
+        kr = jnp.repeat(kcache[i], n // nk, axis=2)
+        vr = jnp.repeat(vcache[i], n // nk, axis=2)
+        logits = jnp.einsum("bqnc,bknc->bnqk", q, kr) / math.sqrt(hd)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias,
+                               -1).astype(x.dtype)
+        att = jnp.einsum("bnqk,bknc->bqnc", probs, vr).reshape(b, 1, n * hd)
+        x = _block_finish(p, x, att, cfg)
+    return _rms(x, params["final_norm"]["w"], cfg.eps), kcache, vcache
+
+
+def init_qwen_vl_text(key, cfg: QwenVLTextConfig, dtype=jnp.float32) -> Dict:
+    """Random stacked-block text params in the converter's layout (tests/init)."""
+    n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    d = cfg.hidden_size
+    ks = iter(jax.random.split(key, 9 * cfg.num_layers + 1))
+    rnd = lambda *s: jax.random.normal(next(ks), s, dtype) * 0.02
+
+    def block():
+        return {
+            "norm1": {"w": jnp.ones((d,), dtype)},
+            "norm2": {"w": jnp.ones((d,), dtype)},
+            "q": {"w": rnd(d, n * hd), "b": jnp.zeros((n * hd,), dtype)},
+            "k": {"w": rnd(d, nk * hd), "b": jnp.zeros((nk * hd,), dtype)},
+            "v": {"w": rnd(d, nk * hd), "b": jnp.zeros((nk * hd,), dtype)},
+            "o": {"w": rnd(n * hd, d)},
+            "gate": {"w": rnd(d, cfg.intermediate_size)},
+            "up": {"w": rnd(d, cfg.intermediate_size)},
+            "down": {"w": rnd(cfg.intermediate_size, d)},
+        }
+
+    blocks = [block() for _ in range(cfg.num_layers)]
+    return {"blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
+            "final_norm": {"w": jnp.ones((d,), dtype)}}
+
+
+# ---------------------------------------------------------------------------
 # Full model helpers
 # ---------------------------------------------------------------------------
 

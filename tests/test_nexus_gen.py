@@ -94,3 +94,47 @@ def test_adapter_golden_parity():
         {k: v.numpy() for k, v in m.state_dict().items()})
     ours = nexus_gen_adapter_forward(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-5, rtol=2e-4)
+
+
+def test_ar_generate_matches_teacher_forced():
+    """The KV-cached AR loop must equal running each growing prefix through
+    the uncached full forward (teacher-forced prefill-table inputs)."""
+    from goal_force_tpu.models.nexus_gen import (
+        nexus_ar_image_positions,
+        nexus_gen_ar_generate,
+    )
+    from goal_force_tpu.models.qwen_vl import (
+        init_qwen_vl_text,
+        qwen_vl_text_forward,
+    )
+
+    cfg = QwenVLTextConfig(hidden_size=32, num_layers=2, num_heads=4,
+                           num_kv_heads=2, intermediate_size=48, vocab=64,
+                           mrope_section=(1, 1, 2))
+    params = init_qwen_vl_text(jax.random.PRNGKey(0), cfg)
+    grid, merge = (1, 6, 6), 2
+    n_img = 9
+    p_len = 5
+    prompt = jax.random.normal(jax.random.PRNGKey(1), (1, p_len, 32))
+    prompt_pos = jnp.tile(jnp.arange(p_len, dtype=jnp.int32)[None, None],
+                          (3, 1, 1))
+    vh = jax.random.normal(jax.random.PRNGKey(2), (32, 32)) * 0.1
+    table = jax.random.normal(jax.random.PRNGKey(3), (n_img, 32)) * 0.5
+    heads = {"vision_head": {"w": vh}, "image_prefill": table}
+
+    out = jax.jit(lambda: nexus_gen_ar_generate(
+        params, cfg, heads, prompt, prompt_pos, grid, merge))()
+    assert out.shape == (1, n_img, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # teacher-forced: full uncached forward over prompt + table[:i] prefixes
+    img_pos = jnp.asarray(nexus_ar_image_positions(p_len, grid, merge))
+    for i in [0, 3, n_img - 1]:
+        embeds = jnp.concatenate(
+            [prompt, jnp.broadcast_to(table[:i][None], (1, i, 32))], axis=1)
+        pos = jnp.concatenate([prompt_pos, img_pos[:, :, :i]], axis=2)
+        mask = jnp.ones((1, p_len + i), jnp.int32)
+        hidden = qwen_vl_text_forward(params, cfg, embeds, mask, pos)
+        want = hidden[:, -1] @ vh
+        np.testing.assert_allclose(np.asarray(out[:, i]), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)

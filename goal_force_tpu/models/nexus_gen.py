@@ -129,6 +129,25 @@ def nexus_ar_image_positions(text_len: int,
             .astype(np.int32))
 
 
+def nexus_gen_target_embeddings(params: Dict, cfg: QwenVLTextConfig,
+                                heads: Dict, embeds: jnp.ndarray,
+                                position_ids: jnp.ndarray,
+                                num_img_tokens: int = 81) -> jnp.ndarray:
+    """One teacher-forced forward (the reference's production path,
+    nexus_gen.py:117-153): the sequence must end with [<vision_start>,
+    prefill_0 .. prefill_{N-1}] (the caller scatters heads["image_prefill"]
+    into the target slot); each of those positions' hidden states predicts
+    the NEXT image embedding through the vision head. Numerically equal to
+    nexus_gen_ar_generate — causal attention makes teacher forcing with the
+    learned table identical to sequential decode — but a single parallel
+    forward, which is the MXU-friendly way to run it."""
+    from goal_force_tpu.models.qwen_vl import qwen_vl_text_forward
+
+    mask = jnp.ones(embeds.shape[:2], jnp.int32)
+    hidden = qwen_vl_text_forward(params, cfg, embeds, mask, position_ids)
+    return hidden[:, -num_img_tokens - 1:-1] @ heads["vision_head"]["w"]
+
+
 def nexus_gen_ar_generate(params: Dict, cfg: QwenVLTextConfig, heads: Dict,
                           prompt_embeds: jnp.ndarray,
                           prompt_position_ids: jnp.ndarray,

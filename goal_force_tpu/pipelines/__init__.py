@@ -15,7 +15,7 @@ __all__ = [
     # step_video.StepVideoPipeline, svd_video.SVDVideoPipeline,
     # qwen_image.QwenImagePipeline, omnigen_image.OmniGenImagePipeline,
     # sd_video.SDVideoPipeline, sdxl_video.SDXLVideoPipeline,
-    # runner.VideoPipelineRunner,
+    # nexus_gen.NexusGenPipeline, runner.VideoPipelineRunner,
 ]
 
 
@@ -45,6 +45,8 @@ def __getattr__(name):
                             "SDVideoPipeline"),
         "SDXLVideoPipeline": ("goal_force_tpu.pipelines.sdxl_video",
                               "SDXLVideoPipeline"),
+        "NexusGenPipeline": ("goal_force_tpu.pipelines.nexus_gen",
+                             "NexusGenPipeline"),
         "VideoPipelineRunner": ("goal_force_tpu.pipelines.runner",
                                 "VideoPipelineRunner"),
     }

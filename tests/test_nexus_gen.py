@@ -138,3 +138,50 @@ def test_ar_generate_matches_teacher_forced():
         want = hidden[:, -1] @ vh
         np.testing.assert_allclose(np.asarray(out[:, i]), np.asarray(want),
                                    atol=2e-5, rtol=2e-4)
+
+
+def test_target_embeddings_equal_ar_loop():
+    """The reference's single teacher-forced forward (nexus_gen.py:117-153)
+    must equal the sequential KV-cached decode."""
+    from goal_force_tpu.models.nexus_gen import (
+        nexus_ar_image_positions,
+        nexus_gen_ar_generate,
+        nexus_gen_target_embeddings,
+    )
+    from goal_force_tpu.models.qwen_vl import init_qwen_vl_text
+
+    cfg = QwenVLTextConfig(hidden_size=32, num_layers=2, num_heads=4,
+                           num_kv_heads=2, intermediate_size=48, vocab=64,
+                           mrope_section=(1, 1, 2))
+    params = init_qwen_vl_text(jax.random.PRNGKey(0), cfg)
+    p_len, n_img = 5, 9
+    prompt = jax.random.normal(jax.random.PRNGKey(1), (1, p_len, 32))
+    prompt_pos = jnp.tile(jnp.arange(p_len, dtype=jnp.int32)[None, None],
+                          (3, 1, 1))
+    heads = {
+        "vision_head": {"w": jax.random.normal(jax.random.PRNGKey(2),
+                                               (32, 32)) * 0.1},
+        "image_prefill": jax.random.normal(jax.random.PRNGKey(3),
+                                           (n_img, 32)) * 0.5,
+    }
+    ar = nexus_gen_ar_generate(params, cfg, heads, prompt, prompt_pos,
+                               (1, 6, 6), 2)
+
+    embeds = jnp.concatenate([prompt, heads["image_prefill"][None]], axis=1)
+    pos = jnp.concatenate(
+        [prompt_pos, jnp.asarray(nexus_ar_image_positions(p_len, (1, 6, 6), 2))],
+        axis=2)
+    one_shot = nexus_gen_target_embeddings(params, cfg, heads, embeds, pos,
+                                           n_img)
+    np.testing.assert_allclose(np.asarray(ar), np.asarray(one_shot),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_nexus_gen_pipeline_smoke():
+    from goal_force_tpu.pipelines.nexus_gen import NexusGenPipeline
+
+    pipe = NexusGenPipeline.init_random()
+    img = pipe("a lighthouse at dusk", height=32, width=32,
+               num_inference_steps=2, seed=0)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()

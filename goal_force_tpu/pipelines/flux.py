@@ -124,7 +124,7 @@ class FluxPipeline:
         @functools.partial(jax.jit, static_argnames=("use_cfg",), donate_argnums=(1,))
         def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
                guidance, cfg_scale, use_cfg, cn_res=None, cn_single_res=None,
-               kontext=None, flex=None, ip=None):
+               kontext=None, flex=None, ip=None, rope_override=None):
             b = latents.shape[0]
             model_in = latents if flex is None else \
                 jnp.concatenate([latents, flex.astype(latents.dtype)], axis=-1)
@@ -140,7 +140,8 @@ class FluxPipeline:
                                      attn_impl=attn_impl,
                                      controlnet_res=tile(cn_res),
                                      controlnet_single_res=tile(cn_single_res),
-                                     kontext_latents=k2, ipadapter=ip)
+                                     kontext_latents=k2, ipadapter=ip,
+                                     rope_tables_override=rope_override)
                 v = v[b:] + cfg_scale * (v[:b] - v[b:])
             else:
                 v = flux_dit_forward(dit, cfg, model_in, timestep,
@@ -148,7 +149,8 @@ class FluxPipeline:
                                      attn_impl=attn_impl,
                                      controlnet_res=cn_res,
                                      controlnet_single_res=cn_single_res,
-                                     kontext_latents=kontext, ipadapter=ip)
+                                     kontext_latents=kontext, ipadapter=ip,
+                                     rope_tables_override=rope_override)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
         return fn
@@ -208,6 +210,8 @@ class FluxPipeline:
         ipadapter: Optional[Dict] = None,          # FluxIpAdapter params
         ipadapter_image_emb: Optional[np.ndarray] = None,  # (B, siglip_dim)
         ipadapter_scale: float = 1.0,
+        rope_tables_override=None,                 # (cos, sin), e.g. NexusGen
+        # editing spatial text ids (flux_image_new.py:815-835)
     ) -> np.ndarray:
         """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
 
@@ -315,7 +319,7 @@ class FluxPipeline:
             from goal_force_tpu.pipelines.teacache import TeaCache
 
             if cn_fn is not None or kontext is not None or step1x is not None \
-                    or ipadapter is not None:
+                    or ipadapter is not None or rope_tables_override is not None:
                 raise ValueError("TeaCache composes only with the base path")
             tc = TeaCache(num_inference_steps, tea_cache_thresh, "FLUX.1-dev")
             dcfg = self.dit_cfg
@@ -407,6 +411,8 @@ class FluxPipeline:
                 self.dit, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
                 step_prompt, step_pooled, guidance, cfg_scale, use_cfg,
                 cn_res, cn_single_res, kontext, flex, ip,
+                None if rope_tables_override is None else
+                tuple(jnp.asarray(t) for t in rope_tables_override),
             )
         img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

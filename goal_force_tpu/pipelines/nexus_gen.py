@@ -97,3 +97,60 @@ class NexusGenPipeline:
         ctx = nexus_gen_adapter_forward(self.adapter, image_emb)
         return self.flux(prompt, prompt_emb_override=np.asarray(ctx),
                          **flux_kwargs)
+
+    def edit(self, prompt: str, ref_image_embeds, ref_grid_thw,
+             merger: Dict, merger_cfg, height: int = 1024, width: int = 1024,
+             **flux_kwargs) -> np.ndarray:
+        """Image editing (reference flux_image_new.py:800-835 + nexus_gen.py:
+        93-116): the AR sequence interleaves [text, reference-image slot,
+        text, target slot]; the teacher-forced target embeddings and the
+        reference vision-tower embeddings go through the editing merger, and
+        Flux denoises with spatial text ids (target grid scaled onto the
+        latent grid, reference grid on rope axis-0=1)."""
+        from goal_force_tpu.models.nexus_gen import (
+            nexus_editing_rope_tables,
+            nexus_gen_merger_forward,
+        )
+        from goal_force_tpu.models.qwen_vl import get_rope_index
+        from goal_force_tpu.pipelines.flux import _hash_ids
+
+        ref = jnp.asarray(ref_image_embeds)
+        table = self.heads["image_prefill"]
+        n_img, h = table.shape
+        s_ref = ref.shape[1]
+        merge = self.spatial_merge_size
+
+        vocab = self.wte.shape[0]
+        ids_a = _hash_ids(prompt, vocab, 4)
+        ids_b = _hash_ids("assistant:" + prompt, vocab, 4)
+        img_id = vocab  # sentinel outside the text vocab
+        ids = np.concatenate([
+            ids_a, np.full(s_ref, img_id), ids_b, np.full(n_img, img_id),
+        ])[None].astype(np.int64)
+        # grids are UNMERGED (h, w); s_ref/n_img are merged token counts
+        pos = get_rope_index(ids, [tuple(ref_grid_thw), tuple(self.grid_thw)],
+                             img_id, -1, merge)
+
+        wte = jnp.asarray(self.wte)
+        text_a = wte[jnp.asarray(ids_a, jnp.int32)][None]
+        text_b = wte[jnp.asarray(ids_b, jnp.int32)][None]
+        embeds = jnp.concatenate(
+            [text_a, ref.astype(text_a.dtype), text_b,
+             table[None].astype(text_a.dtype)], axis=1)
+
+        target_emb = nexus_gen_target_embeddings(
+            self.ar_params, self.ar_cfg, self.heads, embeds,
+            jnp.asarray(pos), n_img)
+        ctx = nexus_gen_merger_forward(merger, merger_cfg, target_emb,
+                                       self.grid_thw, ref, ref_grid_thw)
+
+        # latent grid after VAE + 2x2 patchify
+        gh = height // self.flux.vae_factor // 2
+        gw = width // self.flux.vae_factor // 2
+        tables = nexus_editing_rope_tables(
+            gh, gw, (self.grid_thw[1], self.grid_thw[2]),
+            (ref_grid_thw[1], ref_grid_thw[2]),
+            tuple(self.flux.dit_cfg.axes_dim), self.flux.dit_cfg.rope_theta)
+        return self.flux(prompt, prompt_emb_override=np.asarray(ctx),
+                         rope_tables_override=tables, height=height,
+                         width=width, **flux_kwargs)

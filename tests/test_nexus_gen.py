@@ -185,3 +185,39 @@ def test_nexus_gen_pipeline_smoke():
                num_inference_steps=2, seed=0)
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_nexus_gen_edit_pipeline_smoke():
+    """Editing path: ref-image slot + target slot AR sequence, merger, Flux
+    denoise with spatial editing rope tables."""
+    from goal_force_tpu.models.nexus_gen import NexusGenMergerConfig
+    from goal_force_tpu.models.qwen_vl import init_qwen_vl_text
+    from goal_force_tpu.pipelines.nexus_gen import NexusGenPipeline
+
+    pipe = NexusGenPipeline.init_random()
+    h = pipe.ar_cfg.hidden_size
+    td = pipe.flux.dit_cfg.text_dim
+    mcfg = NexusGenMergerConfig(text=pipe.ar_cfg, num_layers=1, out_channel=td)
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    n = lambda k, *s: jax.random.normal(k, s) * 0.05
+    merger = {
+        "blocks": init_qwen_vl_text(ks[0],
+                                    dataclasses_replace(pipe.ar_cfg, 1)
+                                    )["blocks"],
+        "proj_norm0": {"w": jnp.ones((h,))},
+        "proj_fc0": {"w": n(ks[1], h, 48), "b": jnp.zeros(48)},
+        "proj_norm1": {"w": jnp.ones((48,))},
+        "proj_fc1": {"w": n(ks[2], 48, td), "b": jnp.zeros(td)},
+        "proj_norm2": {"w": jnp.ones((td,))},
+    }
+    ref = np.random.default_rng(0).normal(size=(1, 4, h)).astype(np.float32)
+    img = pipe.edit("make it night", ref, (1, 4, 4), merger, mcfg,
+                    height=32, width=32, num_inference_steps=2, seed=0)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+
+
+def dataclasses_replace(cfg, num_layers):
+    import dataclasses as _dc
+
+    return _dc.replace(cfg, num_layers=num_layers)

@@ -100,6 +100,27 @@ class CLIPBPETokenizer:
         lines = lines[1:49152 - 256 - 2 + 1]
         return cls([tuple(line.split()) for line in lines])
 
+    @classmethod
+    def from_hf(cls, vocab_json: str, merges_txt: str) -> "CLIPBPETokenizer":
+        """Load HF-format CLIP tokenizer files (vocab.json + merges.txt), the
+        layout the reference vendors under diffsynth/tokenizer_configs/*/
+        tokenizer*/ . The explicit vocab mapping replaces the derived one (it
+        can carry added tokens / different ordering)."""
+        import json
+
+        with open(merges_txt, encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        if lines and lines[0].startswith("#"):
+            lines = lines[1:]
+        merges = [tuple(ln.split()) for ln in lines if len(ln.split()) == 2]
+        tok = cls(merges)
+        with open(vocab_json, encoding="utf-8") as f:
+            tok.encoder = json.load(f)
+        tok.decoder = {i: t for t, i in tok.encoder.items()}
+        tok.sot_id = tok.encoder[cls.SOT]
+        tok.eot_id = tok.encoder[cls.EOT]
+        return tok
+
     def bpe(self, token: str) -> str:
         if token in self._cache:
             return self._cache[token]

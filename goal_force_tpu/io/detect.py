@@ -33,6 +33,9 @@ def detect_model_kind(sd: Mapping[str, np.ndarray]) -> str:
     hf_clip, open_clip, image_reward, esrgan, rife — or raises ValueError.
     """
     keys = set(sd.keys())
+    zoo = _detect_zoo(sd, keys)
+    if zoo is not None:
+        return zoo
     if any(k.startswith("pipe.controlnet.") for k in keys):
         return "goal_force_controlnet"          # our/their trained export
     if any(".lora_A." in k or ".lora_B." in k or k.endswith("lora_A.weight")
@@ -80,6 +83,94 @@ def detect_model_kind(sd: Mapping[str, np.ndarray]) -> str:
     raise ValueError(
         f"unrecognized state dict ({len(keys)} keys; sample: "
         f"{sorted(keys)[:5]})")
+
+
+def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
+    """Structural signatures for the non-Wan model families (the reference
+    covers these via MD5 key-hash entries in diffsynth/configs/model_config.py:
+    141-178; here each family is identified by keys only it has). The naming
+    matched is the reference module state-dict ("diffsynth") format that the
+    per-family converters consume."""
+    if _has(sd, "single_blocks.0.to_qkv_mlp.weight", "x_embedder.weight"):
+        return "flux_dit"
+    if _has(sd, "double_blocks.0.component_a.to_qkv.weight", "img_in.proj.weight"):
+        return "hunyuan_video_dit"
+    if _has(sd, "patch_embedder.proj.weight", "t5_pooler.q_proj.weight"):
+        return "hunyuan_dit"
+    if _has(sd, "pos_embedder.proj.weight", "blocks.0.attn.a_to_qkv.weight"):
+        return "sd3_dit"
+    if _has(sd, "txt_norm.weight", "transformer_blocks.0.attn.norm_added_q.weight"):
+        return "qwen_image_dit"
+    if _has(sd, "patchify.proj.weight", "blocks.0.attn1.to_q.weight"):
+        return "cog_dit"
+    if _has(sd, "pos_embed.proj.weight", "scale_shift_table"):
+        return "stepvideo_dit"
+    if _has(sd, "llm.embed_tokens.weight", "llm.norm.weight"):
+        return "omnigen"
+    if _has(sd, "embedding.word_embeddings.weight",
+            "encoder.layers.0.self_attention.query_key_value.weight"):
+        return "chatglm"
+    if any(k.startswith("conditioner.embedders.") for k in keys):
+        return "sdxl_civitai"               # bundled SDXL LDM checkpoint
+    if _has(sd, "add_time_embedding.0.weight", "conv_in.weight"):
+        return "sdxl_unet"
+    if _has(sd, "conv_in.weight", "time_embedding.0.weight") \
+            and any(".temporal_" in k or "temporal_blocks" in k
+                    or ".time_stack" in k for k in keys):
+        return "svd_unet"
+    if _has(sd, "model.layers.0.self_attn.q_proj.weight",
+            "model.embed_tokens.weight") or \
+            _has(sd, "layers.0.self_attn.q_proj.weight", "embed_tokens.weight"):
+        # Llama-family decoder (HunyuanVideo text tower) vs Qwen2.5-VL text
+        # (Qwen carries q/k/v biases)
+        qb = "model.layers.0.self_attn.q_proj.bias" in keys or \
+            "layers.0.self_attn.q_proj.bias" in keys
+        return "qwen_vl_text" if qb else "llama"
+    if any(k.startswith("visual.blocks.") for k in keys) and \
+            "visual.merger.ln_q.weight" in keys or \
+            _has(sd, "blocks.0.attn.qkv.weight", "patch_embed.proj.weight",
+                 "merger.ln_q.weight"):
+        return "qwen_vl_vision"
+    if _has(sd, "embeddings.word_embeddings.weight",
+            "embeddings.token_type_embeddings.weight"):
+        return "bert"
+    if _has(sd, "tok_embeddings.weight", "layers.0.attention_norm.weight"):
+        return "step1_llm"
+    if _has(sd, "encoders.0.attn.to_q.weight", "token_embedding.weight"):
+        return "clip_text"      # SD/SDXL CLIP towers (diffsynth naming);
+        # final_layer_norm/text_projection presence tells the variants apart
+    if _has(sd, "token_embedding.weight", "pos_embedding.embedding.weight",
+            "blocks.0.attn.q.weight"):
+        return "t5_encoder"     # shared-relative-pos T5 v1.1 (Flux/SD3/Cog)
+    if _has(sd, "conv_in.weight", "blocks.0.norm1.weight") and \
+            "time_embedding.0.weight" not in keys:
+        # plan-format 2D VAE half (diffsynth SDVAEEncoder/Decoder naming,
+        # also the SD3/Flux 16-channel heads without quant convs)
+        if "quant_conv.weight" in keys:
+            return "sd_vae_encoder"
+        if "post_quant_conv.weight" in keys:
+            return "sd_vae_decoder"
+        out_ch = np.asarray(sd["conv_out.weight"]).shape[0]
+        return "sd3_vae_decoder" if out_ch == 3 else "sd3_vae_encoder"
+    # --- VAE variants (all keyed encoder./decoder. with family-specific
+    # block naming) ---
+    if any(".nin_shortcut.conv.weight" in k for k in keys):
+        return "stepvideo_vae"
+    if any(".conv_shortcut.conv.weight" in k for k in keys):
+        return "hunyuan_video_vae"
+    if _has(sd, "encoder.conv_in.conv.weight") or _has(sd, "decoder.conv_in.conv.weight"):
+        return "qwen_image_vae"
+    if any("spatial_res_block" in k or "temporal_res_block" in k for k in keys):
+        return "svd_vae"
+    if any(k.startswith(("encoder.down_blocks.", "decoder.up_blocks.")) for k in keys):
+        dims = [np.asarray(sd[k]).ndim for k in keys
+                if k.endswith("conv_in.weight") or k.endswith("conv1.weight")]
+        if any(d == 5 for d in dims):
+            return "cog_vae"
+        # SD/SDXL/SD3/Flux 2D VAE (diffusers naming); moments channels tell
+        # the head apart but the family is one loader
+        return "sd_vae_diffusers"
+    return None
 
 
 def infer_dit_config(sd: Mapping[str, np.ndarray], head_dim: int = 128):

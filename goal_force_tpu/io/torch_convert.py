@@ -245,8 +245,19 @@ def t5_params_from_torch(sd: Mapping[str, Array], cfg: T5Config) -> Dict:
                 "fc1": _lin(sd, f"{p}.ffn.fc1"),
                 "fc2": _lin(sd, f"{p}.ffn.fc2"),
             },
-            "pos_embedding": sd[f"{p}.pos_embedding.embedding.weight"],
+            "pos_embedding": _t5_pos(sd, i),
         }
+
+    def _t5_pos(sd, i):
+        # umt5 carries a relative-bias table per block; shared_pos models
+        # (T5 v1.1 — WanTextEncoder(shared_pos=True)) keep ONE top-level
+        # table consumed at layer 0 (reference wan_video_text_encoder.py:
+        # 209-254 pos_embedding wiring)
+        per = f"blocks.{i}.pos_embedding.embedding.weight"
+        if per in sd:
+            return sd[per]
+        shared = np.asarray(sd["pos_embedding.embedding.weight"])
+        return shared if i == 0 else np.zeros_like(shared)
 
     blocks = [t5_block(i) for i in range(cfg.num_layers)]
     return {

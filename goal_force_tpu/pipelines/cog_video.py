@@ -57,6 +57,61 @@ class CogVideoPipeline:
                    t5=t5m.init_t5(ks[1], t5_cfg, dtype),
                    dit_cfg=dit_cfg, t5_cfg=t5_cfg, dtype=dtype)
 
+    @classmethod
+    def from_pretrained(
+        cls,
+        dit_path,
+        text_encoder_path=None,            # T5 (diffsynth or HF naming)
+        vae_encoder_path=None,
+        vae_decoder_path=None,
+        vae_cfg=None,                      # CogVAEConfig; default = released 5B
+        tokenizer="vendored",              # cog spiece (len 226)
+        t5_length: int = 226,
+        dtype=jnp.bfloat16,
+        t5_num_heads=None,
+        **infer_kw,                        # rope_dim for tiny DiT files
+    ) -> "CogVideoPipeline":
+        """CogVideoX 'load weights, generate' (reference ModelManager Cog rows;
+        cog_prompter.py tokenizes to 226 T5 tokens)."""
+        import dataclasses as dc
+
+        from goal_force_tpu.io.auto import load_model, load_weights
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        dit = load_model(dit_path, **infer_kw)
+        if dit["kind"] != "cog_dit":
+            raise ValueError(f"{dit_path} detected as {dit['kind']!r}")
+        t5_cfg, t5 = None, None
+        if text_encoder_path is not None:
+            r = load_model(text_encoder_path, num_heads=t5_num_heads)
+            t5_cfg = dc.replace(r["config"], text_len=t5_length)
+            t5 = to_dev(r["params"])
+
+        decode_video = encode_video = None
+        from goal_force_tpu.models import cog_vae as cv
+
+        vcfg = vae_cfg or cv.CogVAEConfig()
+        if vae_decoder_path is not None:
+            dec = to_dev(cv.cog_vae_decoder_params_from_torch(
+                load_weights(vae_decoder_path), vcfg))
+            decode_video = lambda z: cv.cog_vae_decode(dec, z, vcfg)
+        if vae_encoder_path is not None:
+            enc = to_dev(cv.cog_vae_encoder_params_from_torch(
+                load_weights(vae_encoder_path), vcfg))
+            encode_video = lambda v: cv.cog_vae_encode(enc, v, vcfg)
+
+        tok = tokenizer
+        if tokenizer == "vendored":
+            from goal_force_tpu.prompters import cog_tokenizer
+
+            tok = cog_tokenizer(length=t5_length)
+        return cls(dit=to_dev(dit["params"]), t5=t5,
+                   dit_cfg=dit["config"],
+                   t5_cfg=t5_cfg or tiny_cog_configs()[1],
+                   tokenize=tok, decode_video=decode_video,
+                   encode_video=encode_video, dtype=dtype)
+
     @functools.cached_property
     def _encode_text(self):
         t5_cfg = self.t5_cfg

@@ -79,6 +79,92 @@ class FluxPipeline:
     # ------------------------------------------------------------------
 
     @classmethod
+    def from_pretrained(
+        cls,
+        dit_path,
+        text_encoder_path=None,            # CLIP-L (diffsynth naming)
+        text_encoder_2_path=None,          # T5-XXL (diffsynth or HF naming)
+        vae_encoder_path=None,
+        vae_decoder_path=None,
+        tokenizer_1="vendored",            # None -> hash fallback (warned)
+        tokenizer_2="vendored",
+        t5_length: int = 512,
+        vae_plans=None,                    # (enc_plan, dec_plan, groups)
+        dtype=jnp.bfloat16,
+        clip_num_heads=None,               # tiny-file overrides (real files
+        t5_num_heads=None,                 # infer everything from shapes)
+        **infer_kw,                        # e.g. num_heads/axes_dim for the DiT
+    ) -> "FluxPipeline":
+        """Build a runnable Flux pipeline from reference-format weight files.
+
+        Replaces the reference's ModelManager hash-detect path for the Flux
+        family (reference: diffsynth/models/model_manager.py:395-461 +
+        diffsynth/configs/model_config.py Flux rows; file formats are the
+        reference FluxDiT / SDXLTextEncoder / T5 / SD3-VAE state dicts).
+        Tokenizers default to the vendored flux assets (reference
+        flux_prompter.py:61-69); pass None to fall back to hashing (loudly)."""
+        from goal_force_tpu.io.auto import load_model
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+
+        dit = load_model(dit_path, **infer_kw)
+        if dit["kind"] != "flux_dit":
+            raise ValueError(f"{dit_path} detected as {dit['kind']!r}, not flux_dit")
+        key = jax.random.PRNGKey(0)
+        enc_plan, dec_plan, groups = vae_plans or \
+            (SD_VAE_ENCODER_PLAN, SD_VAE_DECODER_PLAN, 32)
+
+        clip_cfg, clip = SD_TEXT_CONFIG, None
+        if text_encoder_path is not None:
+            r = load_model(text_encoder_path, num_heads=clip_num_heads)
+            clip_cfg, clip = r["config"], to_dev(r["params"])
+        t5_cfg, t5 = None, None
+        if text_encoder_2_path is not None:
+            r = load_model(text_encoder_2_path, num_heads=t5_num_heads)
+            t5_cfg = dataclasses.replace(r["config"], text_len=t5_length)
+            t5 = to_dev(r["params"])
+        vae_enc = vae_dec = None
+        if vae_encoder_path is not None:
+            vae_enc = to_dev(load_model(vae_encoder_path, plan=enc_plan)["params"])
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
+
+        tok_clip = tok_t5 = None
+        if tokenizer_1 == "vendored" or tokenizer_2 == "vendored":
+            from goal_force_tpu.prompters import flux_tokenizers
+
+            v1, v2 = flux_tokenizers(t5_length=t5_length)
+            tok_clip = v1 if tokenizer_1 == "vendored" else tokenizer_1
+            tok_t5 = v2 if tokenizer_2 == "vendored" else tokenizer_2
+        else:
+            tok_clip, tok_t5 = tokenizer_1, tokenizer_2
+        if tok_clip is None or tok_t5 is None:
+            import warnings
+
+            warnings.warn(
+                "FluxPipeline.from_pretrained without real tokenizers: prompts "
+                "will be HASHED into ids (garbage embeddings). Pass "
+                "tokenizer_1/tokenizer_2='vendored' or callables.",
+                stacklevel=2)
+
+        return cls(
+            dit=to_dev(dit["params"]),
+            clip=clip if clip is not None else
+            init_clip_text(key, clip_cfg, dtype),
+            t5=t5 if t5 is not None else
+            t5m.init_t5(key, t5_cfg or T5Config(), dtype),
+            vae_encoder=vae_enc, vae_decoder=vae_dec,
+            dit_cfg=dit["config"],
+            t5_cfg=t5_cfg or T5Config(),
+            clip_cfg=clip_cfg,
+            vae_enc_plan=enc_plan, vae_dec_plan=dec_plan, vae_groups=groups,
+            vae_factor=2 ** sum(1 for b in enc_plan if b[0] == "downe"),
+            tokenize_clip=tok_clip, tokenize_t5=tok_t5,
+            dtype=dtype,
+        )
+
+    @classmethod
     def init_random(cls, key=None, dit_cfg=None, t5_cfg=None, clip_cfg=None,
                     vae_plans=None, dtype=jnp.float32) -> "FluxPipeline":
         key = key if key is not None else jax.random.PRNGKey(0)

@@ -39,6 +39,78 @@ class HunyuanImagePipeline:
     dtype: object = jnp.bfloat16
 
     @classmethod
+    def from_pretrained(
+        cls,
+        dit_path,
+        bert_path=None,                    # HunyuanDiT CLIP-style BERT tower
+        t5_path=None,                      # mT5 encoder (diffsynth naming)
+        vae_decoder_path=None,
+        tokenizer="vendored",              # vendored hunyuan_dit BERT vocab
+        vae_dec_plan=None,
+        vae_groups: int = 32,
+        dtype=jnp.bfloat16,
+        bert_num_heads=None,
+        t5_num_heads=None,
+        **infer_kw,                        # num_heads for tiny DiT files
+    ) -> "HunyuanImagePipeline":
+        """HunyuanDiT 'load weights, generate' (reference ModelManager rows;
+        hunyuan_dit_prompter.py: BERT 77 tokens + mT5 256 tokens)."""
+        from goal_force_tpu.io.auto import load_model
+        from goal_force_tpu.models.sd_vae import SD_VAE_DECODER_PLAN
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        dit = load_model(dit_path, **infer_kw)
+        if dit["kind"] != "hunyuan_dit":
+            raise ValueError(f"{dit_path} detected as {dit['kind']!r}")
+        cfg = dit["config"]
+
+        encode_prompt = None
+        if bert_path is not None:
+            from goal_force_tpu.models.text_encoders import bert_encode
+            from goal_force_tpu.models import t5 as t5m
+
+            rb = load_model(bert_path, num_heads=bert_num_heads)
+            bert, bert_cfg = to_dev(rb["params"]), rb["config"]
+            t5p = t5_cfg = None
+            if t5_path is not None:
+                rt = load_model(t5_path, num_heads=t5_num_heads)
+                t5p, t5_cfg = to_dev(rt["params"]), rt["config"]
+            tok_bert = tokenizer
+            if tokenizer == "vendored":
+                from goal_force_tpu.prompters import hunyuan_dit_tokenizers
+
+                tok_bert, _ = hunyuan_dit_tokenizers()
+                tok_bert = tok_bert.with_length(cfg.text_len)
+
+            def encode_prompt(prompt):
+                import numpy as _np
+
+                ids = jnp.asarray(_np.asarray(tok_bert(prompt))[None], jnp.int32)
+                mask = (ids != 0).astype(jnp.int32)
+                clip_emb = bert_encode(bert, bert_cfg, ids, mask)
+                if t5p is not None:
+                    from goal_force_tpu.pipelines.flux import _hash_ids
+
+                    tids = jnp.asarray(
+                        _hash_ids(prompt, t5_cfg.vocab, cfg.t5_len)[None],
+                        jnp.int32)
+                    tmask = (tids != 0).astype(jnp.int32)
+                    t5_emb = t5m.t5_encode(t5p, t5_cfg, tids, tmask)
+                else:
+                    t5_emb = jnp.zeros((1, cfg.t5_len, cfg.t5_dim), clip_emb.dtype)
+                    tmask = jnp.zeros((1, cfg.t5_len), jnp.int32)
+                return clip_emb, mask, t5_emb, tmask
+
+        vae_dec = None
+        dec_plan = vae_dec_plan or SD_VAE_DECODER_PLAN
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
+        return cls(dit=to_dev(dit["params"]), vae_decoder=vae_dec, cfg=cfg,
+                   vae_dec_plan=dec_plan, vae_groups=vae_groups,
+                   encode_prompt=encode_prompt, dtype=dtype)
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "HunyuanImagePipeline":
         from goal_force_tpu.pipelines.sd import _init_tiny_vae
 

@@ -46,6 +46,72 @@ class HunyuanVideoPipeline:
     attn_impl: str = "auto"
 
     @classmethod
+    def from_pretrained(
+        cls,
+        dit_path,
+        llama_path=None,                   # llava-llama text tower weights
+        clip_path=None,                    # CLIP-L (diffsynth naming)
+        vae_decoder_path=None,
+        vae_cfg=None,                      # HunyuanVAEConfig
+        llama_tokenizer_dir=None,          # ships with the text encoder ckpt
+        clip_tokenizer="vendored",         # hunyuan_video/tokenizer_1 assets
+        txt_len: int = 256,
+        dtype=jnp.bfloat16,
+        llama_num_heads=None,
+        clip_num_heads=None,
+        **infer_kw,                        # num_heads/rope_dims for tiny DiTs
+    ) -> "HunyuanVideoPipeline":
+        """HunyuanVideo 'load weights, generate' (reference ModelManager rows +
+        hunyuan_video_prompter.py: Llama hidden states with skip-2 + CLIP-L
+        pooled). The Llama tokenizer is not vendored by the reference either —
+        pass the text-encoder checkpoint dir via `llama_tokenizer_dir`."""
+        from goal_force_tpu.io.auto import load_model
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        dit = load_model(dit_path, **infer_kw)
+        if dit["kind"] != "hunyuan_video_dit":
+            raise ValueError(f"{dit_path} detected as {dit['kind']!r}")
+
+        encode_prompt = None
+        if llama_path is not None:
+            r = load_model(llama_path, num_heads=llama_num_heads)
+            llama, llama_cfg = to_dev(r["params"]), r["config"]
+            clip = clip_cfg = None
+            if clip_path is not None:
+                rc = load_model(clip_path, num_heads=clip_num_heads)
+                clip, clip_cfg = to_dev(rc["params"]), rc["config"]
+            tok_llama = None
+            if llama_tokenizer_dir is not None:
+                from goal_force_tpu.prompters import load_text_tokenizer
+
+                tok_llama = load_text_tokenizer(llama_tokenizer_dir, txt_len)
+            tok_clip = clip_tokenizer
+            if clip_tokenizer == "vendored":
+                from goal_force_tpu.prompters import (
+                    hunyuan_video_clip_tokenizer,
+                )
+
+                tok_clip = hunyuan_video_clip_tokenizer()
+            encode_prompt = make_llama_prompt_encoder(
+                llama, llama_cfg, clip, clip_cfg, txt_len,
+                tokenize_llama=tok_llama, tokenize_clip=tok_clip)
+
+        decode_video = None
+        if vae_decoder_path is not None:
+            from goal_force_tpu.models import hunyuan_video_vae as hv
+
+            r = load_model(vae_decoder_path, vae_cfg=vae_cfg)
+            dec, vcfg = to_dev(r["params"]), r["config"]
+            if "decoder" in dec:
+                dec = dec["decoder"]
+            decode_video = lambda z: hv.hunyuan_vae_decode(dec, z, vcfg)
+
+        return cls(dit=to_dev(dit["params"]), dit_cfg=dit["config"],
+                   encode_prompt=encode_prompt, decode_video=decode_video,
+                   dtype=dtype)
+
+    @classmethod
     def init_random(cls, key=None, dit_cfg=None, dtype=jnp.float32):
         key = key if key is not None else jax.random.PRNGKey(0)
         dit_cfg = dit_cfg or tiny_hunyuan_config()
@@ -151,13 +217,23 @@ def make_llama_prompt_encoder(llama_params, llama_cfg, clip_params, clip_cfg,
         emb = llama_encode(llama_params, llama_cfg, ids, mask,
                            hidden_state_skip_layer=hidden_state_skip_layer)
         if clip_params is not None:
-            from goal_force_tpu.models.clip import clip_encode_text
-
             cids = _np.asarray(tokenize_clip(prompt))[None] \
                 if tokenize_clip is not None else \
                 _hash_ids(prompt, clip_cfg.vocab_size, clip_cfg.max_positions)[None]
-            pooled = clip_encode_text(clip_params, clip_cfg,
-                                      jnp.asarray(cids, jnp.int32))
+            cids = jnp.asarray(cids, jnp.int32)
+            if "text_proj" in clip_params:
+                from goal_force_tpu.models.clip import clip_encode_text
+
+                pooled = clip_encode_text(clip_params, clip_cfg, cids)
+            else:
+                # plain CLIPTextModel pooled output (final-LN + argmax-eos),
+                # the tower HunyuanVideo conditions on (reference
+                # hunyuan_video_text_encoder.py CLIP branch)
+                from goal_force_tpu.models.sd_text_encoder import (
+                    sd3_text1_encode,
+                )
+
+                pooled, _ = sd3_text1_encode(clip_params, cids, clip_cfg)
         else:
             pooled = jnp.zeros((1, emb.shape[-1]), emb.dtype)
         return emb, mask, pooled

@@ -58,6 +58,61 @@ class KolorsPipeline:
     dtype: object = jnp.bfloat16
 
     @classmethod
+    def from_pretrained(
+        cls,
+        unet_path,                         # Kolors SDXL-arch UNet (diffsynth)
+        text_encoder_path=None,            # ChatGLM3
+        vae_encoder_path=None,
+        vae_decoder_path=None,
+        tokenizer="vendored",              # vendored chatglm spm, len 256
+        glm_length: int = 256,
+        plan=None,
+        groups: int = 32,
+        vae_plans=None,
+        dtype=jnp.bfloat16,
+        glm_num_heads=None,
+    ) -> "KolorsPipeline":
+        """Kolors 'load weights, generate' (reference ModelManager Kolors rows;
+        kolors_prompter.py: ChatGLM3 encode at 256 tokens, left-padded)."""
+        from goal_force_tpu.io.auto import load_model
+        from goal_force_tpu.models.sd_vae import (
+            SD_VAE_DECODER_PLAN,
+            SD_VAE_ENCODER_PLAN,
+        )
+        from goal_force_tpu.models.sdxl_unet import SDXL_PLAN
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        plan = plan or SDXL_PLAN
+        unet = load_model(unet_path, plan=plan)
+        if unet["kind"] != "sdxl_unet":
+            raise ValueError(f"{unet_path} detected as {unet['kind']!r}")
+        glm_cfg, glm = None, None
+        if text_encoder_path is not None:
+            r = load_model(text_encoder_path, num_heads=glm_num_heads)
+            glm_cfg, glm = r["config"], to_dev(r["params"])
+        enc_plan, dec_plan, vgroups = vae_plans or \
+            (SD_VAE_ENCODER_PLAN, SD_VAE_DECODER_PLAN, 32)
+        vae_enc = vae_dec = None
+        if vae_encoder_path is not None:
+            vae_enc = to_dev(load_model(vae_encoder_path, plan=enc_plan)["params"])
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
+        tok = tokenizer
+        if tokenizer == "vendored":
+            from goal_force_tpu.prompters import kolors_tokenizer
+
+            tok = kolors_tokenizer(length=glm_length)
+        if glm_cfg is None:
+            glm_cfg = tiny_kolors_configs()[0]
+            glm = init_chatglm(jax.random.PRNGKey(0), glm_cfg, dtype)
+        return cls(unet=to_dev(unet["params"]), glm=glm,
+                   vae_encoder=vae_enc, vae_decoder=vae_dec, glm_cfg=glm_cfg,
+                   plan=plan, groups=groups, vae_enc_plan=enc_plan,
+                   vae_dec_plan=dec_plan, vae_groups=vgroups,
+                   tokenize=tok, dtype=dtype)
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "KolorsPipeline":
         from goal_force_tpu.models.sdxl_unet import init_sdxl_unet
         from goal_force_tpu.pipelines.sd import _init_tiny_vae

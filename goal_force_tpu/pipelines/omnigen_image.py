@@ -59,6 +59,48 @@ class OmniGenImagePipeline:
     dtype: object = jnp.bfloat16
 
     @classmethod
+    def from_pretrained(
+        cls,
+        transformer_path,
+        vae_encoder_path=None,             # SD-1.5 VAE halves (plan format)
+        vae_decoder_path=None,
+        tokenizer_dir=None,                # Phi-3 tokenizer (ships with ckpt)
+        vae_plans=None,
+        dtype=jnp.bfloat16,
+        **infer_kw,                        # num_heads + rope factors for tiny
+    ) -> "OmniGenImagePipeline":
+        """OmniGen 'load weights, generate' (reference ModelManager OmniGen
+        row; the Phi-3 tokenizer ships with the checkpoint — pass its dir)."""
+        from goal_force_tpu.io.auto import load_model
+        from goal_force_tpu.models.sd_vae import (
+            SD_VAE_DECODER_PLAN,
+            SD_VAE_ENCODER_PLAN,
+        )
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        tf = load_model(transformer_path, **infer_kw)
+        if tf["kind"] != "omnigen":
+            raise ValueError(f"{transformer_path} detected as {tf['kind']!r}")
+        enc_plan, dec_plan, vgroups = vae_plans or \
+            (SD_VAE_ENCODER_PLAN, SD_VAE_DECODER_PLAN, 32)
+        vae_enc = vae_dec = None
+        if vae_encoder_path is not None:
+            vae_enc = to_dev(load_model(vae_encoder_path, plan=enc_plan)["params"])
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
+        tok = None
+        if tokenizer_dir is not None:
+            from goal_force_tpu.prompters import load_text_tokenizer
+
+            tt = load_text_tokenizer(tokenizer_dir, 128)
+            tok = tt.encode            # OmniGen consumes unpadded id lists
+        return cls(transformer=to_dev(tf["params"]), vae_encoder=vae_enc,
+                   vae_decoder=vae_dec, cfg=tf["config"],
+                   vae_enc_plan=enc_plan, vae_dec_plan=dec_plan,
+                   vae_groups=vgroups, tokenize=tok, dtype=dtype)
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "OmniGenImagePipeline":
         from goal_force_tpu.pipelines.sd import _init_tiny_vae
 

@@ -53,6 +53,57 @@ class QwenImagePipeline:
     vae_factor: int = 8
 
     @classmethod
+    def from_pretrained(
+        cls,
+        dit_path,
+        text_encoder_path=None,            # Qwen2.5-VL text tower
+        vae_path=None,                     # Wan-architecture 16ch VAE
+        vae_cfg=None,
+        tokenizer_dir=None,                # Qwen fast tokenizer (with ckpt)
+        qwen_length: int = 512,
+        dtype=jnp.bfloat16,
+        text_num_heads=None,
+        **infer_kw,                        # axes_dim for tiny DiT files
+    ) -> "QwenImagePipeline":
+        """Qwen-Image 'load weights, generate' (reference ModelManager rows;
+        the prompter tokenizes with the Qwen2.5-VL tokenizer shipped next to
+        the text-encoder weights — pass its dir via `tokenizer_dir`)."""
+        from goal_force_tpu.io.auto import load_model, load_weights
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        dit = load_model(dit_path, **infer_kw)
+        if dit["kind"] != "qwen_image_dit":
+            raise ValueError(f"{dit_path} detected as {dit['kind']!r}")
+        text_cfg, text = None, None
+        if text_encoder_path is not None:
+            r = load_model(text_encoder_path, num_heads=text_num_heads)
+            text_cfg, text = r["config"], to_dev(r["params"])
+        vae, vcfg = None, vae_cfg
+        if vae_path is not None:
+            from goal_force_tpu.models.qwen_image_vae import (
+                QWEN_IMAGE_VAE_CONFIG,
+                qwen_image_vae_params_from_torch,
+            )
+
+            vcfg = vae_cfg or QWEN_IMAGE_VAE_CONFIG
+            vae = to_dev(qwen_image_vae_params_from_torch(
+                load_weights(vae_path), vcfg))
+        tok = None
+        if tokenizer_dir is not None:
+            from goal_force_tpu.prompters import load_text_tokenizer
+
+            tok = load_text_tokenizer(tokenizer_dir, qwen_length)
+        if text is None:
+            raise ValueError("text_encoder_path is required (the DiT consumes "
+                             "Qwen2.5-VL hidden states)")
+        return cls(dit=to_dev(dit["params"]), text_encoder=text,
+                   vae_encoder=vae, vae_decoder=vae,
+                   dit_cfg=dit["config"], text_cfg=text_cfg, vae_cfg=vcfg,
+                   tokenize=tok, dtype=dtype,
+                   vae_factor=2 ** (len(vcfg.dim_mult) - 1) if vcfg else 8)
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "QwenImagePipeline":
         from goal_force_tpu.configs import VAEConfig
         from goal_force_tpu.models.vae import init_vae

@@ -158,6 +158,63 @@ class SDPipeline:
         return np.clip((np.asarray(image[0], np.float32) + 1.0) / 2.0, 0.0, 1.0)
 
     @classmethod
+    def from_pretrained(
+        cls,
+        unet_path,                         # diffsynth unet OR bundled civitai
+        text_encoder_path=None,
+        vae_encoder_path=None,
+        vae_decoder_path=None,
+        tokenizer="vendored",
+        plan=None,
+        groups: int = 32,
+        vae_plans=None,                    # (enc_plan, dec_plan, groups)
+        dtype=jnp.float32,
+        clip_num_heads=None,
+    ) -> "SDPipeline":
+        """Reference-format SD-1.5 load: either one bundled civitai checkpoint
+        (split by prefix, reference ModelManager hash rows) or separate
+        diffsynth-format files; real CLIP tokenizer by default (reference
+        sd_prompter.py over tokenizer_configs/stable_diffusion)."""
+        from goal_force_tpu.io.auto import load_model, load_weights
+        from goal_force_tpu.io.detect import detect_model_kind
+
+        tok = tokenizer
+        if tokenizer == "vendored":
+            from goal_force_tpu.prompters import sd_clip_tokenizer
+
+            tok = sd_clip_tokenizer()
+
+        sd = load_weights(unet_path)
+        if detect_model_kind(sd) == "sd_civitai":
+            pipe = sd_pipeline_from_civitai(sd, tokenize=tok, dtype=dtype)
+            return pipe
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        plan = plan or SD15_PLAN
+        enc_plan, dec_plan, vgroups = vae_plans or \
+            (SD_VAE_ENCODER_PLAN, SD_VAE_DECODER_PLAN, 32)
+        unet = load_model(sd, plan=plan)
+        text_cfg, text = SD_TEXT_CONFIG, None
+        if text_encoder_path is not None:
+            r = load_model(text_encoder_path, num_heads=clip_num_heads)
+            text_cfg, text = r["config"], to_dev(r["params"])
+        vae_enc = vae_dec = None
+        if vae_encoder_path is not None:
+            vae_enc = to_dev(load_model(vae_encoder_path, plan=enc_plan)["params"])
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
+        if text is None:
+            text = init_clip(jax.random.PRNGKey(0), text_cfg, dtype)["text"]
+            text = {"text": text}
+        return cls(
+            unet=to_dev(unet["params"]), text_encoder=text,
+            vae_encoder=vae_enc, vae_decoder=vae_dec,
+            plan=plan, text_cfg=text_cfg, groups=groups,
+            vae_enc_plan=enc_plan, vae_dec_plan=dec_plan, vae_groups=vgroups,
+            tokenize=tok, dtype=dtype,
+        )
+
+    @classmethod
     def init_random(cls, key=None, tiny: bool = True, dtype=jnp.float32):
         """Random-weight pipeline (tests / smoke); tiny=False builds the real
         860M SD-1.5 geometry."""
@@ -235,12 +292,12 @@ def _init_tiny_vae(key, dtype):
     return enc, dec, enc_plan, dec_plan
 
 
-def sd_pipeline_from_civitai(path: str, tokenize=None,
+def sd_pipeline_from_civitai(path, tokenize=None,
                              dtype=jnp.float32) -> SDPipeline:
     """Build an SDPipeline from ONE bundled civitai SD-1.5 checkpoint
-    (safetensors or pth: `model.diffusion_model.*` UNet +
-    `cond_stage_model.*` CLIP text + `first_stage_model.*` VAE — the format
-    the reference's ModelManager splits by hash; here split by prefix)."""
+    (safetensors, pth, or an already-loaded dict: `model.diffusion_model.*`
+    UNet + `cond_stage_model.*` CLIP text + `first_stage_model.*` VAE — the
+    format the reference's ModelManager splits by hash; here split by prefix)."""
     from goal_force_tpu.io.safetensors_io import load_safetensors, load_torch_pth
     from goal_force_tpu.models.sd_text_encoder import sd_text_params_from_civitai
     from goal_force_tpu.models.sd_unet import sd_unet_params_from_civitai
@@ -249,8 +306,11 @@ def sd_pipeline_from_civitai(path: str, tokenize=None,
         sd_vae_encoder_params_from_civitai,
     )
 
-    sd = (load_safetensors(path) if path.endswith(".safetensors")
-          else load_torch_pth(path))
+    if isinstance(path, dict):
+        sd = path
+    else:
+        sd = (load_safetensors(path) if path.endswith(".safetensors")
+              else load_torch_pth(path))
     to_dev = lambda tree: jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, dtype), tree)
     return SDPipeline(

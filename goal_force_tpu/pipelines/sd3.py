@@ -75,6 +75,84 @@ class SD3Pipeline:
     attn_impl: str = "auto"
 
     @classmethod
+    def from_pretrained(
+        cls,
+        dit_path,
+        text_encoder_path=None,            # CLIP-L (diffsynth naming)
+        text_encoder_2_path=None,          # CLIP-G with projection
+        text_encoder_3_path=None,          # T5-XXL (optional, like the ref)
+        vae_encoder_path=None,
+        vae_decoder_path=None,
+        tokenizer="vendored",              # CLIP ids for both towers
+        tokenizer_t5="vendored",
+        t5_length: int = 128,
+        vae_plans=None,
+        dtype=jnp.bfloat16,
+        clip_num_heads=None,
+        t5_num_heads=None,
+    ) -> "SD3Pipeline":
+        """Reference-format SD3 family load (reference: model_manager.py:
+        395-461 SD3 rows; sd3_prompter.py drives CLIP-L+CLIP-G+optional T5).
+        Configs are shape-inferred; tiny test files pass head overrides."""
+        import dataclasses as dc
+
+        from goal_force_tpu.io.auto import load_model
+        from goal_force_tpu.pipelines.flux import init_clip_text
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        dit = load_model(dit_path)
+        if dit["kind"] != "sd3_dit":
+            raise ValueError(f"{dit_path} detected as {dit['kind']!r}, not sd3_dit")
+        enc_plan, dec_plan, groups = vae_plans or \
+            (SD_VAE_ENCODER_PLAN, SD_VAE_DECODER_PLAN, 32)
+        key = jax.random.PRNGKey(0)
+
+        clip1_cfg, clip1 = SD_TEXT_CONFIG, None
+        if text_encoder_path is not None:
+            r = load_model(text_encoder_path, num_heads=clip_num_heads)
+            clip1_cfg, clip1 = r["config"], to_dev(r["params"])
+        clip2_cfg, clip2 = SDXL_TEXT2_CONFIG, None
+        if text_encoder_2_path is not None:
+            r = load_model(text_encoder_2_path, num_heads=clip_num_heads)
+            clip2_cfg, clip2 = r["config"], to_dev(r["params"])
+        t5_cfg, t5 = None, None
+        if text_encoder_3_path is not None:
+            r = load_model(text_encoder_3_path, num_heads=t5_num_heads)
+            t5_cfg = dc.replace(r["config"], text_len=t5_length)
+            t5 = to_dev(r["params"])
+        vae_enc = vae_dec = None
+        if vae_encoder_path is not None:
+            vae_enc = to_dev(load_model(vae_encoder_path, plan=enc_plan)["params"])
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
+
+        tok_clip, tok_t5 = tokenizer, tokenizer_t5
+        if tokenizer == "vendored" or tokenizer_t5 == "vendored":
+            from goal_force_tpu.prompters import sd3_tokenizers
+
+            v1, _, v3 = sd3_tokenizers(t5_length=t5_length)
+            tok_clip = v1 if tokenizer == "vendored" else tokenizer
+            tok_t5 = v3 if tokenizer_t5 == "vendored" else tokenizer_t5
+
+        t5_cfg = t5_cfg or tiny_sd3_configs()[1]
+        return cls(
+            dit=to_dev(dit["params"]),
+            clip1=clip1 if clip1 is not None else
+            init_clip_text(key, clip1_cfg, dtype),
+            clip2=clip2 if clip2 is not None else
+            init_clip_text(key, clip2_cfg, dtype),
+            t5=t5,
+            vae_encoder=vae_enc, vae_decoder=vae_dec,
+            dit_cfg=dit["config"], t5_cfg=t5_cfg,
+            clip1_cfg=clip1_cfg, clip2_cfg=clip2_cfg,
+            vae_enc_plan=enc_plan, vae_dec_plan=dec_plan, vae_groups=groups,
+            vae_factor=2 ** sum(1 for b in enc_plan if b[0] == "downe"),
+            tokenize_clip=tok_clip, tokenize_t5=tok_t5,
+            dtype=dtype,
+        )
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "SD3Pipeline":
         from goal_force_tpu.models.clip import init_clip
         from goal_force_tpu.pipelines.flux import init_clip_text

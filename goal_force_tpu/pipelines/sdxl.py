@@ -55,6 +55,9 @@ class SDXLPipeline:
     vae_groups: int = 32
     vae_scaling: float = SDXL_SCALING_FACTOR
     tokenize: Optional[Callable[[str], np.ndarray]] = None
+    # second tokenizer (CLIP-G pads differently — reference sdxl_prompter.py
+    # uses a separate tokenizer_2); falls back to `tokenize` when unset
+    tokenize_2: Optional[Callable[[str], np.ndarray]] = None
     dtype: jnp.dtype = jnp.float32
 
     def __post_init__(self):
@@ -62,11 +65,11 @@ class SDXLPipeline:
         self._decode = jax.jit(lambda p, z: sd_vae_decode(
             p, z, self.vae_dec_plan, groups=self.vae_groups,
             scaling=self.vae_scaling))
-        self._encode = jax.jit(self._encode_prompt, static_argnums=3)
+        self._encode = jax.jit(self._encode_prompt, static_argnums=4)
 
-    def _encode_prompt(self, te1, te2, ids, clip_skip):
+    def _encode_prompt(self, te1, te2, ids, ids2, clip_skip):
         h1 = sdxl_text_encode(te1, ids, self.text_cfg, clip_skip=clip_skip)
-        pooled, h2 = sdxl_text2_encode(te2, ids, self.text2_cfg,
+        pooled, h2 = sdxl_text2_encode(te2, ids2, self.text2_cfg,
                                        clip_skip=clip_skip)
         return jnp.concatenate([h1, h2], axis=-1), pooled
 
@@ -92,6 +95,12 @@ class SDXLPipeline:
         return jnp.asarray(np.asarray(self.tokenize(prompt))
                            .reshape(1, -1).astype(np.int32))
 
+    def _ids2(self, prompt: str) -> jnp.ndarray:
+        if self.tokenize_2 is None:
+            return self._ids(prompt)
+        return jnp.asarray(np.asarray(self.tokenize_2(prompt))
+                           .reshape(1, -1).astype(np.int32))
+
     def __call__(self, prompt: str, negative_prompt: str = "",
                  height: int = 1024, width: int = 1024,
                  num_inference_steps: int = 20, cfg_scale: float = 7.5,
@@ -100,9 +109,11 @@ class SDXLPipeline:
         latents = jax.random.normal(jax.random.PRNGKey(seed),
                                     (1, height // 8, width // 8, 4), self.dtype)
         ctx_p, pool_p = self._encode(self.text_encoder, self.text_encoder_2,
-                                     self._ids(prompt), clip_skip)
+                                     self._ids(prompt), self._ids2(prompt),
+                                     clip_skip)
         ctx_n, pool_n = self._encode(self.text_encoder, self.text_encoder_2,
-                                     self._ids(negative_prompt), clip_skip)
+                                     self._ids(negative_prompt),
+                                     self._ids2(negative_prompt), clip_skip)
         add_ids = jnp.asarray(
             np.array([height, width, 0, 0, height, width], np.float32))
         acp = sched.alphas_cumprod
@@ -121,6 +132,69 @@ class SDXLPipeline:
                                  add_ids, float(cfg_scale), w_x, w_e)
         image = self._decode(self.vae_decoder, latents)
         return np.clip((np.asarray(image[0], np.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        unet_path,
+        text_encoder_path=None,            # CLIP-L (diffsynth, no final LN)
+        text_encoder_2_path=None,          # CLIP-G with projection
+        vae_decoder_path=None,
+        tokenizer="vendored",
+        tokenizer_2="vendored",
+        plan=None,
+        groups: int = 32,
+        vae_dec_plan=None,
+        vae_groups: int = 32,
+        dtype=jnp.float32,
+        clip_num_heads=None,
+    ) -> "SDXLPipeline":
+        """Reference-format SDXL load (reference ModelManager SDXL hash rows;
+        sdxl_prompter.py drives two CLIP tokenizers over the vendored
+        stable_diffusion[-_xl] assets)."""
+        from goal_force_tpu.io.auto import load_model
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        plan = plan or SDXL_PLAN
+        unet = load_model(unet_path, plan=plan)
+        if unet["kind"] != "sdxl_unet":
+            raise ValueError(f"{unet_path} detected as {unet['kind']!r}")
+        te1_cfg, te1 = SDXL_TEXT_CONFIG, None
+        if text_encoder_path is not None:
+            r = load_model(text_encoder_path, num_heads=clip_num_heads)
+            te1_cfg, te1 = r["config"], to_dev(r["params"])
+        te2_cfg, te2 = SDXL_TEXT2_CONFIG, None
+        if text_encoder_2_path is not None:
+            r = load_model(text_encoder_2_path, num_heads=clip_num_heads)
+            te2_cfg, te2 = r["config"], to_dev(r["params"])
+        vae_dec = None
+        dec_plan = vae_dec_plan or SD_VAE_DECODER_PLAN
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
+
+        tok1, tok2 = tokenizer, tokenizer_2
+        if tokenizer == "vendored" or tokenizer_2 == "vendored":
+            from goal_force_tpu.prompters import sdxl_tokenizers
+
+            v1, v2 = sdxl_tokenizers()
+            tok1 = v1 if tokenizer == "vendored" else tokenizer
+            tok2 = v2 if tokenizer_2 == "vendored" else tokenizer_2
+
+        key = jax.random.PRNGKey(0)
+        from goal_force_tpu.pipelines.flux import init_clip_text
+
+        return cls(
+            unet=to_dev(unet["params"]),
+            text_encoder=te1 if te1 is not None else
+            init_clip_text(key, te1_cfg, dtype),
+            text_encoder_2=te2 if te2 is not None else
+            init_clip_text(key, te2_cfg, dtype),
+            vae_decoder=vae_dec,
+            plan=plan, text_cfg=te1_cfg, text2_cfg=te2_cfg, groups=groups,
+            vae_dec_plan=dec_plan, vae_groups=vae_groups,
+            tokenize=tok1, tokenize_2=tok2, dtype=dtype,
+        )
 
     @classmethod
     def init_random(cls, key=None, tiny: bool = True, dtype=jnp.float32):

@@ -43,6 +43,36 @@ class StepVideoPipeline:
     dtype: object = jnp.bfloat16
 
     @classmethod
+    def from_pretrained(
+        cls,
+        dit_path,
+        vae_path=None,
+        vae_cfg=None,                      # StepVideoVAEConfig
+        encode_prompt=None,                # (prompt, positive) -> (clip, llm)
+        dtype=jnp.bfloat16,
+    ) -> "StepVideoPipeline":
+        """StepVideo 'load weights, generate' (reference ModelManager rows).
+        The Step-1 LLM + HunyuanCLIP prompter weights load separately via
+        io.auto.load_model('step1_llm'/'bert'); pass a built encode_prompt."""
+        from goal_force_tpu.io.auto import load_model, load_weights
+        from goal_force_tpu.models.stepvideo_vae import (
+            StepVideoVAEConfig,
+            stepvideo_vae_params_from_torch,
+        )
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        dit = load_model(dit_path)
+        if dit["kind"] != "stepvideo_dit":
+            raise ValueError(f"{dit_path} detected as {dit['kind']!r}")
+        vae, vcfg = None, vae_cfg or StepVideoVAEConfig()
+        if vae_path is not None:
+            vae = to_dev(stepvideo_vae_params_from_torch(
+                load_weights(vae_path), vcfg))
+        return cls(dit=to_dev(dit["params"]), vae=vae, dit_cfg=dit["config"],
+                   vae_cfg=vcfg, encode_prompt=encode_prompt, dtype=dtype)
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "StepVideoPipeline":
         from goal_force_tpu.models.stepvideo_vae import (
             stepvideo_vae_params_from_torch,

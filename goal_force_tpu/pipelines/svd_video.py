@@ -44,6 +44,45 @@ class SVDVideoPipeline:
     dtype: object = jnp.float32
 
     @classmethod
+    def from_pretrained(
+        cls,
+        unet_path,
+        vae_decoder_path=None,
+        plan=None,
+        vae_dec_plan=None,
+        groups: int = 32,
+        vae_groups: int = 32,
+        encode_image=None,                 # ViT-H CLIP tower (pluggable)
+        encode_image_latent=None,
+        clip_dim: int = 1024,
+        dtype=jnp.float32,
+    ) -> "SVDVideoPipeline":
+        """SVD 'load weights, generate' (reference ModelManager SVD rows).
+        The conditioning towers (open-clip ViT-H image encoder, VAE encoder)
+        stay pluggable callables like init_random's."""
+        from goal_force_tpu.io.auto import load_model, load_weights
+        from goal_force_tpu.models.svd_unet import SVD_PLAN
+        from goal_force_tpu.models.svd_vae import (
+            SVD_VAE_DECODER_PLAN,
+            svd_vae_decoder_params_from_torch,
+        )
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        plan = plan or SVD_PLAN
+        unet = load_model(unet_path, kind="svd_unet", plan=plan)
+        vae_dec = None
+        dec_plan = vae_dec_plan or SVD_VAE_DECODER_PLAN
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(svd_vae_decoder_params_from_torch(
+                load_weights(vae_decoder_path), dec_plan))
+        return cls(unet=to_dev(unet["params"]), vae_decoder=vae_dec,
+                   plan=plan, vae_dec_plan=dec_plan, groups=groups,
+                   vae_groups=vae_groups, encode_image=encode_image,
+                   encode_image_latent=encode_image_latent,
+                   clip_dim=clip_dim, dtype=dtype)
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "SVDVideoPipeline":
         from goal_force_tpu.models.svd_unet import init_svd_unet
 

@@ -25,6 +25,8 @@ from goal_force_tpu.io.detect import detect_model_kind
 
 def load_weights(path: Union[str, Mapping]) -> Dict[str, np.ndarray]:
     """Load safetensors (file/glob/list) or torch pickle into a numpy dict."""
+    if isinstance(path, dict):
+        return path                  # preserves dict subclasses (key audits)
     if isinstance(path, Mapping):
         return dict(path)
     from goal_force_tpu.io.safetensors_io import load_safetensors, load_torch_pth

@@ -97,7 +97,15 @@ def controlnet_injections(
     )  # (N, B, S, D)
     if not apply_zero_convs:
         return states
+    # pin the collected side-stack states to the token layout the DiT blocks
+    # consume (they are added to sp-sharded residuals); without this the
+    # FSDP-sharded zero-conv weights propagate a D-sharding into the saved
+    # stack and the backward pass forces an involuntary rematerialization
+    from goal_force_tpu.parallel.mesh import constrain
+
+    states = constrain(states, None, "dp", "sp", None)
     zc = params["zero_convs"]
-    return jnp.einsum("nbsd,nde->nbse", states, zc["w"].astype(states.dtype)) + zc["b"].astype(
+    out = jnp.einsum("nbsd,nde->nbse", states, zc["w"].astype(states.dtype)) + zc["b"].astype(
         states.dtype
     )[:, None, None, :]
+    return constrain(out, None, "dp", "sp", None)

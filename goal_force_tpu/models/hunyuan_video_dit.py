@@ -155,11 +155,12 @@ def _split_attention(q_img, k_img, v_img, q_txt, k_txt, v_txt, cfg, attn_impl):
     q_a = jnp.concatenate([q_img, q_txt[:, :st]], axis=1)
     k_a = jnp.concatenate([k_img, k_txt[:, :st]], axis=1)
     v_a = jnp.concatenate([v_img, v_txt[:, :st]], axis=1)
-    q_a = constrain(q_a, "dp", None, ("sp", "tp"), None)
-    k_a = constrain(k_a, "dp", None, ("sp", "tp"), None)
-    v_a = constrain(v_a, "dp", None, ("sp", "tp"), None)
+    q_a = constrain(q_a, "dp", None, "sp", "tp")
+    k_a = constrain(k_a, "dp", None, "sp", "tp")
+    v_a = constrain(v_a, "dp", None, "sp", "tp")
     out_a = attention(q_a, k_a, v_a, impl=attn_impl)
-    out_a = constrain(out_a, "dp", "sp", None, None)
+    # keep head sharding until the o-projection (see wan_dit.self_attention)
+    out_a = constrain(out_a, "dp", None, "sp", "tp")
     out_b = attention(q_txt[:, st:], k_txt[:, st:], v_txt[:, st:], impl=attn_impl)
     b = q_img.shape[0]
     s_img = q_img.shape[1]
@@ -216,11 +217,12 @@ def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto"):
     q_a = jnp.concatenate([q_img, q_txt[:, :st]], axis=1)
     k_a = jnp.concatenate([k_img, k_txt[:, :st]], axis=1)
     v_a, v_b = v[:, :-v_len], v[:, -v_len:]
-    q_a = constrain(q_a, "dp", None, ("sp", "tp"), None)
-    k_a = constrain(k_a, "dp", None, ("sp", "tp"), None)
-    v_a = constrain(v_a, "dp", None, ("sp", "tp"), None)
+    q_a = constrain(q_a, "dp", None, "sp", "tp")
+    k_a = constrain(k_a, "dp", None, "sp", "tp")
+    v_a = constrain(v_a, "dp", None, "sp", "tp")
     out_a = attention(q_a, k_a, v_a, impl=attn_impl)
-    out_a = constrain(out_a, "dp", "sp", None, None).reshape(b, -1, cfg.dim)
+    # keep head sharding until the o-projection (see wan_dit.self_attention)
+    out_a = constrain(out_a, "dp", None, "sp", "tp").reshape(b, -1, cfg.dim)
     out_b = attention(q_txt[:, st:], k_txt[:, st:], v_b,
                       impl=attn_impl).reshape(b, -1, cfg.dim)
     att = jnp.concatenate([out_a, out_b], axis=1)

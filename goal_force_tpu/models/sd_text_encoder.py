@@ -63,10 +63,25 @@ def sd3_text1_encode(params: Dict, input_ids: jnp.ndarray,
     return pooled, hidden
 
 
+class _NP:
+    """Read-through numpy view of a state dict: keeps key-access visible to
+    the coverage audit's recording dict (tests/test_converter_coverage.py)
+    instead of copying everything upfront."""
+
+    def __init__(self, sd):
+        self._sd = sd
+
+    def __getitem__(self, k):
+        return np.asarray(self._sd[k])
+
+    def __contains__(self, k):
+        return k in self._sd
+
+
 def sd_text_params_from_torch(sd, cfg: CLIPConfig = SD_TEXT_CONFIG) -> Dict:
     """Convert the reference SDTextEncoder state dict (encoders.{i}.* naming,
     fused Attention module with to_q/to_k/to_v/to_out)."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = _NP(sd)
 
     def block(i):
         g = lambda k: sd[f"encoders.{i}.{k}"]
@@ -187,7 +202,7 @@ def sdxl_text_params_from_torch(sd, cfg: CLIPConfig = SDXL_TEXT_CONFIG,
     """diffsynth-format SDXLTextEncoder / SDXLTextEncoder2 state dicts
     (same encoders.{i} naming as SD-1.5; encoder 1 has no final LN,
     encoder 2 adds final_layer_norm + text_projection)."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = _NP(sd)
 
     def block(i):
         g = lambda k: sd[f"encoders.{i}.{k}"]

@@ -95,11 +95,12 @@ def stepvideo_block(p, x, kv, t6, tables, cfg: StepVideoConfig, attn_impl="auto"
     v = v.reshape(b, s, n, -1)
     q = _apply_rope_3d(q, tables, cfg.rope_split)
     k = _apply_rope_3d(k, tables, cfg.rope_split)
-    q = constrain(q, "dp", None, ("sp", "tp"), None)
-    k = constrain(k, "dp", None, ("sp", "tp"), None)
-    v = constrain(v, "dp", None, ("sp", "tp"), None)
+    q = constrain(q, "dp", None, "sp", "tp")
+    k = constrain(k, "dp", None, "sp", "tp")
+    v = constrain(v, "dp", None, "sp", "tp")
     out = attention(q, k, v, impl=attn_impl)
-    out = constrain(out, "dp", "sp", None, None).reshape(b, s, d)
+    # keep head sharding until the o-projection (see wan_dit.self_attention)
+    out = constrain(out, "dp", None, "sp", "tp").reshape(b, s, d)
     x = x + g * linear_nb(p["attn1"]["o"], out)
 
     # cross-attention on the raw residual stream (:699-703)

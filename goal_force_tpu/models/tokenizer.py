@@ -80,7 +80,36 @@ class HashTokenizer:
         return ids, mask
 
 
-def load_tokenizer(path: Optional[str], vocab: int = 256384, seq_len: int = 512):
+def load_tokenizer(path: Optional[str], vocab: int = 256384, seq_len: int = 512,
+                   quiet: bool = False):
+    """Real umt5 tokenizer from a local dir (HF files or spiece.model via the
+    native models/spm.py reader), else the hash stand-in — LOUDLY: hashed ids
+    produce garbage embeddings, acceptable only for tests/benchmarks."""
     if path is not None:
-        return HFTokenizer(path, seq_len)
+        import os
+
+        files = set(os.listdir(path)) if os.path.isdir(path) else set()
+        if "tokenizer.json" in files or "tokenizer_config.json" in files:
+            return HFTokenizer(path, seq_len)
+        # spiece-only dirs (no sentencepiece wheel in this image)
+        from goal_force_tpu.prompters import load_text_tokenizer
+
+        tok = load_text_tokenizer(path, seq_len, add_eos=True)
+
+        class _Wrap:
+            def __call__(self, texts):
+                if isinstance(texts, str):
+                    texts = [texts]
+                ids = np.stack([tok(clean_whitespace(t)) for t in texts])
+                return ids.astype(np.int32), (ids != tok.pad_id).astype(np.int32)
+
+        return _Wrap()
+    if not quiet:
+        import warnings
+
+        warnings.warn(
+            "No tokenizer_path given: falling back to HashTokenizer — prompts "
+            "are HASHED into ids and the text embeddings are garbage. Pass a "
+            "local umt5 tokenizer directory for real inference.",
+            stacklevel=2)
     return HashTokenizer(vocab, seq_len)

@@ -124,12 +124,28 @@ def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = 
     v = linear(p["v"], x).reshape(b, s, num_heads, -1)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    q = constrain(q, "dp", None, ("sp", "tp"), None)
-    k = constrain(k, "dp", None, ("sp", "tp"), None)
-    v = constrain(v, "dp", None, ("sp", "tp"), None)
+    # Ulysses re-layout, axis-aligned so GSPMD lowers it to ONE all-to-all:
+    # tokens arrive sp-sharded; heads take over the SAME sp axis (seq<->head
+    # swap on matching device groups) while tp shards head_dim. Sharding heads
+    # over the combined ("sp","tp") axes instead needs a device-order transpose
+    # GSPMD cannot express — the involuntary-full-rematerialization warnings
+    # the round-2 dryrun was full of.
+    q = constrain(q, "dp", None, "sp", "tp")
+    k = constrain(k, "dp", None, "sp", "tp")
+    v = constrain(v, "dp", None, "sp", "tp")
     out = attention(q, k, v, impl=attn_impl)
-    out = constrain(out, "dp", "sp", None, None).reshape(b, s, d)
-    return linear(p["o"], out)
+    # keep the HEAD sharding through the o-projection: contract (n, h) directly
+    # against the head-reshaped o weight — one einsum + all-reduce GSPMD
+    # expresses natively (merging heads first forces another 4D reshard).
+    out = constrain(out, "dp", None, "sp", "tp")
+    if "w_i8" in p["o"]:            # int8 pack keeps the flat matmul path
+        return constrain(linear(p["o"], out.reshape(b, s, d)), "dp", "sp", None)
+    ow = p["o"]["w"].reshape(num_heads, -1, d)
+    # align the weight with the activation layout (n over sp, h over tp) so the
+    # contraction lowers to a local matmul + psum over (sp, tp)
+    ow = constrain(ow, "sp", "tp", None)
+    out = jnp.einsum("bsnh,nhd->bsd", out, ow.astype(out.dtype)) + p["o"]["b"]
+    return constrain(out, "dp", "sp", None)
 
 
 def cross_attention(p, x, context, num_heads: int, eps: float, attn_impl: str = "auto",
@@ -146,8 +162,15 @@ def cross_attention(p, x, context, num_heads: int, eps: float, attn_impl: str = 
     q = rms_norm(linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, s, num_heads, -1)
     k = rms_norm(linear(p["k"], ctx), p["norm_k"]["w"], eps).reshape(b, t, num_heads, -1)
     v = linear(p["v"], ctx).reshape(b, t, num_heads, -1)
-    # text KV is tiny (512 tokens): keep q token-sharded, replicate KV — no collective.
-    out = attention(q, k, v, impl=attn_impl).reshape(b, s, d)
+    # text KV is tiny (512 tokens): keep q token-sharded, replicate KV — no
+    # collective. The explicit constraints keep the BACKWARD shardings
+    # consistent too (un-pinned, the kv-grad einsums mix token- and
+    # head-sharded layouts and trip involuntary rematerializations).
+    q = constrain(q, "dp", "sp", None, None)
+    k = constrain(k, "dp", None, None, None)
+    v = constrain(v, "dp", None, None, None)
+    out = attention(q, k, v, impl=attn_impl)
+    out = constrain(out, "dp", "sp", None, None).reshape(b, s, d)
     if num_img_tokens:
         ti = img.shape[1]
         k_img = rms_norm(linear(p["k_img"], img), p["norm_k_img"]["w"], eps).reshape(

@@ -82,7 +82,19 @@ def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15) -> 
     def spec(kp, leaf):
         if leaf.size < min_size or leaf.ndim == 0:
             return P()
+        if leaf.ndim >= 4:
+            # conv kernels stay replicated: sharding them makes GSPMD propagate
+            # kernel-dim shardings into the conv activations, forcing involuntary
+            # full rematerializations throughout the VAE (measured: 9 per encode
+            # on the dp2/sp2/tp2 dryrun mesh; 0 replicated). The VAE is <2% of
+            # A14B bytes — the FSDP win lives in the DiT/T5 matrices.
+            return P()
         path = _flatten_path(kp)
+        if "modulation" in path:
+            # AdaLN modulation tables are tiny (6*D per block) and their grads
+            # accumulate inside the scanned block backward — sharding them
+            # trips involuntary rematerializations there for ~0 memory win
+            return P()
         stacked = ".blocks." in f".{path}." or path.startswith("blocks")
         start = 1 if (stacked and leaf.ndim > 1) else 0
         dims = list(range(start, leaf.ndim))

@@ -195,7 +195,8 @@ class GoalForcePipeline:
         if cn_cfg is not None:
             params["controlnet"] = cnm.init_from_dit(ks[4], dit, dit_cfg, cn_cfg, dtype)
             params["controlnet2"] = cnm.init_from_dit(ks[5], dit2, dit_cfg, cn_cfg, dtype)
-        tok = load_tokenizer(tokenizer_path, t5_cfg.vocab, t5_cfg.text_len)
+        tok = load_tokenizer(tokenizer_path, t5_cfg.vocab, t5_cfg.text_len,
+                             quiet=True)   # random weights: hash ids are fine
         return cls(dit_cfg, t5_cfg, vae_cfg, cn_cfg, pipe_cfg, params, tok, dtype)
 
     # ------------------------------------------------------------------
@@ -386,7 +387,9 @@ class GoalForcePipeline:
     @functools.cached_property
     def _sliding_window_step(self):
         """Temporal sliding-window denoise step (reference TemporalTiler path at
-        model_fn_wan_video :1381-1405)."""
+        model_fn_wan_video :1381-1405). Unlike the reference — whose tile loop
+        drops the ControlNet states — the side-stack runs INSIDE each window on
+        the window's slice of the control latents."""
         dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
         attn_impl = self.attn_impl
 
@@ -395,18 +398,22 @@ class GoalForcePipeline:
                context2, y, control_latents, cfg_scale, use_cn, window, stride):
             t2 = jnp.concatenate([timestep, timestep], axis=0)
 
-            def window_fn(lat_w, y_w):
+            def window_fn(lat_w, y_w, cl_w):
                 b = lat_w.shape[0]
                 x2 = jnp.concatenate([lat_w, lat_w], axis=0)
                 y2 = None if y_w is None else jnp.concatenate([y_w, y_w], axis=0)
+                cl2 = None if (cl_w is None or not use_cn) else \
+                    jnp.concatenate([cl_w, cl_w], axis=0)
                 v = denoise_forward(
                     dit_params, dit_cfg, x2, t2, context2, y=y2,
-                    controlnet_params=None, controlnet_cfg=cn_cfg,
-                    control_latents=None, attn_impl=attn_impl,
+                    controlnet_params=cn_params if cl2 is not None else None,
+                    controlnet_cfg=cn_cfg,
+                    control_latents=cl2, attn_impl=attn_impl,
                 )
                 return v[b:] + cfg_scale * (v[:b] - v[b:])
 
-            v = temporal_tiled_forward(window_fn, latents, y, window, stride)
+            v = temporal_tiled_forward(window_fn, latents, y, window, stride,
+                                       control_latents if use_cn else None)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
         return fn

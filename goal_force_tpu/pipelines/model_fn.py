@@ -163,12 +163,18 @@ def temporal_tiled_forward(
     y: Optional[jnp.ndarray],
     window: int,
     stride: int,
+    control_latents: Optional[jnp.ndarray] = None,
 ):
     """Sliding-window denoising over latent frames with linear blend masks.
 
     Parity with TemporalTiler_BCTHW (/root/reference/src/goal_force/wan_video_new.py:
     1296-1345): mask ramps use (i+0.5)/border; windows advance by `stride` and skip
-    once the previous window already covered the tail."""
+    once the previous window already covered the tail.
+
+    control_latents are sliced per window and fed to model_fn as a third
+    argument — the reference's own tiler path silently DROPS the ControlNet
+    (wan_video_new.py:1381-1405 passes no controlnet states inside the tile
+    loop); here the side-stack runs per window."""
     import numpy as np
 
     f = latents.shape[1]
@@ -179,7 +185,9 @@ def temporal_tiled_forward(
         if t0 - stride >= 0 and t0 - stride + window >= f:
             continue
         t1 = min(t0 + window, f)
-        out = model_fn(latents[:, t0:t1], None if y is None else y[:, t0:t1])
+        out = model_fn(latents[:, t0:t1], None if y is None else y[:, t0:t1],
+                       None if control_latents is None
+                       else control_latents[:, t0:t1])
         n = t1 - t0
         mask = np.ones((n,), np.float32)
         if border > 0:

@@ -80,12 +80,14 @@ def make_train_step(
     dit_cfg: WanDiTConfig,
     t5_cfg: T5Config,
     vae_cfg: VAEConfig,
-    cn_cfg: ControlNetConfig,
+    cn_cfg: Optional[ControlNetConfig],
     optimizer,
     num_frames: int = 81,
     max_timestep_boundary: float = 0.358,
     min_timestep_boundary: float = 0.0,
     attn_impl: str = "auto",
+    train_lora: bool = False,
+    lora_alpha: Optional[float] = None,
 ) -> Callable:
     """Returns jitted step(state, frozen, batch, rng) -> (state, metrics).
 
@@ -93,6 +95,14 @@ def make_train_step(
       video:   (B, T, H, W, 3) in [-1, 1]
       control: (B, T, H, W, 3) in [-1, 1]
       ids/mask: (B, 512) int32
+
+    Trainable selection (reference: ControlNet-only via freeze_except at
+    utils.py:550-590; LoRA via --lora_base_model PEFT injection at
+    utils.py:450-470, scripts/train/train.py:17):
+      - default: state.params is the ControlNet tree (unchanged contract)
+      - train_lora=True: state.params = {"lora": adapters[, "controlnet": cn]}
+        — adapters merge into the frozen DiT INSIDE the jitted step (the base
+        never updates), optionally training the ControlNet jointly.
     """
     schedule = fm.make_schedule(
         num_steps=1000, shift=5.0, sigma_min=0.0, extra_one_step=True, training=True
@@ -146,10 +156,21 @@ def make_train_step(
         weight = weights[tid]
         noise = jax.random.normal(k_n, x0.shape, x0.dtype)
 
-        def loss_fn(cn_params):
+        def loss_fn(trainable):
+            if train_lora:
+                from goal_force_tpu.lora import merge_lora
+
+                dit = merge_lora(frozen["dit"], trainable["lora"],
+                                 alpha=lora_alpha
+                                 or next(iter(trainable["lora"].values()))
+                                 ["a"].shape[-1])
+                cn_params = trainable.get("controlnet")
+            else:
+                dit, cn_params = frozen["dit"], trainable
             return training_loss(
-                frozen["dit"], cn_params, dit_cfg, cn_cfg,
-                x0, noise, sigma, timestep, weight, context, y, control_latents,
+                dit, cn_params, dit_cfg, cn_cfg if cn_params is not None else None,
+                x0, noise, sigma, timestep, weight, context, y,
+                control_latents if cn_params is not None else None,
                 attn_impl=attn_impl,
             )
 

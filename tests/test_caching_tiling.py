@@ -55,3 +55,31 @@ def test_sliding_window_covers_all_frames(pipe):
                sliding_window_size=2, sliding_window_stride=1)
     assert out.shape == (9, 32, 48, 3)
     assert np.isfinite(out).all()
+
+
+def test_sliding_window_honors_controlnet(pipe):
+    """The side-stack runs inside each window (the reference's tiler drops it:
+    wan_video_new.py:1381-1405) — with non-identity zero-convs the control
+    video must change the output under sliding-window denoising."""
+    rng = np.random.default_rng(2)
+    img = rng.uniform(size=(32, 48, 3)).astype(np.float32)
+    ctrl_a = rng.uniform(size=(9, 32, 48, 3)).astype(np.float32)
+    ctrl_b = rng.uniform(size=(9, 32, 48, 3)).astype(np.float32)
+
+    # break the zero-conv identity so the CN contributes
+    import jax.tree_util as jtu
+
+    origs = {k: pipe.params[k] for k in ("controlnet", "controlnet2")}
+    for k, orig in origs.items():
+        hot = jtu.tree_map(lambda a: a, orig)
+        hot["zero_convs"] = jtu.tree_map(lambda a: a + 0.05, hot["zero_convs"])
+        pipe.params[k] = hot
+    try:
+        kwargs = dict(seed=0, num_frames=9, num_inference_steps=2,
+                      sliding_window_size=2, sliding_window_stride=1)
+        out_a = pipe("x", img, control_signal_video=ctrl_a, **kwargs)
+        out_b = pipe("x", img, control_signal_video=ctrl_b, **kwargs)
+    finally:
+        pipe.params.update(origs)
+    assert np.isfinite(out_a).all() and np.isfinite(out_b).all()
+    assert np.abs(out_a - out_b).max() > 1e-6

@@ -22,6 +22,8 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
+import jax.numpy as jnp
+
 PROCESSOR_IDS = ("canny", "depth", "softedge", "lineart", "lineart_anime",
                  "openpose", "normal", "tile", "none", "inpaint")
 
@@ -44,12 +46,34 @@ class Annotator:
 
     def __init__(self, processor_id: str,
                  processor: Optional[Callable] = None,
-                 low: int = 100, high: int = 200):
+                 low: int = 100, high: int = 200,
+                 weights_path: Optional[str] = None,
+                 approx: bool = False):
+        """weights_path: local checkpoint for a LEARNED annotator net — the
+        softedge id loads lllyasviel's ControlNetHED.pth through the native
+        port (extensions/hed.py), like the reference loads controlnet_aux
+        detectors from models/Annotators (processors.py:9-33).
+        approx=True opts into the documented classical stand-ins for ids
+        whose learned detector weights are unavailable."""
         if processor_id not in PROCESSOR_IDS:
             raise ValueError(f"Unsupported processor_id: {processor_id}")
         self.processor_id = processor_id
         self.processor = processor
         self.low, self.high = low, high
+        self.approx = approx
+        self._net = None
+        if weights_path is not None:
+            if processor_id != "softedge":
+                raise ValueError(
+                    f"no learned net is ported for {processor_id!r}; "
+                    "softedge loads ControlNetHED.pth")
+            from goal_force_tpu.extensions.hed import hed_params_from_torch
+            from goal_force_tpu.io.auto import load_weights
+
+            self._net = hed_params_from_torch(load_weights(weights_path))
+
+    # ids served exactly without any external weights
+    _EXACT = ("canny", "tile", "none", "inpaint")
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
         img = np.asarray(image)
@@ -62,6 +86,17 @@ class Annotator:
             if out.ndim == 2:
                 out = np.repeat(out[..., None], 3, -1)
             return out
+        if self._net is not None:
+            from goal_force_tpu.extensions.hed import hed_forward
+
+            edge = np.asarray(hed_forward(
+                self._net, jnp.asarray(img, jnp.float32)[None]))[0]
+            return np.repeat(edge[..., None].astype(np.float32), 3, -1)
+        if self.processor_id not in self._EXACT and not self.approx:
+            raise ValueError(
+                f"{self.processor_id!r} needs a learned detector: pass "
+                "weights_path= (softedge), processor=<callable>, or opt into "
+                "the classical approximation with approx=True")
         fn = getattr(self, f"_{self.processor_id}")
         return fn(img)
 

@@ -90,22 +90,37 @@ def controlnet_injections(
     batched matmul so the main-stack scan just adds injections[i]. In strided mode the
     reference adds raw states without zero convs (:1560-1562) — apply_zero_convs=False.
     """
-    tokens, _ = patchify(params["patch_embedding"], control_latents, dit_cfg.patch_size)
-    _, states = run_blocks(
-        params["blocks"], tokens, context, t_mod, rope_cos, rope_sin, dit_cfg,
-        collect=True, remat=remat, attn_impl=attn_impl,
-    )  # (N, B, S, D)
-    if not apply_zero_convs:
-        return states
-    # pin the collected side-stack states to the token layout the DiT blocks
-    # consume (they are added to sp-sharded residuals); without this the
-    # FSDP-sharded zero-conv weights propagate a D-sharding into the saved
-    # stack and the backward pass forces an involuntary rematerialization
     from goal_force_tpu.parallel.mesh import constrain
 
-    states = constrain(states, None, "dp", "sp", None)
+    tokens, _ = patchify(params["patch_embedding"], control_latents, dit_cfg.patch_size)
+    if not apply_zero_convs:
+        _, states = run_blocks(
+            params["blocks"], tokens, context, t_mod, rope_cos, rope_sin, dit_cfg,
+            collect=True, remat=remat, attn_impl=attn_impl,
+        )  # (N, B, S, D)
+        return constrain(states, None, "dp", "sp", None)
+
+    # zero convs fused INTO the side-stack scan: only the post-zero-conv
+    # injections are materialized — the raw (N, B, S, D) state stack (6.7 GB
+    # at A14B geometry) is never written/re-read. The layout constraint also
+    # keeps the saved stack token-sharded (sp), matching the residuals the
+    # main stack adds them to (unconstrained, the FSDP-sharded zero-conv
+    # weights propagate a D-sharding into the stack and the train backward
+    # forces an involuntary full rematerialization).
+    from goal_force_tpu.models.wan_dit import dit_block
+
     zc = params["zero_convs"]
-    out = jnp.einsum("nbsd,nde->nbse", states, zc["w"].astype(states.dtype)) + zc["b"].astype(
-        states.dtype
-    )[:, None, None, :]
-    return constrain(out, None, "dp", "sp", None)
+
+    def body(carry, layer):
+        c = carry
+        p_blk, zc_w, zc_b = layer
+        c = constrain(c, "dp", "sp", None)
+        c = dit_block(p_blk, c, context, t_mod, rope_cos, rope_sin, dit_cfg,
+                      attn_impl)
+        inj = jnp.matmul(c, zc_w.astype(c.dtype)) + zc_b.astype(c.dtype)
+        return c, constrain(inj, "dp", "sp", None)
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    _, inj = jax.lax.scan(body, tokens, (params["blocks"], zc["w"], zc["b"]))
+    return constrain(inj, None, "dp", "sp", None)

@@ -229,12 +229,19 @@ def run_blocks(
         out = dit_block(p, x_in, context, t_mod, cos, sin, cfg, attn_impl,
                         num_img_tokens=num_img_tokens)
         if injections is not None:
-            # One scan over ALL layers; layers beyond the injection count add zeros.
-            # (Slicing the stacked params into per-segment scans materializes full
-            # copies of the weight stack in HBM — measured 0.9 GB per slice at A14B.)
-            idx = jnp.minimum(i, n_inj - 1)
-            inj = jax.lax.dynamic_index_in_dim(injections, idx, keepdims=False)
-            out = out + jnp.where(i < n_inj, 1.0, 0.0).astype(out.dtype) * inj.astype(out.dtype)
+            # One scan over ALL layers; layers beyond the injection count add
+            # nothing. (Slicing the stacked params into per-segment scans
+            # materializes full copies of the weight stack in HBM — measured
+            # 0.9 GB per slice at A14B.) lax.cond gates the injection READ:
+            # the old where(i < n, 1, 0)*inj form still fetched a 0.67 GB
+            # state on every one of the 30 non-injected layers (~20 GB of
+            # dead HBM traffic per denoise step at A14B geometry).
+            def _add(o):
+                idx = jnp.minimum(i, n_inj - 1)
+                inj = jax.lax.dynamic_index_in_dim(injections, idx, keepdims=False)
+                return o + inj.astype(o.dtype)
+
+            out = jax.lax.cond(i < n_inj, _add, lambda o: o, out)
         return (out, i + 1), (out if collect else None)
 
     if remat:

@@ -103,7 +103,8 @@ class SDPipeline:
                  seed: int = 0,
                  ipadapter: Optional[Dict] = None,
                  ipadapter_image_emb: Optional[np.ndarray] = None,
-                 ipadapter_scale: float = 1.0) -> np.ndarray:
+                 ipadapter_scale: float = 1.0,
+                 return_latents: bool = False) -> np.ndarray:
         """-> (H, W, 3) float image in [0, 1].
 
         ipadapter: SD IP-Adapter params (models/ipadapter.py) driven by the
@@ -154,6 +155,8 @@ class SDPipeline:
             latents = self._step(self.unet, latents, float(t), ctx_pos,
                                  ctx_neg, float(cfg_scale), w_x, w_e,
                                  ip_kwargs)
+        if return_latents:
+            return np.asarray(latents, np.float32)
         image = self._decode(self.vae_decoder, latents)
         return np.clip((np.asarray(image[0], np.float32) + 1.0) / 2.0, 0.0, 1.0)
 

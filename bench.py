@@ -165,26 +165,33 @@ def main():
         video = jax.random.uniform(key, (1, frames, ph, pw, 3), jnp.bfloat16,
                                    -1.0, 1.0)
         # tiled paths at the reference's default tile geometry
-        # (encode (34,34)/(18,16), decode (30,52)/(15,26) latent units)
+        # (encode (34,34)/(18,16), decode (30,52)/(15,26) latent units);
+        # the tilers run a HOST loop over tiles (like the reference's) so they
+        # are timed as-is, not wrapped in jit
         if on_tpu:
-            enc = jax.jit(lambda p, v: vaem.encode_video_tiled(p, vae_cfg, v)
-                          .astype(jnp.float32).mean())
-            dec_f = lambda p, z: vaem.decode_video_tiled(
-                p, vae_cfg, z, tile_size=(30, 52), tile_stride=(15, 26))
+            enc = lambda v: jnp.mean(
+                vaem.encode_video_tiled(vae, vae_cfg, v).astype(jnp.float32))
+            dec_f = lambda z: vaem.decode_video_tiled(
+                vae, vae_cfg, z, tile_size=(30, 52), tile_stride=(15, 26))
         else:
-            enc = jax.jit(lambda p, v: vaem.encode_video(p, vae_cfg, v)
+            enc = jax.jit(lambda v: vaem.encode_video(vae, vae_cfg, v)
                           .astype(jnp.float32).mean())
-            dec_f = lambda p, z: vaem.decode_video(p, vae_cfg, z)
-        t_enc = _timed(lambda v: enc(vae, v), video)
+            dec_f = lambda z: vaem.decode_video(vae, vae_cfg, z)
+        t_enc = _timed(enc, video)
         lat_f = (frames - 1) // 4 + 1
         lat = jax.random.normal(key, (1, lat_f, ph // 8, pw // 8, vae_cfg.z_dim),
                                 jnp.bfloat16)
-        dec = jax.jit(lambda p, z: dec_f(p, z).astype(jnp.float32).mean())
-        t_dec = _timed(lambda z: dec(vae, z), lat)
+        dec = lambda z: jnp.mean(dec_f(z).astype(jnp.float32))
+        t_dec = _timed(dec, lat)
         del vae, video, lat
         gc.collect()
 
-        t5 = t5m.init_t5(jax.random.PRNGKey(1), t5_cfg, jnp.bfloat16)
+        jax.clear_caches()
+        # init the 5.5B umt5 on HOST (the on-device init's f32 intermediates
+        # plus leftovers fragment the 16 GB chip), then ship bf16 leaves
+        with jax.default_device(jax.devices("cpu")[0]):
+            t5 = t5m.init_t5(jax.random.PRNGKey(1), t5_cfg, jnp.bfloat16)
+        t5 = jax.device_put(t5, jax.devices()[0])
         ids = jax.random.randint(key, (2, min(text_len, t5_cfg.text_len)), 2,
                                  t5_cfg.vocab)
         mask = jnp.ones_like(ids)

@@ -464,6 +464,21 @@ def load_model(path_or_sd, kind: Optional[str] = None, config=None,
         cfg = config or infer_kw.get("vae_cfg")
         return out(cfg, qv.qwen_image_vae_params_from_torch(
             sd, **({"cfg": cfg} if cfg else {})))
+    if kind == "sd_motion":
+        from goal_force_tpu.models.sd_motion import (
+            SD_MOTION_CALL,
+            SDXL_MOTION_CALL,
+            motion_params_from_torch,
+        )
+
+        call_map = infer_kw.get("call_map")
+        if call_map is None:
+            n = _max_index(sd, "motion_modules.")
+            by_count = {len(set(SD_MOTION_CALL.values())): SD_MOTION_CALL,
+                        len(set(SDXL_MOTION_CALL.values())): SDXL_MOTION_CALL}
+            call_map = by_count.get(n, SD_MOTION_CALL)
+        return out({"call_map": call_map},
+                   motion_params_from_torch(sd, call_map))
     if kind == "svd_unet":
         from goal_force_tpu.models.svd_unet import (
             SVD_PLAN,

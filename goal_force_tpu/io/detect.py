@@ -112,6 +112,9 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
         return "chatglm"
     if any(k.startswith("conditioner.embedders.") for k in keys):
         return "sdxl_civitai"               # bundled SDXL LDM checkpoint
+    if _has(sd, "motion_modules.0.norm.weight",
+            "motion_modules.0.transformer_blocks.0.norm1.weight"):
+        return "sd_motion"                  # AnimateDiff temporal modules
     if _has(sd, "add_time_embedding.0.weight", "conv_in.weight"):
         return "sdxl_unet"
     if _has(sd, "conv_in.weight", "time_embedding.0.weight") \

@@ -46,6 +46,12 @@ def linear(p, x):
         from goal_force_tpu.ops.quant import int8_linear
 
         return int8_linear(p, x, p.get("b"))
+    if "w_f8" in p:
+        # e4m3 scaled-mm pack (ops/quant.quantize_linear_tree_fp8) — the
+        # literal torch._scaled_mm analog, native on v5p+
+        from goal_force_tpu.ops.quant import fp8_linear
+
+        return fp8_linear(p, x, p.get("b"))
     return jnp.matmul(x, p["w"]) + p["b"]
 
 
@@ -138,8 +144,12 @@ def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = 
     # against the head-reshaped o weight — one einsum + all-reduce GSPMD
     # expresses natively (merging heads first forces another 4D reshard).
     out = constrain(out, "dp", None, "sp", "tp")
-    if "w_i8" in p["o"]:            # int8 pack keeps the flat matmul path
-        return constrain(linear(p["o"], out.reshape(b, s, d)), "dp", "sp", None)
+    from goal_force_tpu.parallel.mesh import current_mesh
+
+    if current_mesh() is None or "w_i8" in p["o"]:
+        # single chip (or int8 pack): the flat (b, s, d) @ (d, d) matmul is
+        # the fastest MXU lowering (the per-head einsum measured +8%/block)
+        return linear(p["o"], out.reshape(b, s, d))
     ow = p["o"]["w"].reshape(num_heads, -1, d)
     # align the weight with the activation layout (n over sp, h over tp) so the
     # contraction lowers to a local matmul + psum over (sp, tp)

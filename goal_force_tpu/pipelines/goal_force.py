@@ -623,7 +623,13 @@ class GoalForcePipeline:
         """Multi-clip batched generation: the batch axis maps onto the mesh "dp" axis —
         this replaces the reference's one-process-per-GPU CSV sharding
         (scripts/inference/utils.py:26-62) with a single jitted program.
-        Returns (B, F, H, W, 3) float32 in [0, 1]."""
+        Returns (B, F, H, W, 3) float32 in [0, 1].
+
+        Feature subset (throughput path): first-frame conditioning + ControlNet
+        + merged CFG + the expert switch only. end_image, input_video, TeaCache,
+        sliding-window denoising, and strided ControlNet are per-clip features —
+        use __call__ for those (they either vary per clip or carry host-side
+        state that does not batch)."""
         pc = self.pipe_cfg
         num_frames = num_frames or pc.num_frames
         steps = num_inference_steps or pc.num_inference_steps

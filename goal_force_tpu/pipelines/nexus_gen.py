@@ -40,6 +40,53 @@ class NexusGenPipeline:
     tokenize: Optional[Callable] = None
 
     @classmethod
+    def from_pretrained(
+        cls,
+        ar_path,                          # Qwen2.5-VL text stack (+wte)
+        heads_path=None,                  # vision_head + image_prefill table
+        adapter_path=None,                # adapter.{0,1,3,4} MLP
+        flux=None,                        # a FluxPipeline (build it via
+        #   FluxPipeline.from_pretrained for the generation backbone)
+        grid_thw=(1, 18, 18),
+        tokenizer_dir=None,
+        dtype=jnp.float32,
+        ar_num_heads=None,
+    ) -> "NexusGenPipeline":
+        """NexusGen 'load weights, generate' (reference ModelManager NexusGen
+        rows: the AR Qwen2.5-VL model with its vision head + prefill table,
+        the embedding adapter, over a Flux backbone)."""
+        from goal_force_tpu.io.auto import load_model, load_weights
+        from goal_force_tpu.models.nexus_gen import (
+            nexus_gen_adapter_params_from_torch,
+            nexus_gen_ar_heads_from_torch,
+        )
+        from goal_force_tpu.pipelines.flux import FluxPipeline
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        r = load_model(ar_path, num_heads=ar_num_heads)
+        if r["kind"] not in ("qwen_vl_text", "llama"):
+            raise ValueError(f"{ar_path} detected as {r['kind']!r}")
+        ar_sd = load_weights(ar_path)
+        wte_key = "model.embed_tokens.weight" \
+            if "model.embed_tokens.weight" in ar_sd else "embed_tokens.weight"
+        heads_sd = load_weights(heads_path) if heads_path is not None else ar_sd
+        adapter_sd = load_weights(adapter_path) if adapter_path is not None else ar_sd
+        tok = None
+        if tokenizer_dir is not None:
+            from goal_force_tpu.prompters import load_text_tokenizer
+
+            tok = load_text_tokenizer(tokenizer_dir, 64).encode
+        return cls(
+            ar_params=to_dev(r["params"]), ar_cfg=r["config"],
+            heads=to_dev(nexus_gen_ar_heads_from_torch(heads_sd)),
+            wte=jnp.asarray(np.asarray(ar_sd[wte_key]), dtype),
+            adapter=to_dev(nexus_gen_adapter_params_from_torch(adapter_sd)),
+            flux=flux if flux is not None else FluxPipeline.init_random(dtype=dtype),
+            grid_thw=tuple(grid_thw), tokenize=tok,
+        )
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "NexusGenPipeline":
         from goal_force_tpu.models.qwen_vl import init_qwen_vl_text
         from goal_force_tpu.pipelines.flux import FluxPipeline

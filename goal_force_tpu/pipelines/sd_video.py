@@ -37,6 +37,62 @@ class SDVideoPipeline:
     dtype: object = jnp.float32
 
     @classmethod
+    def from_pretrained(
+        cls,
+        unet_path,
+        motion_path=None,                  # AnimateDiff temporal modules
+        text_encoder_path=None,
+        vae_decoder_path=None,
+        tokenizer="vendored",
+        plan=None,
+        groups: int = 32,
+        vae_dec_plan=None,
+        vae_groups: int = 32,
+        dtype=jnp.float32,
+        clip_num_heads=None,
+        motion_call_map=None,
+    ) -> "SDVideoPipeline":
+        """AnimateDiff 'load weights, generate' (reference ModelManager SD +
+        SDMotionModel rows; sd tokenizer assets)."""
+        from goal_force_tpu.io.auto import load_model
+        from goal_force_tpu.models.sd_unet import SD15_PLAN
+        from goal_force_tpu.models.sd_vae import SD_VAE_DECODER_PLAN
+
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), tree)
+        plan = plan or SD15_PLAN
+        unet = load_model(unet_path, plan=plan)
+        motion = None
+        if motion_path is not None:
+            motion = to_dev(load_model(
+                motion_path, call_map=motion_call_map)["params"])
+        text_cfg, text = None, None
+        if text_encoder_path is not None:
+            r = load_model(text_encoder_path, num_heads=clip_num_heads)
+            text_cfg, text = r["config"], to_dev(r["params"])
+        dec_plan = vae_dec_plan or SD_VAE_DECODER_PLAN
+        vae_dec = None
+        if vae_decoder_path is not None:
+            vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
+        tok = tokenizer
+        if tokenizer == "vendored":
+            from goal_force_tpu.prompters import sd_clip_tokenizer
+
+            tok = sd_clip_tokenizer()
+        if text is None:
+            from goal_force_tpu.models.clip import init_clip
+            from goal_force_tpu.models.sd_text_encoder import SD_TEXT_CONFIG
+
+            text_cfg = SD_TEXT_CONFIG
+            text = {"text": init_clip(jax.random.PRNGKey(0), text_cfg,
+                                      dtype)["text"]}
+        return cls(unet=to_dev(unet["params"]), motion=motion,
+                   text_encoder=text, vae_decoder=vae_dec,
+                   plan=plan, text_cfg=text_cfg, groups=groups,
+                   vae_dec_plan=dec_plan, vae_groups=vae_groups,
+                   tokenize=tok, dtype=dtype)
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "SDVideoPipeline":
         from goal_force_tpu.models.clip import CLIPConfig, init_clip
         from goal_force_tpu.models.sd_unet import init_sd_unet

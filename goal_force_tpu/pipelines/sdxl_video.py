@@ -37,6 +37,32 @@ class SDXLVideoPipeline:
     dtype: object = jnp.float32
 
     @classmethod
+    def from_pretrained(cls, unet_path, motion_path=None, dtype=jnp.float32,
+                        motion_call_map=None, **sdxl_kwargs) -> "SDXLVideoPipeline":
+        """SDXL AnimateDiff load: SDXLPipeline.from_pretrained components +
+        the temporal motion modules (reference ModelManager SDXL motion rows).
+        sdxl_kwargs forward to SDXLPipeline.from_pretrained."""
+        from goal_force_tpu.io.auto import load_model
+        from goal_force_tpu.models.sd_motion import SDXL_MOTION_CALL
+        from goal_force_tpu.pipelines.sdxl import SDXLPipeline
+
+        base = SDXLPipeline.from_pretrained(unet_path, dtype=dtype,
+                                            **sdxl_kwargs)
+        motion = None
+        if motion_path is not None:
+            motion = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype),
+                load_model(motion_path,
+                           call_map=motion_call_map or SDXL_MOTION_CALL)["params"])
+        return cls(unet=base.unet, motion=motion,
+                   text_encoder=base.text_encoder,
+                   text_encoder_2=base.text_encoder_2,
+                   vae_decoder=base.vae_decoder, plan=base.plan,
+                   text_cfg=base.text_cfg, text2_cfg=base.text2_cfg,
+                   groups=base.groups, vae_dec_plan=base.vae_dec_plan,
+                   vae_groups=base.vae_groups, dtype=dtype)
+
+    @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "SDXLVideoPipeline":
         from goal_force_tpu.pipelines.sdxl import SDXLPipeline
 

@@ -285,6 +285,60 @@ def test_qwen_image_from_pretrained(tmp_path):
     assert pipe.text_cfg.num_kv_heads == 2
 
 
+def test_sd_video_from_pretrained_with_motion(tmp_path):
+    import torch
+
+    from test_sd_unet import _torch_tiny
+    from goal_force_tpu.io.detect import detect_model_kind
+    from goal_force_tpu.models.sd_unet import tiny_sd_plan
+    from goal_force_tpu.pipelines.sd_video import SDVideoPipeline
+
+    # reference-format AnimateDiff motion file (motion_modules.{i}.* naming)
+    ref_motion = Z.refmodels("sd_motion")
+    torch.manual_seed(0)
+    wrapper = torch.nn.Module()
+    wrapper.motion_modules = torch.nn.ModuleList(
+        [ref_motion.TemporalBlock(2, 4, 8, norm_num_groups=4, eps=1e-6)
+         for _ in range(2)])
+    motion_sd = Z.sd_of(wrapper)
+    assert detect_model_kind(motion_sd) == "sd_motion"
+
+    plan = tiny_sd_plan(ctx_dim=48)
+    unet_sd = Z.sd_of(_torch_tiny(plan, time_dim=16, model_dim=8, groups=4))
+    te_sd, _ = Z.build_clip_text_encoder("sd", dim=48, seed=12)
+    pipe = SDVideoPipeline.from_pretrained(
+        _save(tmp_path, "unet.safetensors", unet_sd),
+        motion_path=_save(tmp_path, "motion.safetensors", motion_sd),
+        text_encoder_path=_save(tmp_path, "te.safetensors", te_sd),
+        plan=plan, groups=4, clip_num_heads=4, motion_call_map={},
+    )
+    assert pipe.motion is not None and len(pipe.motion["modules"]) == 2
+    assert pipe.tokenize("hi")[0] == 49406
+
+
+def test_nexus_gen_from_pretrained(tmp_path):
+    from goal_force_tpu.pipelines.nexus_gen import NexusGenPipeline
+
+    ar_sd, _ = Z.build_qwen_vl_text(dim=32, seed=13)
+    h = 32
+    rng = np.random.default_rng(3)
+    ar_sd["vision_head.weight"] = rng.normal(0, 0.05, (h, h)).astype(np.float32)
+    ar_sd["image_prefill_embeds.weight"] = \
+        rng.normal(0, 0.05, (81, h)).astype(np.float32)
+    for i, (cin, cout) in [(0, (h, 48)), (3, (48, 48))]:
+        ar_sd[f"adapter.{i}.weight"] = rng.normal(0, 0.05, (cout, cin)).astype(np.float32)
+        ar_sd[f"adapter.{i}.bias"] = np.zeros((cout,), np.float32)
+    for i in (1, 4):
+        ar_sd[f"adapter.{i}.weight"] = np.ones((48,), np.float32)
+        ar_sd[f"adapter.{i}.bias"] = np.zeros((48,), np.float32)
+
+    pipe = NexusGenPipeline.from_pretrained(
+        _save(tmp_path, "ar.safetensors", ar_sd), ar_num_heads=4)
+    assert pipe.heads["image_prefill"].shape == (81, 32)
+    assert pipe.adapter["fc0"]["w"].shape == (32, 48)
+    assert pipe.wte.shape[0] == 151936
+
+
 def test_sd_from_pretrained_separate_files(tmp_path):
     from test_sd_unet import _torch_tiny
     from goal_force_tpu.models.sd_unet import tiny_sd_plan

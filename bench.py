@@ -187,17 +187,24 @@ def main():
         gc.collect()
 
         jax.clear_caches()
-        # init the 5.5B umt5 on HOST (the on-device init's f32 intermediates
-        # plus leftovers fragment the 16 GB chip), then ship bf16 leaves
-        with jax.default_device(jax.devices("cpu")[0]):
-            t5 = t5m.init_t5(jax.random.PRNGKey(1), t5_cfg, jnp.bfloat16)
-        t5 = jax.device_put(t5, jax.devices()[0])
+        # umt5-xxl at reduced depth (full 24-layer on-device init OOMs a chip
+        # already holding leftovers; shipping host-inited 11 GB over the axon
+        # tunnel takes ~10 min). The encoder is a homogeneous layer scan, so
+        # the measured time extrapolates linearly in depth — same method as
+        # the DiT series. The (2.1 GB) embedding table is at full size.
+        import dataclasses as dc
+
+        full_t5_layers = t5_cfg.num_layers
+        meas_layers = min(6, full_t5_layers)
+        t5_small = dc.replace(t5_cfg, num_layers=meas_layers)
+        t5 = t5m.init_t5(jax.random.PRNGKey(1), t5_small, jnp.bfloat16)
         ids = jax.random.randint(key, (2, min(text_len, t5_cfg.text_len)), 2,
                                  t5_cfg.vocab)
         mask = jnp.ones_like(ids)
-        txt = jax.jit(lambda p, i, m: t5m.t5_encode(p, t5_cfg, i, m)
+        txt = jax.jit(lambda p, i, m: t5m.t5_encode(p, t5_small, i, m)
                       .astype(jnp.float32).mean())
-        t_txt = _timed(lambda i: txt(t5, i, mask), ids)
+        t_txt = _timed(lambda i: txt(t5, i, mask), ids) \
+            * (full_t5_layers / meas_layers)
         del t5, ids, mask
         gc.collect()
         return t_enc, t_dec, t_txt

@@ -208,6 +208,11 @@ def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig, attn_impl: str 
     return x + gate_mlp * h
 
 
+# injection gating mode for run_blocks ("cond" | "where") — module-level so
+# on-chip experiments can A/B it without signature churn
+INJECTION_GATE = "cond"
+
+
 def run_blocks(
     blocks,
     x,
@@ -242,16 +247,23 @@ def run_blocks(
             # One scan over ALL layers; layers beyond the injection count add
             # nothing. (Slicing the stacked params into per-segment scans
             # materializes full copies of the weight stack in HBM — measured
-            # 0.9 GB per slice at A14B.) lax.cond gates the injection READ:
-            # the old where(i < n, 1, 0)*inj form still fetched a 0.67 GB
-            # state on every one of the 30 non-injected layers (~20 GB of
-            # dead HBM traffic per denoise step at A14B geometry).
-            def _add(o):
+            # 0.9 GB per slice at A14B.) "cond" gates the injection READ with
+            # lax.cond (skips 0.67 GB dead fetches on the 30 non-injected
+            # layers); "where" is the branch-free round-2 form — toggled for
+            # on-chip A/B measurement.
+            if INJECTION_GATE == "cond":
+                def _add(o):
+                    idx = jnp.minimum(i, n_inj - 1)
+                    inj = jax.lax.dynamic_index_in_dim(injections, idx,
+                                                       keepdims=False)
+                    return o + inj.astype(o.dtype)
+
+                out = jax.lax.cond(i < n_inj, _add, lambda o: o, out)
+            else:
                 idx = jnp.minimum(i, n_inj - 1)
                 inj = jax.lax.dynamic_index_in_dim(injections, idx, keepdims=False)
-                return o + inj.astype(o.dtype)
-
-            out = jax.lax.cond(i < n_inj, _add, lambda o: o, out)
+                out = out + jnp.where(i < n_inj, 1.0, 0.0).astype(out.dtype) \
+                    * inj.astype(out.dtype)
         return (out, i + 1), (out if collect else None)
 
     if remat:

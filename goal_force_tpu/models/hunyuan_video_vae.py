@@ -14,6 +14,8 @@ tile_forward for both directions (:208-295 enc / :409-505 dec).
 
 from __future__ import annotations
 
+import functools
+
 import dataclasses
 import math
 from typing import Dict, Tuple
@@ -203,6 +205,16 @@ def _blend_mask(shape, is_bound, border):
         mt[:, None, None], mh[None, :, None], mw[None, None, :]))[..., None]
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_hv_encode(cfg):
+    return jax.jit(lambda p, tile: hunyuan_vae_encode(p, tile, cfg))
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_hv_decode(cfg):
+    return jax.jit(lambda p, tile: hunyuan_vae_decode(p, tile, cfg))
+
+
 def hunyuan_vae_encode_tiled(params, video, cfg=HunyuanVAEConfig(),
                              tile_size=(65, 256, 256), tile_stride=(48, 192, 192)):
     """Reference encode_video/tile_forward (:208-295): overlap-blend in latent
@@ -223,7 +235,7 @@ def hunyuan_vae_encode_tiled(params, video, cfg=HunyuanVAEConfig(),
                 if w0 - rw >= 0 and w0 - rw + sw >= W:
                     continue
                 tile = video[:, t0:t0 + st, h0:h0 + sh, w0:w0 + sw]
-                z = np.asarray(hunyuan_vae_encode(params, tile, cfg), np.float32)
+                z = np.asarray(_jit_hv_encode(cfg)(params, tile), np.float32)  # jitted per tile shape
                 if t0 > 0:
                     z = z[:, 1:]
                 mask = _blend_mask(
@@ -258,7 +270,7 @@ def hunyuan_vae_decode_tiled(params, latents, cfg=HunyuanVAEConfig(),
                 if w0 - rw >= 0 and w0 - rw + sw >= LW:
                     continue
                 tile = latents[:, t0:t0 + st, h0:h0 + sh, w0:w0 + sw]
-                xf = np.asarray(hunyuan_vae_decode(params, tile, cfg), np.float32)
+                xf = np.asarray(_jit_hv_decode(cfg)(params, tile), np.float32)
                 if t0 > 0:
                     xf = xf[:, 1:]
                 mask = _blend_mask(

@@ -23,6 +23,7 @@ io/torch_convert.py::vae_params_from_torch.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, List, Tuple
 
@@ -299,12 +300,27 @@ def tiled_apply(fn, x, tile_hw, stride_hw, scale: int, out_channels: int, out_t:
     return values / weight
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_encode_video(cfg):
+    return jax.jit(lambda p, crop: encode_video(p, cfg, crop))
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_decode_video(cfg):
+    return jax.jit(lambda p, crop: decode_video(p, cfg, crop))
+
+
 def encode_video_tiled(params, cfg, video, tile_size=(34, 34), tile_stride=(18, 16)):
-    """Latent-unit tile sizes as in the reference defaults (:1218)."""
+    """Latent-unit tile sizes as in the reference defaults (:1218).
+
+    The per-tile coder is JITTED (cached per config; XLA caches per tile
+    shape — interior/edge tiles give <=4 variants). Eager per-op dispatch
+    over the device link measured 62 s for one 81-frame tiled decode."""
     f = cfg.upsampling_factor
     b, t = video.shape[:2]
     out_t = (t + 3) // 4
-    fn = lambda crop: encode_video(params, cfg, crop)
+    jfn = _jit_encode_video(cfg)
+    fn = lambda crop: jfn(params, crop)
     return jnp.asarray(tiled_apply(
         fn, video, (tile_size[0] * f, tile_size[1] * f), (tile_stride[0] * f, tile_stride[1] * f),
         1.0 / f, cfg.z_dim, out_t,
@@ -314,7 +330,8 @@ def encode_video_tiled(params, cfg, video, tile_size=(34, 34), tile_stride=(18, 
 def decode_video_tiled(params, cfg, latents, tile_size=(34, 34), tile_stride=(18, 16)):
     b, t = latents.shape[:2]
     out_t = t * 4 - 3
-    fn = lambda crop: decode_video(params, cfg, crop)
+    jfn = _jit_decode_video(cfg)
+    fn = lambda crop: jfn(params, crop)
     out = tiled_apply(fn, latents, tile_size, tile_stride, float(cfg.upsampling_factor), 3, out_t)
     return jnp.clip(jnp.asarray(out), -1.0, 1.0)
 

@@ -209,8 +209,12 @@ def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig, attn_impl: str 
 
 
 # injection gating mode for run_blocks ("cond" | "where") — module-level so
-# on-chip experiments can A/B it without signature churn
-INJECTION_GATE = "cond"
+# on-chip experiments can A/B it without signature churn. Measured on v5e at
+# A14B geometry (jobs/24_gate_ab): where = 554.0 ms/block, cond = 606.2 —
+# lax.cond taxes EVERY scanned layer ~52 ms (it breaks XLA's pipelining of
+# the block body) while the branch-free form's dead injection reads cost ~0
+# (hoisted/overlapped). "where" is the production default.
+INJECTION_GATE = "where"
 
 
 def run_blocks(

@@ -31,6 +31,16 @@ vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 denominator is an analytic A100 model of the same computation:
 FLOPs / (312 TFLOP/s * 40% MFU) — generous for the reference's eager-PyTorch +
 layer-offload path. value > 1.0 means faster than that A100 estimate per step.
+
+Round-3 accounting correction: round 2 reported per_block 558 ms / 0.03513
+steps/s off a depth series whose shallow (2,1) anchor carried first-call
+tunnel noise (fit residual 62 ms). Min-of-3 timing at depths 4/6/8/10 shows
+the true per-block slope is ~602 ms (residual ~1 ms); this bench supersedes
+the round-2 number the same way round 2 superseded round 1's double-counted
+FLOPs. The honest single-chip figure is ~0.033 steps/s — the headroom story
+is TeaCache (measured skip path) and multi-chip scaling (MULTICHIP dryrun),
+not the raw bf16 block stack, which runs at ~65% MFU against a
+softmax-bound flash-attention ceiling of ~64%.
 """
 
 import gc
@@ -42,12 +52,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _timed(fn, *args, reps=2):
-    float(fn(*args))                      # warm/compile
-    t0 = time.perf_counter()
+def _timed(fn, *args, reps=3):
+    """MIN of `reps` post-warmup calls: the axon tunnel adds occasional
+    ~0.2-0.4 s hiccups (the first call after a compile is reliably inflated —
+    round 2's depth series anchored on one such point and under-fit the
+    per-block slope by 8%, visible as its 62 ms fit residual)."""
+    float(fn(*args))                      # compile
+    float(fn(*args))                      # warm
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         float(fn(*args))
-    return (time.perf_counter() - t0) / reps
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main():
@@ -63,8 +80,10 @@ def main():
 
     full_layers, full_cn_layers, num_steps = 40, 10, 50
     if on_tpu:
-        depth_points = [(2, 1), (4, 1), (6, 1)]   # dit-depth series, 1 cn block
-        cn_points = [(2, 1), (2, 5)]
+        depth_points = [(4, 1), (6, 1), (8, 1)]   # dit-depth series, 1 cn block
+        # (the (2,1) anchor sits ~30 ms below the deep-series line — XLA
+        # schedules very shallow scans differently; anchor at depth >= 4)
+        cn_points = [(4, 1), (4, 5)]
         b, f, hh, ww = 2, 21, 60, 104             # real 32,760-token clip, merged CFG
         text_len = 512
         dim, heads, ffn = 5120, 40, 13824

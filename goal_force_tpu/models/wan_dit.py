@@ -209,11 +209,10 @@ def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig, attn_impl: str 
 
 
 # injection gating mode for run_blocks ("cond" | "where") — module-level so
-# on-chip experiments can A/B it without signature churn. Measured on v5e at
-# A14B geometry (jobs/24_gate_ab): where = 554.0 ms/block, cond = 606.2 —
-# lax.cond taxes EVERY scanned layer ~52 ms (it breaks XLA's pipelining of
-# the block body) while the branch-free form's dead injection reads cost ~0
-# (hoisted/overlapped). "where" is the production default.
+# on-chip experiments can A/B it without signature churn. Min-of-3 timing at
+# A14B geometry shows the two are EQUIVALENT at depth >= 4 (the apparent
+# cond/where deltas were first-call warmup noise); "where" stays the default
+# as the simpler, branch-free form.
 INJECTION_GATE = "where"
 
 

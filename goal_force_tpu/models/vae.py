@@ -281,22 +281,28 @@ def tiled_apply(fn, x, tile_hw, stride_hw, scale: int, out_channels: int, out_t:
     """
     b, t, H, W, _ = x.shape
     oh, ow = int(H * scale), int(W * scale)
-    values = np.zeros((b, out_t, oh, ow, out_channels), np.float32)
-    weight = np.zeros((1, 1, oh, ow, 1), np.float32)
+    # accumulate ON DEVICE: a decoded 81-frame tile is ~120 MB — np
+    # accumulation pulled every tile over the device link (~25 s/clip on the
+    # tunneled bench chip); only the caller's final materialization transfers
+    values = jnp.zeros((b, out_t, oh, ow, out_channels), jnp.float32)
+    weight = jnp.zeros((1, 1, oh, ow, 1), jnp.float32)
     th, tw = tile_hw
     sh, sw = stride_hw
     for h0, h1 in _tile_tasks(H, th, sh):
         for w0, w1 in _tile_tasks(W, tw, sw):
             crop = x[:, :, h0:min(h1, H), w0:min(w1, W), :]
-            out = np.asarray(fn(crop), np.float32)
+            out = fn(crop).astype(jnp.float32)
             bh = int((th - sh) * scale)
             bw = int((tw - sw) * scale)
             mh = _blend_mask_1d(out.shape[2], h0 == 0, h1 >= H, bh)
             mw = _blend_mask_1d(out.shape[3], w0 == 0, w1 >= W, bw)
-            mask = np.minimum(mh[:, None], mw[None, :])[None, None, :, :, None]
+            mask = jnp.asarray(
+                np.minimum(mh[:, None], mw[None, :])[None, None, :, :, None])
             to_h, to_w = int(h0 * scale), int(w0 * scale)
-            values[:, :, to_h:to_h + out.shape[2], to_w:to_w + out.shape[3]] += out * mask
-            weight[:, :, to_h:to_h + out.shape[2], to_w:to_w + out.shape[3]] += mask
+            values = values.at[:, :, to_h:to_h + out.shape[2],
+                               to_w:to_w + out.shape[3]].add(out * mask)
+            weight = weight.at[:, :, to_h:to_h + out.shape[2],
+                               to_w:to_w + out.shape[3]].add(mask)
     return values / weight
 
 

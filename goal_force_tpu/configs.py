@@ -117,6 +117,13 @@ class PipelineConfig:
     sigma_shift: float = 5.0
     switch_dit_boundary: float = 0.875   # timestep < 0.875*1000 -> low-noise expert
     fps: int = 15
+    # Spatial VAE tiling (reference tiled=True defaults, wan_video_new.py:
+    # 649-650 — latent units). Inputs that fit one tile take the untiled
+    # jitted path; the real 60x104 latent grid tiles (the full-frame coder
+    # graph exceeds one v5e chip's compile memory).
+    tiled: bool = True
+    tile_size: tuple = (30, 52)
+    tile_stride: tuple = (15, 26)
     # Force/mass calibration pinned at inference
     # (/root/reference/scripts/inference/inference_goal_force.py:136-144).
     min_force: float = 30.0

@@ -426,6 +426,27 @@ class GoalForcePipeline:
         ids, mask = self.tokenizer(prompts)
         return self._encode_text(self.params["t5"], jnp.asarray(ids), jnp.asarray(mask))
 
+
+    # -- VAE entry points: tiled when the latent grid exceeds one tile -------
+
+    def _vae_encode_px(self, x):
+        """(B, F, H, W, 3) pixels in [-1,1] -> latents; tiled above one tile
+        (reference tiled=True default)."""
+        pc = self.pipe_cfg
+        if pc.tiled and (x.shape[2] // 8 > pc.tile_size[0]
+                         or x.shape[3] // 8 > pc.tile_size[1]):
+            return vaem.encode_video_tiled(self.params["vae"], self.vae_cfg, x,
+                                           pc.tile_size, pc.tile_stride)
+        return self._encode_vae(self.params["vae"], x)
+
+    def _vae_decode_full(self, latents):
+        pc = self.pipe_cfg
+        if pc.tiled and (latents.shape[2] > pc.tile_size[0]
+                         or latents.shape[3] > pc.tile_size[1]):
+            return vaem.decode_video_tiled(self.params["vae"], self.vae_cfg,
+                                           latents, pc.tile_size, pc.tile_stride)
+        return self._decode_vae(self.params["vae"], latents)
+
     def encode_first_frame(self, image: np.ndarray, num_frames: int,
                            end_image: Optional[np.ndarray] = None) -> jnp.ndarray:
         """image (H, W, 3) float in [0,1] -> y (1, L, h, w, 20).
@@ -443,7 +464,7 @@ class GoalForcePipeline:
             vae_in = jnp.concatenate(
                 [img, jnp.zeros((1, num_frames - 1, h, w, 3), jnp.float32)], axis=1
             )
-        cond = self._encode_vae(self.params["vae"], vae_in)
+        cond = self._vae_encode_px(vae_in)
         lat_f = (num_frames - 1) // 4 + 1
         mask = build_i2v_mask(num_frames, lat_f, cond.shape[2], cond.shape[3],
                               last_frame=end_image is not None)
@@ -455,7 +476,7 @@ class GoalForcePipeline:
         (reference WanVideoUnit_ControlVideoEmbedder :791-805; values mapped to [-1,1]
         by the shared video preprocessing)."""
         x = jnp.asarray(control_video, jnp.float32)[None] * 2.0 - 1.0
-        return self._encode_vae(self.params["vae"], x).astype(self.dtype)
+        return self._vae_encode_px(x).astype(self.dtype)
 
     # ------------------------------------------------------------------
     # Generation
@@ -603,7 +624,7 @@ class GoalForcePipeline:
                     ctx[:1], y, control_latents, use_cn,
                 )
 
-        video = self._decode_vae(self.params["vae"], latents.astype(jnp.float32))
+        video = self._vae_decode_full(latents.astype(jnp.float32))
         return np.asarray((video[0] + 1.0) / 2.0, np.float32)
 
     def _generate_batch(
@@ -684,5 +705,5 @@ class GoalForcePipeline:
                 dit_p, cn_p, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
                 ctx2, y2, cl2, cfg_scale, use_cn,
             )
-        video = self._decode_vae(self.params["vae"], latents.astype(jnp.float32))
+        video = self._vae_decode_full(latents.astype(jnp.float32))
         return np.asarray((video + 1.0) / 2.0, np.float32)

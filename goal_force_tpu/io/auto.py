@@ -436,6 +436,25 @@ def load_model(path_or_sd, kind: Optional[str] = None, config=None,
         prefix = "model." if "model.embed_tokens.weight" in sd else ""
         cfg = config or infer_qwen_vl_text_config(sd, prefix=prefix, **infer_kw)
         return out(cfg, qwen_vl_text_params_from_torch(sd, cfg, prefix=prefix))
+    if kind == "step1_llm":
+        from goal_force_tpu.models.text_encoders import (
+            Step1Config,
+            step1_params_from_torch,
+        )
+
+        vocab, hidden = _shape(sd, "tok_embeddings.word_embeddings.weight")
+        heads = infer_kw.get("num_heads") or max(1, hidden // 128)
+        head_dim = hidden // heads
+        qkv_out = _shape(sd, "transformer.layers.0.attention.wqkv.weight")[0]
+        cfg = config or Step1Config(
+            hidden_size=hidden, vocab=vocab, num_heads=heads,
+            num_groups=(qkv_out - hidden) // (2 * head_dim),
+            num_layers=_max_index(sd, "transformer.layers."),
+            ffn_hidden_size=_shape(
+                sd, "transformer.layers.0.feed_forward.w1.weight")[0],
+            multiple_of=1,
+        )
+        return out(cfg, step1_params_from_torch(sd, cfg))
     if kind == "bert":
         from goal_force_tpu.models.text_encoders import bert_params_from_torch
 

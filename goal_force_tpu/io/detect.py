@@ -137,7 +137,8 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
     if _has(sd, "embeddings.word_embeddings.weight",
             "embeddings.token_type_embeddings.weight"):
         return "bert"
-    if _has(sd, "tok_embeddings.weight", "layers.0.attention_norm.weight"):
+    if _has(sd, "tok_embeddings.word_embeddings.weight",
+            "transformer.layers.0.attention_norm.weight"):
         return "step1_llm"
     if _has(sd, "encoders.0.attn.to_q.weight", "token_embedding.weight"):
         return "clip_text"      # SD/SDXL CLIP towers (diffsynth naming);

@@ -49,11 +49,18 @@ class StepVideoPipeline:
         vae_path=None,
         vae_cfg=None,                      # StepVideoVAEConfig
         encode_prompt=None,                # (prompt, positive) -> (clip, llm)
+        bert_path=None,                    # HunyuanDiT-CLIP text tower
+        step1_path=None,                   # Step-1 LLM
+        bert_tokenizer="vendored",
+        step1_tokenizer_dir=None,          # ships with the LLM checkpoint
         dtype=jnp.bfloat16,
+        bert_num_heads=None,
+        step1_num_heads=None,
     ) -> "StepVideoPipeline":
-        """StepVideo 'load weights, generate' (reference ModelManager rows).
-        The Step-1 LLM + HunyuanCLIP prompter weights load separately via
-        io.auto.load_model('step1_llm'/'bert'); pass a built encode_prompt."""
+        """StepVideo 'load weights, generate' (reference ModelManager rows;
+        stepvideo_prompter.py: HunyuanDiT-CLIP 77 tokens + Step-1 LLM 320).
+        Pass bert_path/step1_path to build the prompter from files, or a
+        ready `encode_prompt` callable."""
         from goal_force_tpu.io.auto import load_model, load_weights
         from goal_force_tpu.models.stepvideo_vae import (
             StepVideoVAEConfig,
@@ -69,6 +76,24 @@ class StepVideoPipeline:
         if vae_path is not None:
             vae = to_dev(stepvideo_vae_params_from_torch(
                 load_weights(vae_path), vcfg))
+        if encode_prompt is None and bert_path is not None \
+                and step1_path is not None:
+            rb = load_model(bert_path, num_heads=bert_num_heads)
+            rs = load_model(step1_path, num_heads=step1_num_heads)
+            tok_bert = bert_tokenizer
+            if bert_tokenizer == "vendored":
+                from goal_force_tpu.prompters import hunyuan_dit_tokenizers
+
+                tok_bert, _ = hunyuan_dit_tokenizers()
+            tok_step1 = None
+            if step1_tokenizer_dir is not None:
+                from goal_force_tpu.prompters import load_text_tokenizer
+
+                tok_step1 = load_text_tokenizer(step1_tokenizer_dir, 320)
+            encode_prompt = make_stepvideo_prompt_encoder(
+                to_dev(rb["params"]), rb["config"],
+                to_dev(rs["params"]), rs["config"],
+                tokenize_bert=tok_bert, tokenize_step1=tok_step1)
         return cls(dit=to_dev(dit["params"]), vae=vae, dit_cfg=dit["config"],
                    vae_cfg=vcfg, encode_prompt=encode_prompt, dtype=dtype)
 
@@ -217,3 +242,33 @@ def _init_tiny_stepvideo_vae(key, cfg: StepVideoVAEConfig, dtype):
         "conv_out": c3(3, 3, 3, cfg.dec_ch * cfg.dec_mult[0], 3),
     }
     return {"decoder": decoder}
+
+
+def make_stepvideo_prompt_encoder(bert, bert_cfg, step1, step1_cfg,
+                                  tokenize_bert=None, tokenize_step1=None,
+                                  clip_len: int = 77, llm_len: int = 320):
+    """Build encode_prompt from loaded text towers (reference
+    stepvideo_prompter.py:25-56: HunyuanDiT-CLIP at 77 tokens + Step-1 LLM at
+    320). Returns (clip_emb (1, 77, bert_dim), llm_emb (1, 320, llm_dim))."""
+    import numpy as _np
+
+    from goal_force_tpu.models.text_encoders import bert_encode, step1_encode
+    from goal_force_tpu.pipelines.flux import _hash_ids
+
+    def encode(prompt: str, positive: bool = True):
+        if tokenize_bert is not None:
+            bids = _np.asarray(tokenize_bert(prompt))[None]
+        else:
+            bids = _hash_ids(prompt, bert_cfg.vocab, clip_len)[None]
+        bids = jnp.asarray(bids, jnp.int32)
+        clip_emb = bert_encode(bert, bert_cfg, bids,
+                               (bids != 0).astype(jnp.int32))
+        if tokenize_step1 is not None:
+            sids = _np.asarray(tokenize_step1(prompt))[None]
+        else:
+            sids = _hash_ids(prompt, step1_cfg.vocab, llm_len)[None]
+        sids = jnp.asarray(sids, jnp.int32)
+        llm_emb = step1_encode(step1, step1_cfg, sids)
+        return clip_emb, llm_emb
+
+    return encode

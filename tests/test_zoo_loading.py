@@ -245,18 +245,52 @@ def test_hunyuan_image_from_pretrained_with_bert_tokens(tmp_path):
 
 
 def test_stepvideo_from_pretrained(tmp_path):
+    import torch
+    from transformers import PretrainedConfig
+
+    from goal_force_tpu.io.detect import detect_model_kind
     from goal_force_tpu.pipelines.step_video import StepVideoPipeline
 
     dit_sd, dit_cfg = Z.build_stepvideo_dit()
     vae_sd, vae_cfg = Z.build_stepvideo_vae()
 
+    # reference Step-1 LLM file (transformer.layers.* naming) + BERT tower,
+    # caption_dim/clip_dim matched to the tiny DiT
+    ref_s1 = Z.refmodels("stepvideo_text_encoder")
+
+    def _sdpa(q, k, v, *a, **k2):
+        o = torch.nn.functional.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2))
+        return o.transpose(1, 2)
+
+    ref_s1.flash_attn_func = _sdpa
+    cfg_t = PretrainedConfig(
+        hidden_size=dit_cfg.caption_dim, num_layers=2, num_attention_heads=4,
+        num_attention_groups=2, ffn_hidden_size=24, padded_vocab_size=96,
+        layernorm_epsilon=1e-5, seq_length=64, use_flash_attn=True,
+        attention_dropout=0.0, hidden_dropout=0.0,
+        params_dtype=torch.float32, fp32_residual_connection=False,
+        embedding_weights_in_fp32=False)
+    torch.manual_seed(0)
+    s1 = Z._seed(ref_s1.Step1Model(cfg_t))
+    s1_sd = Z.sd_of(s1)
+    assert detect_model_kind(s1_sd) == "step1_llm"
+    bert_sd, _ = Z.build_bert(dim=dit_cfg.clip_dim, seed=14)
+
     pipe = StepVideoPipeline.from_pretrained(
         _save(tmp_path, "dit.safetensors", dit_sd),
         vae_path=_save(tmp_path, "vae.safetensors", vae_sd),
-        vae_cfg=vae_cfg, dtype=jnp.float32,
+        vae_cfg=vae_cfg,
+        bert_path=_save(tmp_path, "bert.safetensors", bert_sd),
+        step1_path=_save(tmp_path, "step1.safetensors", s1_sd),
+        dtype=jnp.float32, bert_num_heads=4, step1_num_heads=4,
     )
     assert pipe.dit_cfg.num_layers == dit_cfg.num_layers
     assert pipe.dit_cfg.rope_split == dit_cfg.rope_split
+    clip_emb, llm_emb = pipe.encode_prompt("a waterfall", True)
+    assert clip_emb.shape[-1] == dit_cfg.clip_dim
+    assert llm_emb.shape[-1] == dit_cfg.caption_dim
+    assert np.isfinite(np.asarray(llm_emb)).all()
 
 
 def test_svd_from_pretrained(tmp_path):

@@ -327,6 +327,40 @@ def load_model(path_or_sd, kind: Optional[str] = None, config=None,
 
         cfg = config or infer_flux_config(sd, **infer_kw)
         return out(cfg, flux_dit_params_from_torch(sd, cfg))
+    if kind == "flux_controlnet":
+        from goal_force_tpu.models.flux_controlnet import (
+            FluxControlNetConfig,
+            flux_controlnet_params_from_torch,
+        )
+
+        dit_cfg = infer_kw.get("dit_cfg")
+        if dit_cfg is None:
+            from goal_force_tpu.configs import FluxDiTConfig
+
+            dim = _shape(sd, "x_embedder.weight")[0]
+            heads = infer_kw.get("num_heads") or max(1, dim // 128)
+            dit_cfg = FluxDiTConfig(
+                dim=dim, num_heads=heads,
+                in_dim=_shape(sd, "x_embedder.weight")[1],
+                text_dim=_shape(sd, "context_embedder.weight")[1],
+                pooled_dim=_shape(sd, "pooled_text_embedder.0.weight")[1],
+                freq_dim=_shape(sd, "time_embedder.timestep_embedder.0.weight")[1],
+                axes_dim=tuple(infer_kw.get("axes_dim")
+                               or _default_axes(dim // heads)),
+                guidance_embed="guidance_embedder.timestep_embedder.0.weight" in sd)
+        extra = 0
+        if "controlnet_x_embedder.weight" in sd:
+            # extra conditioning channels beyond the patchified latents
+            extra = max(0, _shape(sd, "controlnet_x_embedder.weight")[1]
+                        - dit_cfg.in_dim)
+        cfg = config or FluxControlNetConfig(
+            dit=dit_cfg,
+            num_joint_blocks=_max_index(sd, "blocks."),
+            num_single_blocks=_max_index(sd, "single_blocks."),
+            num_mode=_shape(sd, "controlnet_mode_embedder.weight")[0]
+            if "controlnet_mode_embedder.weight" in sd else 0,
+            additional_input_dim=extra)
+        return out(cfg, flux_controlnet_params_from_torch(sd, cfg))
     if kind == "sd3_dit":
         from goal_force_tpu.models.sd3_dit import sd3_dit_params_from_torch
 

@@ -91,6 +91,9 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
     141-178; here each family is identified by keys only it has). The naming
     matched is the reference module state-dict ("diffsynth") format that the
     per-family converters consume."""
+    if any(k.startswith(("controlnet_blocks.", "controlnet_x_embedder."))
+           for k in keys) and "single_blocks.0.to_qkv_mlp.weight" in keys:
+        return "flux_controlnet"
     if _has(sd, "single_blocks.0.to_qkv_mlp.weight", "x_embedder.weight"):
         return "flux_dit"
     if _has(sd, "double_blocks.0.component_a.to_qkv.weight", "img_in.proj.weight"):

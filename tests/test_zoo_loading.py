@@ -12,6 +12,7 @@ import os
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from conftest import reference_available
@@ -85,6 +86,28 @@ def test_flux_from_pretrained_generates_with_real_tokens(tmp_path):
     assert ids.shape == (77,) and ids[0] == 49406
     img = pipe("a photo of a cat", height=32, width=32,
                num_inference_steps=2)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
+def test_flux_controlnet_load_and_generate(tmp_path):
+    from goal_force_tpu.io.auto import load_model
+    from goal_force_tpu.io.detect import detect_model_kind
+    from goal_force_tpu.pipelines.flux import FluxPipeline, tiny_flux_configs
+
+    cn_sd, dit_cfg = Z.build_flux_controlnet()
+    assert detect_model_kind(cn_sd) == "flux_controlnet"
+    r = load_model(_save(tmp_path, "cn.safetensors", cn_sd),
+                   dit_cfg=dit_cfg)
+    assert r["config"].num_joint_blocks == 2
+    assert r["config"].num_single_blocks == 2
+    assert r["config"].additional_input_dim == 0
+
+    pipe = FluxPipeline.init_random(dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    img = pipe("a cat", height=32, width=32, num_inference_steps=2,
+               controlnet={"params": jax.tree_util.tree_map(
+                   jnp.asarray, r["params"]), "cfg": r["config"]},
+               controlnet_image=rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
     assert img.shape == (32, 32, 3) and np.isfinite(img).all()
 
 

@@ -55,6 +55,42 @@ def build_flux_dit():
     return sd_of(_torch_tiny_flux(cfg)), cfg
 
 
+def build_flux_controlnet():
+    """Tiny reference-format FluxControlNet via __new__ over the reference's
+    own block classes (the class hardcodes the 12B geometry)."""
+    import torch
+
+    from goal_force_tpu.pipelines.flux import tiny_flux_configs
+
+    ref_cn = refmodels("flux_controlnet")
+    ref_flux = refmodels("flux_dit")
+    ref_sd3 = refmodels("sd3_dit")
+    cfg, _, _ = tiny_flux_configs()
+    nj, ns, d = 2, 2, cfg.dim
+    m = ref_cn.FluxControlNet.__new__(ref_cn.FluxControlNet)
+    torch.nn.Module.__init__(m)
+    m.pos_embedder = ref_flux.RoPEEmbedding(d, cfg.rope_theta, list(cfg.axes_dim))
+    m.time_embedder = ref_sd3.TimestepEmbeddings(cfg.freq_dim, d)
+    m.guidance_embedder = ref_sd3.TimestepEmbeddings(cfg.freq_dim, d)
+    m.pooled_text_embedder = torch.nn.Sequential(
+        torch.nn.Linear(cfg.pooled_dim, d), torch.nn.SiLU(),
+        torch.nn.Linear(d, d))
+    m.context_embedder = torch.nn.Linear(cfg.text_dim, d)
+    m.x_embedder = torch.nn.Linear(cfg.in_dim, d)
+    m.blocks = torch.nn.ModuleList(
+        [ref_flux.FluxJointTransformerBlock(d, cfg.num_heads)
+         for _ in range(nj)])
+    m.single_blocks = torch.nn.ModuleList(
+        [ref_flux.FluxSingleTransformerBlock(d, cfg.num_heads)
+         for _ in range(ns)])
+    m.controlnet_blocks = torch.nn.ModuleList(
+        [torch.nn.Linear(d, d) for _ in range(nj)])
+    m.controlnet_single_blocks = torch.nn.ModuleList(
+        [torch.nn.Linear(d, d) for _ in range(ns)])
+    m.controlnet_x_embedder = torch.nn.Linear(cfg.in_dim, d)
+    return sd_of(_seed(m, 0.05)), cfg
+
+
 def build_sd3_dit():
     from goal_force_tpu.models.sd3_dit import SD3DiTConfig
 

@@ -517,6 +517,38 @@ def load_model(path_or_sd, kind: Optional[str] = None, config=None,
         cfg = config or infer_kw.get("vae_cfg")
         return out(cfg, qv.qwen_image_vae_params_from_torch(
             sd, **({"cfg": cfg} if cfg else {})))
+    if kind in ("sd_controlnet", "sdxl_controlnet"):
+        from goal_force_tpu.models import sd_controlnet as scn
+
+        if kind == "sd_controlnet":
+            plan = infer_kw.get("plan") or scn.SD_CONTROLNET_PLAN
+            return out({"plan": plan},
+                       scn.sd_controlnet_params_from_torch(sd, plan))
+        plan = infer_kw.get("plan") or scn.SDXL_CONTROLNET_PLAN
+        return out({"plan": plan},
+                   scn.sdxl_controlnet_params_from_torch(sd, plan))
+    if kind == "qwen_image_controlnet":
+        from goal_force_tpu.models.qwen_image_controlnet import (
+            QwenImageControlNetConfig,
+            qwen_image_controlnet_params_from_torch,
+        )
+
+        dim = _shape(sd, "controlnet_blocks.0.input_proj.weight")[1]
+        cfg = config or QwenImageControlNetConfig(
+            dim=dim, num_layers=_max_index(sd, "controlnet_blocks."))
+        return out(cfg, qwen_image_controlnet_params_from_torch(sd, cfg))
+    if kind == "ipadapter":
+        from goal_force_tpu.models.ipadapter import ip_adapter_params_from_torch
+
+        return out(None, ip_adapter_params_from_torch(sd))
+    if kind == "step1x_connector":
+        from goal_force_tpu.models.step1x_connector import (
+            Step1xConnectorConfig,
+            step1x_connector_params_from_torch,
+        )
+
+        cfg = config or Step1xConnectorConfig()
+        return out(cfg, step1x_connector_params_from_torch(sd, cfg))
     if kind == "sd_motion":
         from goal_force_tpu.models.sd_motion import (
             SD_MOTION_CALL,

@@ -118,6 +118,18 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
     if _has(sd, "motion_modules.0.norm.weight",
             "motion_modules.0.transformer_blocks.0.norm1.weight"):
         return "sd_motion"                  # AnimateDiff temporal modules
+    if _has(sd, "controlnet_blocks.0.x_rms.weight"):
+        return "qwen_image_controlnet"
+    if _has(sd, "controlnet_blocks.0.weight", "conv_in.weight",
+            "time_embedding.0.weight"):
+        # 2D SD/SDXL ControlNet (zero-conv heads over the unet encoder)
+        return "sdxl_controlnet" if "add_time_embedding.0.weight" in keys \
+            else "sd_controlnet"
+    if any(k.startswith("ipadapter_modules.") for k in keys) \
+            or "ip_adapter" in keys:
+        return "ipadapter"
+    if any(k.startswith("S.individual_token_refiner.") for k in keys):
+        return "step1x_connector"
     if _has(sd, "add_time_embedding.0.weight", "conv_in.weight"):
         return "sdxl_unet"
     if _has(sd, "conv_in.weight", "time_embedding.0.weight") \

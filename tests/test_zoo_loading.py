@@ -61,6 +61,18 @@ def test_detect_all_zoo_families():
     assert detect_model_kind(dec) == "sd_vae_decoder"
 
 
+def test_detect_controlnet_and_adapter_files():
+    from test_sd_controlnet import _torch_tiny_controlnet, _torch_tiny_xl_controlnet
+    from goal_force_tpu.io.detect import detect_model_kind
+
+    m = _torch_tiny_controlnet()
+    assert detect_model_kind(Z.sd_of(m)) == "sd_controlnet"
+    m = _torch_tiny_xl_controlnet()
+    assert detect_model_kind(Z.sd_of(m)) == "sdxl_controlnet"
+    cn_sd, _ = Z.build_flux_controlnet()
+    assert detect_model_kind(cn_sd) == "flux_controlnet"
+
+
 def test_flux_from_pretrained_generates_with_real_tokens(tmp_path):
     from goal_force_tpu.pipelines.flux import FluxPipeline
 

@@ -284,6 +284,10 @@ def main():
     mfu = total_flops / step_time / peak_tflops
     a100_time = total_flops / (312e12 * 0.40)
     vs_baseline = a100_time / step_time
+    # cost-normalized diagnostic: public on-demand $/hr (us-central, 2025:
+    # v5e ~1.20, A100-80GB ~3.67) — the deployment-relevant ratio for an
+    # embarrassingly parallel inference fleet
+    vs_baseline_per_dollar = vs_baseline * (3.67 / 1.20)
 
     print(json.dumps({
         "metric": "denoise_steps_per_sec_chip (A14B geometry, 32760 tok, merged CFG,"
@@ -291,6 +295,7 @@ def main():
         "value": round(steps_per_sec, 5),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline_per_dollar": round(vs_baseline_per_dollar, 2),
         "mfu": round(mfu, 4),
         "sec_per_clip": round(sec_per_clip, 2),
         "sec_per_clip_teacache@0.4skip": round(sec_per_clip_tc, 2),

@@ -572,6 +572,14 @@ def load_model(path_or_sd, kind: Optional[str] = None, config=None,
 
         plan = infer_kw.get("plan") or SVD_PLAN
         return out({"plan": plan}, svd_unet_params_from_torch(sd, plan))
+    if kind == "esrgan":
+        from goal_force_tpu.extensions.esrgan import rrdbnet_params_from_torch
+
+        return out(None, rrdbnet_params_from_torch(sd))
+    if kind == "rife":
+        from goal_force_tpu.extensions.rife import ifnet_params_from_torch
+
+        return out(None, ifnet_params_from_torch(sd))
     # fall through to the goal-force/Wan family dispatcher
     from goal_force_tpu.io.detect import convert_detected
 

@@ -29,15 +29,46 @@ class VideoPipelineRunner:
         self._pipeline = pipeline
         self._build = build
 
+    # family string -> from_pretrained constructor (JSON-friendly configs)
+    FAMILIES = {
+        "goal_force": ("goal_force_tpu.pipelines.goal_force", "GoalForcePipeline"),
+        "flux": ("goal_force_tpu.pipelines.flux", "FluxPipeline"),
+        "sd": ("goal_force_tpu.pipelines.sd", "SDPipeline"),
+        "sdxl": ("goal_force_tpu.pipelines.sdxl", "SDXLPipeline"),
+        "sd3": ("goal_force_tpu.pipelines.sd3", "SD3Pipeline"),
+        "sd_video": ("goal_force_tpu.pipelines.sd_video", "SDVideoPipeline"),
+        "sdxl_video": ("goal_force_tpu.pipelines.sdxl_video", "SDXLVideoPipeline"),
+        "svd": ("goal_force_tpu.pipelines.svd_video", "SVDVideoPipeline"),
+        "cog": ("goal_force_tpu.pipelines.cog_video", "CogVideoPipeline"),
+        "hunyuan_video": ("goal_force_tpu.pipelines.hunyuan_video",
+                          "HunyuanVideoPipeline"),
+        "hunyuan_dit": ("goal_force_tpu.pipelines.hunyuan_image",
+                        "HunyuanImagePipeline"),
+        "step_video": ("goal_force_tpu.pipelines.step_video", "StepVideoPipeline"),
+        "qwen_image": ("goal_force_tpu.pipelines.qwen_image", "QwenImagePipeline"),
+        "omnigen": ("goal_force_tpu.pipelines.omnigen_image",
+                    "OmniGenImagePipeline"),
+        "kolors": ("goal_force_tpu.pipelines.kolors", "KolorsPipeline"),
+        "nexus_gen": ("goal_force_tpu.pipelines.nexus_gen", "NexusGenPipeline"),
+    }
+
     def load_pipeline(self, config: Dict):
         if self._pipeline is not None:
             return self._pipeline
-        build = self._build or config.get("models", {}).get("build")
+        models = dict(config.get("models", {}))
+        build = self._build or models.pop("build", None)
+        family = models.pop("family", None)
+        if build is None and family is not None:
+            # {"family": "flux", ...from_pretrained kwargs} — JSON-friendly
+            import importlib
+
+            mod_name, cls_name = self.FAMILIES[family]
+            build = getattr(importlib.import_module(mod_name),
+                            cls_name).from_pretrained
         if build is None:
-            raise ValueError("config['models']['build'] or pipeline= required")
-        self._pipeline = build(**{k: v for k, v in
-                                  config.get("models", {}).items()
-                                  if k != "build"})
+            raise ValueError("config['models'] needs 'build' or 'family' "
+                             "(or pass pipeline=)")
+        self._pipeline = build(**models)
         return self._pipeline
 
     def synthesize_video(self, pipe, seed: int, **pipeline_inputs):

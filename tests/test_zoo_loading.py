@@ -385,6 +385,42 @@ def test_sd_video_from_pretrained_with_motion(tmp_path):
     assert pipe.tokenize("hi")[0] == 49406
 
 
+def test_runner_family_config_loads_and_runs(tmp_path):
+    """JSON-friendly runner config: {'models': {'family': ..., paths...}}
+    (reference pipeline_runner.py drives load -> synthesize -> save)."""
+    from test_sd_unet import _torch_tiny
+    from goal_force_tpu.models.sd_unet import tiny_sd_plan
+    from goal_force_tpu.pipelines.runner import VideoPipelineRunner
+
+    plan = tiny_sd_plan(ctx_dim=48)
+    unet_sd = Z.sd_of(_torch_tiny(plan, time_dim=16, model_dim=8, groups=4))
+    te_sd, _ = Z.build_clip_text_encoder("sd", dim=48, seed=15)
+    _, dec_sd, plans = Z.build_sd_vae_pair()
+    out_dir = str(tmp_path / "out")
+    cfg = {
+        "models": {
+            "family": "sd",
+            "unet_path": _save(tmp_path, "unet.safetensors", unet_sd),
+            "text_encoder_path": _save(tmp_path, "te.safetensors", te_sd),
+            "vae_decoder_path": _save(tmp_path, "dec.safetensors", dec_sd),
+            "plan": plan, "groups": 4,
+            "vae_plans": plans, "clip_num_heads": 4,
+        },
+        "data": {"output_folder": out_dir, "fps": 8},
+        "pipeline": {"seed": 3, "pipeline_inputs": {
+            "prompt": "a boat", "height": 32, "width": 32,
+            "num_inference_steps": 2}},
+    }
+    runner = VideoPipelineRunner()
+    # SD returns one image; wrap as a single-frame video for the runner
+    orig = runner.synthesize_video
+    runner.synthesize_video = lambda pipe, seed, **kw: \
+        np.asarray(pipe(seed=seed, **kw))[None]
+    out = runner.run(cfg)
+    assert os.path.exists(out)
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+
+
 def test_nexus_gen_from_pretrained(tmp_path):
     from goal_force_tpu.pipelines.nexus_gen import NexusGenPipeline
 

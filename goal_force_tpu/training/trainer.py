@@ -74,6 +74,11 @@ class TrainerConfig:
     height: int = 480
     width: int = 832
     seed: int = 0
+    # LoRA training (reference --lora_base_model / rank, utils.py:450-470):
+    # adapters on the frozen high-noise DiT, trained alongside (or instead
+    # of) the ControlNet; checkpoints export in PEFT key format
+    train_lora: bool = False
+    lora_rank: int = 32
     use_wandb: bool = False
     wandb_project: Optional[str] = None
     run_name: Optional[str] = None
@@ -103,20 +108,41 @@ def train(
         num_frames=cfg.num_frames,
         max_timestep_boundary=cfg.max_timestep_boundary,
         min_timestep_boundary=cfg.min_timestep_boundary,
+        train_lora=cfg.train_lora,
     )
 
     start_step = 0
+    resume_lora = None
     if resume:
         latest = find_latest_checkpoint(cfg.output_dir)
         if latest is not None:
             print(f"resuming from {latest}")
-            cn_params = load_goalforce_controlnet(latest, cn_cfg)
-            cn_params = jax.tree_util.tree_map(jnp.asarray, cn_params)
+            if cfg.train_lora:
+                from goal_force_tpu.io.safetensors_io import load_safetensors
+                from goal_force_tpu.lora import lora_from_peft
+
+                resume_lora = lora_from_peft(load_safetensors(latest),
+                                             dit_cfg.num_layers)
+            else:
+                cn_params = load_goalforce_controlnet(latest, cn_cfg)
+                cn_params = jax.tree_util.tree_map(jnp.asarray, cn_params)
             start_step = checkpoint_step(latest)
 
+    if cfg.train_lora:
+        from goal_force_tpu.lora import init_lora
+
+        lora0 = resume_lora if resume_lora is not None else init_lora(
+            jax.random.PRNGKey(cfg.seed + 1), frozen["dit"],
+            rank=cfg.lora_rank)
+        trainable = {"lora": lora0}
+        if cn_cfg is not None and cn_params is not None:
+            trainable["controlnet"] = jax.tree_util.tree_map(jnp.asarray,
+                                                             cn_params)
+    else:
+        trainable = jax.tree_util.tree_map(jnp.asarray, cn_params)
     state = TrainState(
-        jax.tree_util.tree_map(jnp.asarray, cn_params),
-        optimizer.init(jax.tree_util.tree_map(jnp.asarray, cn_params)),
+        trainable,
+        optimizer.init(trainable),
         jnp.asarray(start_step, jnp.int32),
     )
     logger = MetricsLogger(cfg.output_dir, cfg.log_every, cfg.use_wandb,
@@ -147,20 +173,34 @@ def train(
                 logger.log(step, metrics)
                 saved = False
                 if step % cfg.save_steps == 0:
-                    save_checkpoint(state, cn_cfg, cfg.output_dir, step, dit_cfg.patch_size)
+                    save_checkpoint(state, cn_cfg, cfg.output_dir, step,
+                                    dit_cfg.patch_size, lora=cfg.train_lora)
                     saved = True
                 if max_steps is not None and step - start_step >= max_steps:
                     if not saved:
-                        save_checkpoint(state, cn_cfg, cfg.output_dir, step, dit_cfg.patch_size)
+                        save_checkpoint(state, cn_cfg, cfg.output_dir, step,
+                                        dit_cfg.patch_size, lora=cfg.train_lora)
                     return state
-    save_checkpoint(state, cn_cfg, cfg.output_dir, step, dit_cfg.patch_size)
+    save_checkpoint(state, cn_cfg, cfg.output_dir, step, dit_cfg.patch_size,
+                    lora=cfg.train_lora)
     return state
 
 
-def save_checkpoint(state: TrainState, cn_cfg, output_dir: str, step: int, patch=(1, 2, 2)):
-    """Trainable-only, reference-compatible step-K.safetensors (utils.py:600-617)."""
+def save_checkpoint(state: TrainState, cn_cfg, output_dir: str, step: int,
+                    patch=(1, 2, 2), lora: bool = False):
+    """Trainable-only, reference-compatible step-K.safetensors
+    (utils.py:600-617); LoRA states export in PEFT key format
+    (lora_A.default.weight naming, utils.py:465-470)."""
     host = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), state.params)
-    sd = export_goalforce_controlnet(host, cn_cfg, dit_patch=patch)
+    if lora:
+        from goal_force_tpu.lora import lora_to_peft
+
+        sd = lora_to_peft(host["lora"])
+        if "controlnet" in host:
+            sd.update(export_goalforce_controlnet(host["controlnet"], cn_cfg,
+                                                  dit_patch=patch))
+    else:
+        sd = export_goalforce_controlnet(host, cn_cfg, dit_patch=patch)
     path = os.path.join(output_dir, f"step-{step}.safetensors")
     save_safetensors(sd, path)
     print(f"saved {path}")

@@ -45,6 +45,9 @@ def parse_args():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--output_path", type=str, default="runs/goal_force")
     p.add_argument("--resume", action="store_true")
+    # LoRA training (reference scripts/train/train.py --lora_base_model)
+    p.add_argument("--train_lora", action="store_true")
+    p.add_argument("--lora_rank", type=int, default=32)
     # shapes
     p.add_argument("--num_frames", type=int, default=81)
     p.add_argument("--height", type=int, default=480)
@@ -118,6 +121,7 @@ def main():
         output_dir=args.output_path, lr=args.learning_rate, weight_decay=args.weight_decay,
         grad_clip=args.max_grad_norm, num_epochs=args.num_epochs, save_steps=args.save_steps,
         max_timestep_boundary=args.max_timestep_boundary,
+        train_lora=args.train_lora, lora_rank=args.lora_rank,
         min_timestep_boundary=args.min_timestep_boundary,
         num_frames=args.num_frames, height=args.height, width=args.width,
         use_wandb=args.use_wandb, wandb_project=args.wandb_project, run_name=args.run_name,

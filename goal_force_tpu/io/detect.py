@@ -131,11 +131,10 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
     if any(k.startswith("S.individual_token_refiner.") for k in keys):
         return "step1x_connector"
     if _has(sd, "add_time_embedding.0.weight", "conv_in.weight"):
+        # SVD carries learned temporal-mix factors on its blocks; SDXL doesn't
+        if any(k.endswith(".mix_factor") for k in keys):
+            return "svd_unet"
         return "sdxl_unet"
-    if _has(sd, "conv_in.weight", "time_embedding.0.weight") \
-            and any(".temporal_" in k or "temporal_blocks" in k
-                    or ".time_stack" in k for k in keys):
-        return "svd_unet"
     if _has(sd, "model.layers.0.self_attn.q_proj.weight",
             "model.embed_tokens.weight") or \
             _has(sd, "layers.0.self_attn.q_proj.weight", "embed_tokens.weight"):
@@ -161,6 +160,9 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
     if _has(sd, "token_embedding.weight", "pos_embedding.embedding.weight",
             "blocks.0.attn.q.weight"):
         return "t5_encoder"     # shared-relative-pos T5 v1.1 (Flux/SD3/Cog)
+    if any(k.endswith(".mix_factor") for k in keys) \
+            and "conv_in.weight" in keys:
+        return "svd_vae"        # temporal-mix decoder (blocks.N.mix_factor)
     if _has(sd, "conv_in.weight", "blocks.0.norm1.weight") and \
             "time_embedding.0.weight" not in keys:
         # plan-format 2D VAE half (diffsynth SDVAEEncoder/Decoder naming,
@@ -179,8 +181,6 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
         return "hunyuan_video_vae"
     if _has(sd, "encoder.conv_in.conv.weight") or _has(sd, "decoder.conv_in.conv.weight"):
         return "qwen_image_vae"
-    if any("spatial_res_block" in k or "temporal_res_block" in k for k in keys):
-        return "svd_vae"
     if any(k.startswith(("encoder.down_blocks.", "decoder.up_blocks.")) for k in keys):
         dims = [np.asarray(sd[k]).ndim for k in keys
                 if k.endswith("conv_in.weight") or k.endswith("conv1.weight")]

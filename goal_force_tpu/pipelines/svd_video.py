@@ -70,7 +70,9 @@ class SVDVideoPipeline:
         to_dev = lambda tree: jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, dtype), tree)
         plan = plan or SVD_PLAN
-        unet = load_model(unet_path, kind="svd_unet", plan=plan)
+        unet = load_model(unet_path, plan=plan)
+        if unet["kind"] != "svd_unet":
+            raise ValueError(f"{unet_path} detected as {unet['kind']!r}")
         vae_dec = None
         dec_plan = vae_dec_plan or SVD_VAE_DECODER_PLAN
         if vae_decoder_path is not None:

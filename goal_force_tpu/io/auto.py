@@ -572,6 +572,14 @@ def load_model(path_or_sd, kind: Optional[str] = None, config=None,
 
         plan = infer_kw.get("plan") or SVD_PLAN
         return out({"plan": plan}, svd_unet_params_from_torch(sd, plan))
+    if kind == "svd_vae":
+        from goal_force_tpu.models.svd_vae import (
+            SVD_VAE_DECODER_PLAN,
+            svd_vae_decoder_params_from_torch,
+        )
+
+        plan = infer_kw.get("plan") or SVD_VAE_DECODER_PLAN
+        return out({"plan": plan}, svd_vae_decoder_params_from_torch(sd, plan))
     if kind == "esrgan":
         from goal_force_tpu.extensions.esrgan import rrdbnet_params_from_torch
 

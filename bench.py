@@ -273,11 +273,17 @@ def main():
     sec_per_clip_tc = ((num_steps - n_skip) * step_prod + n_skip * t_skip
                        + 2 * t_vae_enc + t_txt + t_vae_dec)
 
-    # Analytic FLOPs of the full 40+10 stack (qkvo + ffn + self/cross attn);
+    # Analytic FLOPs of the full 40+10 stack. Per main token each block runs
+    # SIX D x D projections over the 32,760-token stream — self q,k,v,o plus
+    # cross-attention q and o (wan_dit.py:161-207 — cross_attn projects q from
+    # x and o back to x; only its k,v run over the 512 text tokens) — i.e.
+    # 12*D^2 FLOPs/token, not 8 (round 2 over-corrected round 1's double
+    # count). Cross k,v over text tokens is the small separate term.
     # ControlNet blocks additionally pay their zero conv (2*D^2 per token).
     s_tokens = f * (hh // 2) * (ww // 2)
-    flops_per_block = s_tokens * (8 * dim * dim + 4 * dim * ffn + 4 * s_tokens * dim
-                                  + 4 * text_len * dim) * b
+    flops_per_block = (s_tokens * (12 * dim * dim + 4 * dim * ffn
+                                   + 4 * s_tokens * dim + 4 * text_len * dim)
+                       + text_len * 4 * dim * dim) * b
     zero_conv_flops = s_tokens * 2 * dim * dim * b
     total_flops = (flops_per_block * full_layers
                    + (flops_per_block + zero_conv_flops) * full_cn_layers)
@@ -302,6 +308,11 @@ def main():
         "step_prod_s": round(step_prod, 3),
         "per_block_ms": round(per_block * 1e3, 2),
         "per_cn_block_ms": round(per_cn_block * 1e3, 2),
+        # a CN block is a DiT block + its zero conv; the zero conv's floor at
+        # peak MXU is its FLOPs/peak — this is the delta above that floor
+        # (~0 means the CN side-stack carries no overhead beyond its math)
+        "cn_ms_above_zero_conv_floor": round(
+            (per_cn_block - per_block - zero_conv_flops / peak_tflops) * 1e3, 2),
         "overhead_ms": round(overhead * 1e3, 2),
         "dispatch_saving_ms": round(dispatch_saving * 1e3, 2),
         "skip_step_ms": round(t_skip * 1e3, 2),

@@ -48,11 +48,17 @@ class Annotator:
                  processor: Optional[Callable] = None,
                  low: int = 100, high: int = 200,
                  weights_path: Optional[str] = None,
-                 approx: bool = False):
-        """weights_path: local checkpoint for a LEARNED annotator net — the
-        softedge id loads lllyasviel's ControlNetHED.pth through the native
-        port (extensions/hed.py), like the reference loads controlnet_aux
-        detectors from models/Annotators (processors.py:9-33).
+                 approx: bool = False,
+                 num_heads: Optional[int] = None):
+        """weights_path: local checkpoint for a LEARNED annotator net — like
+        the reference loads controlnet_aux detectors from models/Annotators
+        (processors.py:9-33):
+          - softedge loads lllyasviel's ControlNetHED.pth through the native
+            port (extensions/hed.py);
+          - depth loads the MiDaS DPT-Hybrid weights in the HF
+            `Intel/dpt-hybrid-midas` layout through extensions/depth.py
+            (num_heads overrides the shape-inferred ViT head count — it is
+            not recorded in checkpoints; the real geometry infers 12).
         approx=True opts into the documented classical stand-ins for ids
         whose learned detector weights are unavailable."""
         if processor_id not in PROCESSOR_IDS:
@@ -63,14 +69,28 @@ class Annotator:
         self.approx = approx
         self._net = None
         if weights_path is not None:
-            if processor_id != "softedge":
-                raise ValueError(
-                    f"no learned net is ported for {processor_id!r}; "
-                    "softedge loads ControlNetHED.pth")
-            from goal_force_tpu.extensions.hed import hed_params_from_torch
             from goal_force_tpu.io.auto import load_weights
 
-            self._net = hed_params_from_torch(load_weights(weights_path))
+            if processor_id == "softedge":
+                from goal_force_tpu.extensions.hed import hed_params_from_torch
+
+                self._net = hed_params_from_torch(load_weights(weights_path))
+            elif processor_id == "depth":
+                import dataclasses as _dc
+
+                from goal_force_tpu.extensions.depth import (
+                    dpt_config_from_state_dict, dpt_params_from_torch)
+
+                sd = load_weights(weights_path)
+                cfg = dpt_config_from_state_dict(sd)
+                if num_heads is not None:
+                    cfg = _dc.replace(cfg, num_heads=num_heads)
+                self._net = (dpt_params_from_torch(sd, cfg), cfg)
+            else:
+                raise ValueError(
+                    f"no learned net is ported for {processor_id!r}; "
+                    "softedge loads ControlNetHED.pth, depth loads "
+                    "dpt-hybrid-midas")
 
     # ids served exactly without any external weights
     _EXACT = ("canny", "tile", "none", "inpaint")
@@ -87,6 +107,12 @@ class Annotator:
                 out = np.repeat(out[..., None], 3, -1)
             return out
         if self._net is not None:
+            if self.processor_id == "depth":
+                from goal_force_tpu.extensions.depth import depth_annotate
+
+                params, cfg = self._net
+                d = depth_annotate(params, cfg, img)
+                return np.repeat(d[..., None], 3, -1)
             from goal_force_tpu.extensions.hed import hed_forward
 
             edge = np.asarray(hed_forward(
@@ -95,8 +121,8 @@ class Annotator:
         if self.processor_id not in self._EXACT and not self.approx:
             raise ValueError(
                 f"{self.processor_id!r} needs a learned detector: pass "
-                "weights_path= (softedge), processor=<callable>, or opt into "
-                "the classical approximation with approx=True")
+                "weights_path= (softedge/depth), processor=<callable>, or opt "
+                "into the classical approximation with approx=True")
         fn = getattr(self, f"_{self.processor_id}")
         return fn(img)
 

@@ -170,6 +170,7 @@ class QwenImagePipeline:
         denoising_strength: float = 1.0,
         controlnet: Optional[Dict] = None,           # blockwise cn params
         controlnet_image: Optional[np.ndarray] = None,
+        return_latents: bool = False,
     ) -> np.ndarray:
         from goal_force_tpu.models.vae import decode_video, encode_video
 
@@ -216,6 +217,8 @@ class QwenImagePipeline:
             latents = flow_match.euler_step(latents, v.astype(latents.dtype),
                                             schedule.sigmas[i],
                                             schedule.sigma_next(i))
+        if return_latents:
+            return np.asarray(latents, np.float32)
         img = decode_video(self.vae_decoder, self.vae_cfg,
                            latents.astype(jnp.float32)[:, None])[:, 0]
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

@@ -150,18 +150,19 @@ LOG2E = 1.4426950408889634
 
 
 def _fa_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-               *, scale, bk, bk_inner, pipelined=True):
+               *, bk, bk_inner, pipelined=True):
     """Two-level KV tiling: the grid walks bk-sized major tiles (DMA granularity); an
     unrolled inner loop processes bk_inner sub-tiles, letting the next sub-tile's MXU
     matmul overlap the previous one's VPU softmax — measured ~1.9x over single-level
     (656 -> 347 ms at the Wan shape).
 
     VPU diet (the softmax is the bottleneck, not the MXU): (a) log2-domain online
-    softmax — log2(e) folds into the logit scale so exp2 replaces exp and saves one
-    VPU multiply per logit; (b) the padded-column mask (iota+compare+select, 3 VPU
-    ops/logit) only runs on inner sub-tiles that actually straddle kv_len — a
-    tile-level pl.when with a mask-free duplicate body covers the other 31/32 tiles
-    of the 32,768-padded Wan sequence."""
+    softmax — the caller pre-folds scale*log2(e) into q, so exp2 replaces exp AND the
+    per-logit scale multiply vanishes (one VPU pass over S^2 saved; the fold itself
+    is one pass over S*128, 256x cheaper); (b) the padded-column mask
+    (iota+compare+select, 3 VPU ops/logit) only runs on inner sub-tiles that actually
+    straddle kv_len — a tile-level pl.when with a mask-free duplicate body covers the
+    other 31/32 tiles of the 32,768-padded Wan sequence."""
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -172,18 +173,17 @@ def _fa_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     kv_len = kv_len_ref[0]
-    scale2 = scale * LOG2E  # logits land in log2 domain: exp->exp2 everywhere below
 
     @pl.when(kv_idx * bk < kv_len)
     def _compute():
-        q = q_ref[0]                       # (bq, H)
+        q = q_ref[0]                       # (bq, H), pre-scaled to log2 domain
         n_inner = bk // bk_inner
 
         def qk(j):
             k = k_ref[0, pl.ds(j * bk_inner, bk_inner), :]
             return jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale2                      # (bq, bk_inner)
+            )                               # (bq, bk_inner), log2-domain logits
 
         # Software pipelining: issue sub-tile j+1's QK^T BEFORE sub-tile j's softmax,
         # so the MXU chews the next logits while the VPU exps the current ones. The
@@ -234,6 +234,78 @@ def _fa_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
+def _fa_kernel_nomax(kv_len_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
+                     *, bk, bk_inner, pipelined=False):
+    """Max-free softmax: p = exp2(s) raw, no running max, no rescale.
+
+    Any constant offset M cancels between acc and l in o = acc/l, so max
+    subtraction only exists to keep exp2 inside f32 range. The wrapper computes a
+    per-call Cauchy-Schwarz bound on the log2-domain logits
+    (max_row|q'| * max_row|k|, q' pre-scaled by scale*log2e) and takes this kernel
+    only when every intermediate provably fits f32 — true in practice for the
+    qk-RMS-normed Wan/DiT attention (bound ~16; overflow needs ~100). Skipping the
+    online max removes a full VPU reduce pass over every logit plus the running
+    m/alpha updates and the acc rescale multiply — the kernel is VPU-bound
+    (softmax), not MXU-bound, so this lands directly on the critical path."""
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kv_len = kv_len_ref[0]
+
+    @pl.when(kv_idx * bk < kv_len)
+    def _compute():
+        q = q_ref[0]                       # (bq, H), pre-scaled to log2 domain
+        n_inner = bk // bk_inner
+
+        def qk(j):
+            k = k_ref[0, pl.ds(j * bk_inner, bk_inner), :]
+            return jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        s = qk(0)
+        for j in range(n_inner):
+            start = j * bk_inner
+            # software pipelining (opt-in): issue sub-tile j+1's QK^T before
+            # sub-tile j's exp2/sum so the MXU overlaps the VPU softmax
+            s_next = qk(j + 1) if (pipelined and j + 1 < n_inner) else None
+            if not pipelined and j > 0:
+                s = qk(j)
+
+            def tile(masked, s=s, start=start):
+                if masked:
+                    col = (kv_idx * bk + start
+                           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+                    s = jnp.where(col < kv_len, s, MASK_VALUE)
+                p = jnp.exp2(s)            # exp2(MASK_VALUE) == 0 exactly
+                l_scr[...] += jnp.broadcast_to(
+                    jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+                )
+                v = v_ref[0, pl.ds(start, bk_inner), :]
+                acc_scr[...] += jax.lax.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                )
+
+            begin = kv_idx * bk + start
+            fully_valid = begin + bk_inner <= kv_len
+            straddles = (begin < kv_len) & ~fully_valid
+            pl.when(fully_valid)(lambda: tile(False))
+            pl.when(straddles)(lambda: tile(True))
+            # begin >= kv_len: sub-tile is entirely padding — skipped.
+            s = s_next
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -261,7 +333,10 @@ def _fa_forward(q, k, v, scale, block_q, block_k, with_lse,
         # Inference path blocks over the PACKED (B, S, N*H) layout: heads are contiguous
         # 128-column blocks of the projection output, so no (B,S,N,H)->(B*N,S,H)
         # relayout is needed (those 4 transposes cost ~240 ms at the Wan shape).
-        qb = _pad_to(q.reshape(b, sq, n * h), 1, block_q)
+        # scale*log2(e) is folded into q here (S*128 elements) instead of into every
+        # logit tile inside the kernel (S^2 elements).
+        qs = (q.reshape(b, sq, n * h) * (scale * LOG2E)).astype(q.dtype)
+        qb = _pad_to(qs, 1, block_q)
         kb = _pad_to(k.reshape(b, skv, n * h), 1, block_k)
         vb = _pad_to(v.reshape(b, skv, n * h), 1, block_k)
         sq_p, skv_p = qb.shape[1], kb.shape[1]
@@ -275,30 +350,70 @@ def _fa_forward(q, k, v, scale, block_q, block_k, with_lse,
         # overflows the 16 MB scoped VMEM. (The official jax.experimental pallas
         # flash/splash kernels run 2.5-3.1 s at this shape.)
         bk_inner = min(block_k, bk_inner_opt or 1024)
-        kernel = functools.partial(_fa_kernel, scale=scale, bk=block_k,
-                                   bk_inner=bk_inner, pipelined=pipelined)
-        out = pl.pallas_call(
-            kernel,
+        common = dict(
             out_shape=jax.ShapeDtypeStruct((b, sq_p, n * h), q.dtype),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((1, block_q, h), idx_qp),
-                    pl.BlockSpec((1, block_k, h), idx_kp),
-                    pl.BlockSpec((1, block_k, h), idx_kp),
-                ],
-                out_specs=pl.BlockSpec((1, block_q, h), idx_qp),
-                scratch_shapes=[
-                    pltpu.VMEM((block_q, LANES), jnp.float32),
-                    pltpu.VMEM((block_q, LANES), jnp.float32),
-                    pltpu.VMEM((block_q, h), jnp.float32),
-                ],
-            ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
-        )(jnp.asarray([skv], jnp.int32), qb, kb, vb)
+        )
+        grid_common = dict(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, h), idx_qp),
+                pl.BlockSpec((1, block_k, h), idx_kp),
+                pl.BlockSpec((1, block_k, h), idx_kp),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, h), idx_qp),
+        )
+        kv_len = jnp.asarray([skv], jnp.int32)
+
+        def run_max(ops):
+            kernel = functools.partial(_fa_kernel, bk=block_k,
+                                       bk_inner=bk_inner, pipelined=pipelined)
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    scratch_shapes=[
+                        pltpu.VMEM((block_q, LANES), jnp.float32),
+                        pltpu.VMEM((block_q, LANES), jnp.float32),
+                        pltpu.VMEM((block_q, h), jnp.float32),
+                    ],
+                    **grid_common,
+                ),
+                **common,
+            )(kv_len, *ops)
+
+        def run_nomax(ops):
+            kernel = functools.partial(_fa_kernel_nomax, bk=block_k,
+                                       bk_inner=bk_inner, pipelined=pipelined)
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    scratch_shapes=[
+                        pltpu.VMEM((block_q, LANES), jnp.float32),
+                        pltpu.VMEM((block_q, h), jnp.float32),
+                    ],
+                    **grid_common,
+                ),
+                **common,
+            )(kv_len, *ops)
+
+        # Cauchy-Schwarz bound on any log2-domain logit: max_row|q'|*max_row|k| over
+        # per-head rows (q' carries scale*log2e). Row p=exp2(s) values stay <=
+        # 2^bound, l <= Skv*2^bound, acc <= l*max|v| — all inside f32 iff
+        # bound + log2(Skv) + log2(max|v|) < 127; threshold 100 leaves the margin.
+        # Three O(S*128) reduce passes buy removal of an O(S^2) reduce inside the
+        # VPU-bound kernel. qk-normed DiT attention bounds at ~16, so the nomax
+        # branch is the one that runs in practice; unnormed outliers fall back.
+        f32 = jnp.float32
+        qmax = jnp.sqrt(jnp.max(jnp.sum(
+            jnp.square(qs.reshape(b, sq, n, h).astype(f32)), axis=-1)))
+        kmax = jnp.sqrt(jnp.max(jnp.sum(
+            jnp.square(k.astype(f32)), axis=-1)))
+        vmax = jnp.max(jnp.abs(v.astype(f32)))
+        bound = qmax * kmax + jnp.log2(jnp.maximum(vmax, 1.0))
+        out = jax.lax.cond(bound < 100.0, run_nomax, run_max, (qb, kb, vb))
         return out[:, :sq].reshape(b, sq, n, h), None
     # Training path (lse residual) keeps the (B*N, S, H) relayout for now.
     qb = _pad_to(_to_bn(q), 1, block_q)

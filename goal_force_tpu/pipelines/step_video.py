@@ -157,6 +157,7 @@ class StepVideoPipeline:
         num_inference_steps: int = 30,
         seed: int = 0,
         smooth_scale: float = 0.6,
+        return_latents: bool = False,
     ) -> np.ndarray:
         schedule = flow_match.make_schedule(
             num_inference_steps, shift=13.0, sigma_min=0.0,
@@ -176,6 +177,8 @@ class StepVideoPipeline:
             latents = flow_match.euler_step(latents, v.astype(latents.dtype),
                                             schedule.sigmas[i],
                                             schedule.sigma_next(i))
+        if return_latents:
+            return np.asarray(latents, np.float32)
         video = stepvideo_vae_decode(self.vae, latents.astype(jnp.float32),
                                      self.vae_cfg, smooth_scale=smooth_scale)
         return np.asarray((video[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

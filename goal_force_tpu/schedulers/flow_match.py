@@ -29,13 +29,17 @@ class FlowMatchSchedule:
     num_train_timesteps: int
     training: bool = False
     training_weights: np.ndarray | None = None  # (N,) float32 when training
+    final_sigma: float = 0.0  # 1.0 for inverse/reversed schedules (ref :78)
 
     def __len__(self) -> int:
         return int(self.sigmas.shape[0])
 
     def sigma_next(self, i: int) -> float:
-        """sigma after step i (0.0 at the end — reference flow_match.py:77-80)."""
-        return float(self.sigmas[i + 1]) if i + 1 < len(self) else 0.0
+        """sigma after step i (final_sigma at the end — reference
+        flow_match.py:77-80: 1 when inverse_timesteps or reverse_sigmas,
+        else 0)."""
+        return float(self.sigmas[i + 1]) if i + 1 < len(self) \
+            else self.final_sigma
 
 
 def make_schedule(
@@ -99,6 +103,7 @@ def make_schedule(
         num_train_timesteps=num_train_timesteps,
         training=training,
         training_weights=weights,
+        final_sigma=1.0 if (inverse_timesteps or reverse_sigmas) else 0.0,
     )
 
 

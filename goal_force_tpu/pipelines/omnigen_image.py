@@ -133,12 +133,16 @@ class OmniGenImagePipeline:
         width: int = 1024,
         num_inference_steps: int = 20,
         seed: int = 0,
+        return_latents: bool = False,
     ) -> np.ndarray:
         from goal_force_tpu.models.sd_vae import sd_vae_decode, sd_vae_encode
 
+        # reference ctor (omnigen_image.py:126) leaves extra_one_step at the
+        # scheduler default FALSE: sigmas = flip(linspace(1, 0, N)) = 0..1
         schedule = flow_match.make_schedule(
             num_inference_steps, shift=1.0, sigma_min=0.0, sigma_max=1.0,
-            inverse_timesteps=True, num_train_timesteps=1)
+            extra_one_step=False, inverse_timesteps=True,
+            num_train_timesteps=1)
         h, w = height // self.vae_factor, width // self.vae_factor
         n_img = (h // 2) * (w // 2)
         latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
@@ -198,6 +202,8 @@ class OmniGenImagePipeline:
             latents = flow_match.euler_step(latents, v.astype(latents.dtype),
                                             schedule.sigmas[i],
                                             schedule.sigma_next(i))
+        if return_latents:
+            return np.asarray(latents, np.float32)
         img = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
                             self.vae_dec_plan, groups=self.vae_groups,
                             scaling=self.vae_scaling)

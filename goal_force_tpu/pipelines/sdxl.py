@@ -65,12 +65,12 @@ class SDXLPipeline:
         self._decode = jax.jit(lambda p, z: sd_vae_decode(
             p, z, self.vae_dec_plan, groups=self.vae_groups,
             scaling=self.vae_scaling))
-        self._encode = jax.jit(self._encode_prompt, static_argnums=4)
+        self._encode = jax.jit(self._encode_prompt, static_argnums=(4, 5))
 
-    def _encode_prompt(self, te1, te2, ids, ids2, clip_skip):
+    def _encode_prompt(self, te1, te2, ids, ids2, clip_skip, clip_skip_2):
         h1 = sdxl_text_encode(te1, ids, self.text_cfg, clip_skip=clip_skip)
         pooled, h2 = sdxl_text2_encode(te2, ids2, self.text2_cfg,
-                                       clip_skip=clip_skip)
+                                       clip_skip=clip_skip_2)
         return jnp.concatenate([h1, h2], axis=-1), pooled
 
     def _denoise_cfg(self, unet, latents, t, ctx_pos, ctx_neg, pool_pos,
@@ -104,16 +104,20 @@ class SDXLPipeline:
     def __call__(self, prompt: str, negative_prompt: str = "",
                  height: int = 1024, width: int = 1024,
                  num_inference_steps: int = 20, cfg_scale: float = 7.5,
-                 clip_skip: int = 2, seed: int = 0) -> np.ndarray:
+                 clip_skip: int = 1, clip_skip_2: int = 2, seed: int = 0,
+                 return_latents: bool = False) -> np.ndarray:
+        # clip_skip defaults 1 (CLIP-L) / 2 (CLIP-G) as in the reference
+        # (sdxl_image.py:120-121, sdxl_prompter.py:36-49).
         sched = make_ddim_schedule(num_inference_steps)
         latents = jax.random.normal(jax.random.PRNGKey(seed),
                                     (1, height // 8, width // 8, 4), self.dtype)
         ctx_p, pool_p = self._encode(self.text_encoder, self.text_encoder_2,
                                      self._ids(prompt), self._ids2(prompt),
-                                     clip_skip)
+                                     clip_skip, clip_skip_2)
         ctx_n, pool_n = self._encode(self.text_encoder, self.text_encoder_2,
                                      self._ids(negative_prompt),
-                                     self._ids2(negative_prompt), clip_skip)
+                                     self._ids2(negative_prompt), clip_skip,
+                                     clip_skip_2)
         add_ids = jnp.asarray(
             np.array([height, width, 0, 0, height, width], np.float32))
         acp = sched.alphas_cumprod
@@ -130,6 +134,8 @@ class SDXLPipeline:
                                  pool_p.astype(self.dtype),
                                  pool_n.astype(self.dtype),
                                  add_ids, float(cfg_scale), w_x, w_e)
+        if return_latents:
+            return np.asarray(latents, np.float32)
         image = self._decode(self.vae_decoder, latents)
         return np.clip((np.asarray(image[0], np.float32) + 1.0) / 2.0, 0.0, 1.0)
 

@@ -35,6 +35,8 @@ class SDXLVideoPipeline:
     vae_dec_plan: Tuple = ()
     vae_groups: int = 32
     dtype: object = jnp.float32
+    tokenize: object = None      # CLIP-L tokenizer; hash fallback when unset
+    tokenize_2: object = None    # CLIP-G tokenizer
 
     @classmethod
     def from_pretrained(cls, unet_path, motion_path=None, dtype=jnp.float32,
@@ -60,7 +62,8 @@ class SDXLVideoPipeline:
                    vae_decoder=base.vae_decoder, plan=base.plan,
                    text_cfg=base.text_cfg, text2_cfg=base.text2_cfg,
                    groups=base.groups, vae_dec_plan=base.vae_dec_plan,
-                   vae_groups=base.vae_groups, dtype=dtype)
+                   vae_groups=base.vae_groups, dtype=dtype,
+                   tokenize=base.tokenize, tokenize_2=base.tokenize_2)
 
     @classmethod
     def init_random(cls, key=None, dtype=jnp.float32) -> "SDXLVideoPipeline":
@@ -104,11 +107,20 @@ class SDXLVideoPipeline:
                                                            sdxl_text2_encode)
         from goal_force_tpu.pipelines.flux import _hash_ids
 
-        ids1 = jnp.asarray(_hash_ids(prompt, self.text_cfg.vocab_size, 8)[None],
-                           jnp.int32)
-        ids2 = jnp.asarray(_hash_ids(prompt, self.text2_cfg.vocab_size, 8)[None],
-                           jnp.int32)
-        h1 = sdxl_text_encode(self.text_encoder, ids1, self.text_cfg, 2)
+        if self.tokenize is not None:
+            ids1 = jnp.asarray(np.asarray(self.tokenize(prompt))
+                               .reshape(1, -1).astype(np.int32))
+            tok2 = self.tokenize_2 or self.tokenize
+            ids2 = jnp.asarray(np.asarray(tok2(prompt))
+                               .reshape(1, -1).astype(np.int32))
+        else:
+            ids1 = jnp.asarray(
+                _hash_ids(prompt, self.text_cfg.vocab_size, 8)[None], jnp.int32)
+            ids2 = jnp.asarray(
+                _hash_ids(prompt, self.text2_cfg.vocab_size, 8)[None], jnp.int32)
+        # clip_skip 1 (CLIP-L) / 2 (CLIP-G) — reference sdxl_video.py:102 with
+        # the SDXLPrompter defaults (sdxl_prompter.py:36-49)
+        h1 = sdxl_text_encode(self.text_encoder, ids1, self.text_cfg, 1)
         pooled, h2 = sdxl_text2_encode(self.text_encoder_2, ids2,
                                        self.text2_cfg, 2)
         return (jnp.concatenate([h1, h2], axis=-1).astype(self.dtype),

@@ -70,6 +70,10 @@ class SD3Pipeline:
     vae_groups: int = 32
     vae_factor: int = 8
     tokenize_clip: Optional[Callable] = None
+    # CLIP-G tokenizer (pads differently from CLIP-L — reference
+    # sd3_prompter.py keeps tokenizer_1 AND tokenizer_2); falls back to
+    # tokenize_clip when unset
+    tokenize_clip2: Optional[Callable] = None
     tokenize_t5: Optional[Callable] = None
     dtype: object = jnp.bfloat16
     attn_impl: str = "auto"
@@ -127,12 +131,15 @@ class SD3Pipeline:
         if vae_decoder_path is not None:
             vae_dec = to_dev(load_model(vae_decoder_path, plan=dec_plan)["params"])
 
-        tok_clip, tok_t5 = tokenizer, tokenizer_t5
+        tok_clip, tok_clip2, tok_t5 = tokenizer, None, tokenizer_t5
         if tokenizer == "vendored" or tokenizer_t5 == "vendored":
             from goal_force_tpu.prompters import sd3_tokenizers
 
-            v1, _, v3 = sd3_tokenizers(t5_length=t5_length)
-            tok_clip = v1 if tokenizer == "vendored" else tokenizer
+            v1, v2, v3 = sd3_tokenizers(t5_length=t5_length)
+            if tokenizer == "vendored":
+                tok_clip, tok_clip2 = v1, v2
+            else:
+                tok_clip = tokenizer
             tok_t5 = v3 if tokenizer_t5 == "vendored" else tokenizer_t5
 
         t5_cfg = t5_cfg or tiny_sd3_configs()[1]
@@ -148,7 +155,8 @@ class SD3Pipeline:
             clip1_cfg=clip1_cfg, clip2_cfg=clip2_cfg,
             vae_enc_plan=enc_plan, vae_dec_plan=dec_plan, vae_groups=groups,
             vae_factor=2 ** sum(1 for b in enc_plan if b[0] == "downe"),
-            tokenize_clip=tok_clip, tokenize_t5=tok_t5,
+            tokenize_clip=tok_clip, tokenize_clip2=tok_clip2,
+            tokenize_t5=tok_t5,
             dtype=dtype,
         )
 
@@ -184,9 +192,9 @@ class SD3Pipeline:
         text_dim = self.dit_cfg.text_dim
 
         @functools.partial(jax.jit, static_argnames=("use_t5",))
-        def fn(clip1, clip2, t5_params, clip_ids, t5_ids, use_t5):
+        def fn(clip1, clip2, t5_params, clip_ids, clip2_ids, t5_ids, use_t5):
             pooled1, hidden1 = sd3_text1_encode(clip1, clip_ids, c1)
-            pooled2, hidden2 = sdxl_text2_encode(clip2, clip_ids, c2)
+            pooled2, hidden2 = sdxl_text2_encode(clip2, clip2_ids, c2)
             clip_hidden = jnp.concatenate([hidden1, hidden2], axis=-1)
             pad = text_dim - clip_hidden.shape[-1]
             clip_hidden = jnp.pad(clip_hidden, ((0, 0), (0, 0), (0, pad)))
@@ -231,11 +239,17 @@ class SD3Pipeline:
         clip_ids = np.stack([
             np.asarray(self.tokenize_clip(p)) if self.tokenize_clip
             else _hash_ids(p, self.clip1_cfg.vocab_size, 77) for p in prompts])
+        tok2 = self.tokenize_clip2 or self.tokenize_clip
+        clip2_ids = np.stack([
+            np.asarray(tok2(p)) if tok2
+            else _hash_ids(p, self.clip2_cfg.vocab_size, 77) for p in prompts])
         t5_ids = np.stack([
             np.asarray(self.tokenize_t5(p)) if self.tokenize_t5
             else _hash_ids(p, self.t5_cfg.vocab, self.t5_cfg.text_len)
             for p in prompts])
-        return jnp.asarray(clip_ids, jnp.int32), jnp.asarray(t5_ids, jnp.int32)
+        return (jnp.asarray(clip_ids, jnp.int32),
+                jnp.asarray(clip2_ids, jnp.int32),
+                jnp.asarray(t5_ids, jnp.int32))
 
     def __call__(
         self,
@@ -248,15 +262,16 @@ class SD3Pipeline:
         sigma_shift: Optional[float] = None,
         seed: int = 0,
         progress: bool = False,
+        return_latents: bool = False,
     ) -> np.ndarray:
         schedule = fm.make_schedule(
             num_steps=num_inference_steps,
             shift=3.0 if sigma_shift is None else sigma_shift,
             sigma_min=0.003 / 1.002, extra_one_step=False,
         )
-        clip_ids, t5_ids = self._ids([prompt, negative_prompt])
+        clip_ids, clip2_ids, t5_ids = self._ids([prompt, negative_prompt])
         prompt_emb, pooled = self._encode_text(
-            self.clip1, self.clip2, self.t5, clip_ids, t5_ids,
+            self.clip1, self.clip2, self.t5, clip_ids, clip2_ids, t5_ids,
             self.t5 is not None)
         prompt_emb = prompt_emb.astype(self.dtype)
         pooled = pooled.astype(self.dtype)
@@ -274,5 +289,7 @@ class SD3Pipeline:
             latents = self._denoise_step(
                 self.dit, latents, tstep, schedule.sigmas[i],
                 schedule.sigma_next(i), prompt_emb, pooled, cfg_scale)
+        if return_latents:
+            return np.asarray(latents, np.float32)
         img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

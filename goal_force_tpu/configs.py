@@ -32,6 +32,12 @@ class WanDiTConfig:
     num_layers: int = 40
     has_image_input: bool = False      # A14B: no CLIP branch (require_clip_embedding=False)
     rope_max_len: int = 1024
+    # qk-RMS-norm keeps every softmax logit small (typical log2-domain max ~16),
+    # so the flash kernel statically takes its max-free path, trading the runtime
+    # overflow dispatch (~20 ms/block) for a saturating clamp that is exact for
+    # all logits <= flash_attention.NOMAX_CLAMP. Set False to force the runtime
+    # Cauchy-Schwarz dispatch.
+    qk_bounded: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -7,10 +7,13 @@ mask-aware mean conditioning vector), MMDoubleStreamBlock (:403-475),
 MMSingleStreamBlock (:518-571), FinalLayer (:573-586), HunyuanVideoDiT.forward
 (:631-676).
 
-Faithfully reproduced quirk: attention is NOT fully joint — the reference splits
-the sequence at `split_token` (71) text tokens and runs TWO block-diagonal
-attentions: [image + txt[:71]] and [txt[71:]] (:462-475, :537-570). The text
-length after the refiner is fixed at 256 (:669-672).
+Faithfully reproduced quirk: attention is NOT fully joint — the reference
+pipeline (`lets_dance_hunyuan_video`, pipelines/hunyuan_video.py:327-333) splits
+the sequence at split_token = text_mask.sum() valid text tokens and runs TWO
+block-diagonal attentions: [image + valid txt] and [padding txt] (:462-475,
+:537-570). Here that varlen split is ONE joint attention with a traced
+per-batch kv_len (see _joint_attention) — static shapes, no recompiles. The
+text length after the refiner is fixed at 256 (:669-672).
 
 TPU-first: the 20 double and 40 single blocks are stacked and scanned; the rope
 tables are host-built f32 (S, head_dim/2) cos/sin applied with ops/rope.apply_rope
@@ -52,7 +55,6 @@ class HunyuanVideoDiTConfig:
     rope_dims: Tuple[int, ...] = (16, 56, 56)
     rope_theta: float = 256.0
     txt_len: int = 256
-    split_token: int = 71
     refiner_depth: int = 2
     patch: Tuple[int, int, int] = (1, 2, 2)
     eps: float = 1e-6
@@ -149,29 +151,35 @@ def _qkv_norm_rope(p, x, cfg, cos=None, sin=None):
     return q, k, v
 
 
-def _split_attention(q_img, k_img, v_img, q_txt, k_txt, v_txt, cfg, attn_impl):
-    """The reference's block-diagonal split at split_token (:462-475)."""
-    st = cfg.split_token
-    q_a = jnp.concatenate([q_img, q_txt[:, :st]], axis=1)
-    k_a = jnp.concatenate([k_img, k_txt[:, :st]], axis=1)
-    v_a = jnp.concatenate([v_img, v_txt[:, :st]], axis=1)
-    q_a = constrain(q_a, "dp", None, "sp", "tp")
-    k_a = constrain(k_a, "dp", None, "sp", "tp")
-    v_a = constrain(v_a, "dp", None, "sp", "tp")
-    out_a = attention(q_a, k_a, v_a, impl=attn_impl)
+def _joint_attention(q_img, k_img, v_img, q_txt, k_txt, v_txt, cfg, attn_impl,
+                     kv_valid):
+    """The reference pipeline runs varlen attention over [img ++ txt[:n_valid]]
+    (`lets_dance_hunyuan_video` passes split_token=text_mask.sum(),
+    hunyuan_video.py:327-333, consumed at hunyuan_video_dit.py:462-475): only
+    the VALID text prefix joins the image group; padding tokens attend apart.
+    TPU-native form: ONE joint attention over [img ++ txt] with a traced
+    per-batch kv_len = s_img + n_valid — padding keys are masked inside the
+    flash kernel (no dynamic shapes, no recompile per prompt length). Padding
+    ROWS get attention over the valid keys instead of the reference's
+    padding-only group, but their outputs never reach valid positions (padding
+    keys stay masked in every block) and the head discards the text stream."""
+    b, s_img = q_img.shape[0], q_img.shape[1]
+    q = jnp.concatenate([q_img, q_txt], axis=1)
+    k = jnp.concatenate([k_img, k_txt], axis=1)
+    v = jnp.concatenate([v_img, v_txt], axis=1)
+    q = constrain(q, "dp", None, "sp", "tp")
+    k = constrain(k, "dp", None, "sp", "tp")
+    v = constrain(v, "dp", None, "sp", "tp")
+    # per-head qk-RMS-norm (RMSNorm(head_dim), :488-489) provably bounds the
+    # logits -> static max-free kernel dispatch
+    out = attention(q, k, v, impl=attn_impl, kv_len=kv_valid, bounded=True)
     # keep head sharding until the o-projection (see wan_dit.self_attention)
-    out_a = constrain(out_a, "dp", None, "sp", "tp")
-    out_b = attention(q_txt[:, st:], k_txt[:, st:], v_txt[:, st:], impl=attn_impl)
-    b = q_img.shape[0]
-    s_img = q_img.shape[1]
-    out_a = out_a.reshape(b, -1, cfg.dim)
-    out_b = out_b.reshape(b, -1, cfg.dim)
-    att_img = out_a[:, :s_img]
-    att_txt = jnp.concatenate([out_a[:, s_img:], out_b], axis=1)
-    return att_img, att_txt
+    out = constrain(out, "dp", None, "sp", "tp").reshape(b, -1, cfg.dim)
+    return out[:, :s_img], out[:, s_img:]
 
 
-def double_block(p, img, txt, vec, cos, sin, cfg, attn_impl="auto"):
+def double_block(p, img, txt, vec, cos, sin, cfg, attn_impl="auto",
+                 kv_valid=None):
     """MMDoubleStreamBlock.forward (:462-475)."""
     sa1, sc1, g1a, sa2, sc2, g2a = _mod(p["a"]["mod"], vec, 6)
     sb1, scb1, g1b, sb2, scb2, g2b = _mod(p["b"]["mod"], vec, 6)
@@ -179,7 +187,8 @@ def double_block(p, img, txt, vec, cos, sin, cfg, attn_impl="auto"):
     h_txt = layer_norm(txt, cfg.eps) * (1 + scb1[:, None]) + sb1[:, None]
     qi, ki, vi = _qkv_norm_rope(p["a"], h_img, cfg, cos, sin)
     qt, kt, vt = _qkv_norm_rope(p["b"], h_txt, cfg)
-    att_img, att_txt = _split_attention(qi, ki, vi, qt, kt, vt, cfg, attn_impl)
+    att_img, att_txt = _joint_attention(qi, ki, vi, qt, kt, vt, cfg, attn_impl,
+                                        kv_valid)
 
     img = img + linear(p["a"]["out"], att_img) * g1a[:, None]
     h = layer_norm(img, cfg.eps) * (1 + sc2[:, None]) + sa2[:, None]
@@ -195,9 +204,10 @@ def _mlp_gelu(p, x):
     return linear(p["fc2"], gelu_tanh(linear(p["fc0"], x)))
 
 
-def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto"):
+def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto", kv_valid=None):
     """MMSingleStreamBlock.forward (:537-570): parallel attention + MLP on the
-    same modulated input; rope on the image segment only."""
+    same modulated input; rope on the image segment only; varlen joint
+    attention (see _joint_attention)."""
     shift, scale, gate = _mod(p["mod"], vec, 3)
     h = layer_norm(x, cfg.eps) * (1 + scale[:, None]) + shift[:, None]
     b, s, _ = x.shape
@@ -207,25 +217,13 @@ def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto"):
     q = rms_norm(q.reshape(b, s, n, -1), p["norm_q"]["w"], cfg.eps)
     k = rms_norm(k.reshape(b, s, n, -1), p["norm_k"]["w"], cfg.eps)
     v = v.reshape(b, s, n, -1)
-    q_img, q_txt = q[:, :-tl], q[:, -tl:]
-    k_img, k_txt = k[:, :-tl], k[:, -tl:]
-    q_img = apply_rope(q_img, cos, sin)
-    k_img = apply_rope(k_img, cos, sin)
-
-    st = cfg.split_token
-    v_len = tl - st
-    q_a = jnp.concatenate([q_img, q_txt[:, :st]], axis=1)
-    k_a = jnp.concatenate([k_img, k_txt[:, :st]], axis=1)
-    v_a, v_b = v[:, :-v_len], v[:, -v_len:]
-    q_a = constrain(q_a, "dp", None, "sp", "tp")
-    k_a = constrain(k_a, "dp", None, "sp", "tp")
-    v_a = constrain(v_a, "dp", None, "sp", "tp")
-    out_a = attention(q_a, k_a, v_a, impl=attn_impl)
-    # keep head sharding until the o-projection (see wan_dit.self_attention)
-    out_a = constrain(out_a, "dp", None, "sp", "tp").reshape(b, -1, cfg.dim)
-    out_b = attention(q_txt[:, st:], k_txt[:, st:], v_b,
-                      impl=attn_impl).reshape(b, -1, cfg.dim)
-    att = jnp.concatenate([out_a, out_b], axis=1)
+    q = q.at[:, :-tl].set(apply_rope(q[:, :-tl], cos, sin))
+    k = k.at[:, :-tl].set(apply_rope(k[:, :-tl], cos, sin))
+    q = constrain(q, "dp", None, "sp", "tp")
+    k = constrain(k, "dp", None, "sp", "tp")
+    v = constrain(v, "dp", None, "sp", "tp")
+    out = attention(q, k, v, impl=attn_impl, kv_len=kv_valid, bounded=True)
+    att = constrain(out, "dp", None, "sp", "tp").reshape(b, s, cfg.dim)
 
     x = x + linear(p["out"], att) * gate[:, None]
     ff = gelu_tanh(linear(p["ff_fc0"], h)) @ p["ff_fc2"]["w"]  # bias-free (:534)
@@ -278,14 +276,20 @@ def hunyuan_video_dit_forward(
                                          cfg.rope_theta)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
+    # valid-key count for the varlen joint attention: image tokens + the VALID
+    # text prefix (lets_dance_hunyuan_video's split_token=text_mask.sum())
+    kv_valid = img.shape[1] + jnp.sum(text_mask.astype(jnp.int32), axis=1)
+
     def dbody(carry, p):
         i, x = carry
         i = constrain(i, "dp", "sp", None)
-        return double_block(p, i, x, vec, cos, sin, cfg, attn_impl), None
+        return double_block(p, i, x, vec, cos, sin, cfg, attn_impl,
+                            kv_valid=kv_valid), None
 
     def sbody(carry, p):
         carry = constrain(carry, "dp", "sp", None)
-        return single_block(p, carry, vec, cos, sin, cfg, attn_impl), None
+        return single_block(p, carry, vec, cos, sin, cfg, attn_impl,
+                            kv_valid=kv_valid), None
 
     if remat:
         dbody = jax.checkpoint(dbody, prevent_cse=False)

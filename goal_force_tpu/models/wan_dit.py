@@ -121,7 +121,8 @@ def unpatchify(x, grid: Tuple[int, int, int], patch_size: Tuple[int, int, int], 
 # DiT block
 # ---------------------------------------------------------------------------
 
-def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = "auto"):
+def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = "auto",
+                   bounded: bool = False):
     """Tokens arrive sp-sharded; q/k/v are resharded to head-parallel over ("sp","tp") —
     GSPMD inserts the Ulysses all-to-alls the reference did by hand via xfuser."""
     b, s, d = x.shape
@@ -139,7 +140,7 @@ def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = 
     q = constrain(q, "dp", None, "sp", "tp")
     k = constrain(k, "dp", None, "sp", "tp")
     v = constrain(v, "dp", None, "sp", "tp")
-    out = attention(q, k, v, impl=attn_impl)
+    out = attention(q, k, v, impl=attn_impl, bounded=bounded)
     # keep the HEAD sharding through the o-projection: contract (n, h) directly
     # against the head-reshaped o weight — one einsum + all-reduce GSPMD
     # expresses natively (merging heads first forces another 4D reshard).
@@ -159,7 +160,7 @@ def self_attention(p, x, cos, sin, num_heads: int, eps: float, attn_impl: str = 
 
 
 def cross_attention(p, x, context, num_heads: int, eps: float, attn_impl: str = "auto",
-                    num_img_tokens: int = 0):
+                    num_img_tokens: int = 0, bounded: bool = False):
     """Text cross-attention; with num_img_tokens > 0 the first tokens of `context` are
     CLIP image tokens attended through separate k_img/v_img projections and ADDED
     (reference CrossAttention has_image_input :171-186)."""
@@ -179,14 +180,15 @@ def cross_attention(p, x, context, num_heads: int, eps: float, attn_impl: str = 
     q = constrain(q, "dp", "sp", None, None)
     k = constrain(k, "dp", None, None, None)
     v = constrain(v, "dp", None, None, None)
-    out = attention(q, k, v, impl=attn_impl)
+    out = attention(q, k, v, impl=attn_impl, bounded=bounded)
     out = constrain(out, "dp", "sp", None, None).reshape(b, s, d)
     if num_img_tokens:
         ti = img.shape[1]
         k_img = rms_norm(linear(p["k_img"], img), p["norm_k_img"]["w"], eps).reshape(
             b, ti, num_heads, -1)
         v_img = linear(p["v_img"], img).reshape(b, ti, num_heads, -1)
-        out = out + attention(q, k_img, v_img, impl=attn_impl).reshape(b, s, d)
+        out = out + attention(q, k_img, v_img, impl=attn_impl,
+                              bounded=bounded).reshape(b, s, d)
     return linear(p["o"], out)
 
 
@@ -198,10 +200,12 @@ def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig, attn_impl: str 
         mod[:, i][:, None, :] for i in range(6)
     )
     h = layer_norm(x, cfg.eps) * (1 + scale_msa) + shift_msa
-    x = x + gate_msa * self_attention(p["self_attn"], h, cos, sin, cfg.num_heads, cfg.eps, attn_impl)
+    x = x + gate_msa * self_attention(p["self_attn"], h, cos, sin, cfg.num_heads,
+                                      cfg.eps, attn_impl, bounded=cfg.qk_bounded)
     x = x + cross_attention(
         p["cross_attn"], layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"]),
         context, cfg.num_heads, cfg.eps, attn_impl, num_img_tokens=num_img_tokens,
+        bounded=cfg.qk_bounded,
     )
     h = layer_norm(x, cfg.eps) * (1 + scale_mlp) + shift_mlp
     h = linear(p["ffn"]["fc2"], gelu_tanh(linear(p["ffn"]["fc0"], h)))

@@ -14,18 +14,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, scale, bias=None):
+def _xla_attention(q, k, v, scale, bias=None, kv_len=None):
     """(B, S, N, H) einsum attention with f32 softmax."""
     logits = jnp.einsum("bsnh,btnh->bnst", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
+    if kv_len is not None:
+        kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (q.shape[0],))
+        col = jnp.arange(k.shape[1], dtype=jnp.int32)
+        logits = jnp.where(col[None, None, None, :] < kv_len[:, None, None, None],
+                           logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bnst,btnh->bsnh", probs, v)
 
 
 def attention(q, k, v, impl: str = "auto", scale: float | None = None,
-              bias=None):
+              bias=None, bounded: bool = False, kv_len=None):
     """q: (B, Sq, N, H); k/v: (B, Skv, N, H) -> (B, Sq, N, H).
 
     impl: "auto" | "xla" | "pallas". "auto" uses the Pallas flash kernel on TPU when shapes
@@ -35,11 +40,22 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None,
 
     bias: optional additive attention bias (B, 1|N, Sq, Skv) — e.g. the EliGen
     entity mask. Forces the XLA path (the flash kernel has no bias operand).
+
+    bounded: the caller's architecture keeps softmax logits small (e.g.
+    qk-RMS-normed attention), so the flash kernel statically takes its max-free
+    path — skipping the runtime overflow dispatch (~20 ms/block at the Wan A14B
+    shape) in favor of a saturating clamp that is exact for all realistic
+    logits (flash_attention.NOMAX_CLAMP).
+
+    kv_len: optional per-batch valid-key count (scalar or (B,) int array);
+    queries never attend to keys at index >= kv_len (prefix-valid varlen, e.g.
+    HunyuanVideo's [img ++ valid-text] joint attention). Inference-only on the
+    pallas path.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if bias is not None:
-        return _xla_attention(q, k, v, scale, bias)
+        return _xla_attention(q, k, v, scale, bias, kv_len)
     if impl == "auto":
         impl = _default_impl(q)
     if impl in ("pallas", "pallas_int8"):
@@ -47,19 +63,21 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None,
 
         mesh = current_mesh()
         if mesh is not None and any(mesh.shape[a] > 1 for a in mesh.axis_names):
-            return _pallas_sharded(q, k, v, scale, mesh, impl)
+            return _pallas_sharded(q, k, v, scale, mesh, impl, bounded, kv_len)
     if impl == "pallas":
         from goal_force_tpu.ops.flash_attention import flash_attention as _pallas
 
-        return _pallas(q, k, v, scale=scale)
+        return _pallas(q, k, v, scale=scale,
+                       dispatch="nomax" if bounded else "auto", kv_len=kv_len)
     if impl == "pallas_int8":
         from goal_force_tpu.ops.flash_attention import flash_attention_int8 as _pallas8
 
-        return _pallas8(q, k, v, scale=scale)
-    return _xla_attention(q, k, v, scale)
+        if kv_len is None:
+            return _pallas8(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale, kv_len=kv_len)
 
 
-def _pallas_sharded(q, k, v, scale, mesh, impl):
+def _pallas_sharded(q, k, v, scale, mesh, impl, bounded=False, kv_len=None):
     """shard_map wrapper: each device runs the flash kernel on its own heads (and its
     own batch rows) — the GSPMD equivalent of xfuser's Ulysses all-to-all attention
     (/root/reference/diffsynth/distributed/xdit_context_parallel.py:121-126); XLA
@@ -74,9 +92,25 @@ def _pallas_sharded(q, k, v, scale, mesh, impl):
     for a in head_axes:
         n_shards *= mesh.shape[a]
     if n % n_shards != 0 or b % dp != 0:
-        return _xla_attention(q, k, v, scale)  # indivisible: XLA partitions fine
+        # indivisible: XLA partitions fine
+        return _xla_attention(q, k, v, scale, kv_len=kv_len)
     bspec = "dp" if dp > 1 else None
     spec = P(bspec, None, head_axes if head_axes else None, None)
+
+    if kv_len is not None:
+        # varlen (inference-only: bypasses the custom-vjp entry)
+        kv_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+
+        def local_varlen(q, k, v, kv_len):
+            from goal_force_tpu.ops.flash_attention import flash_attention as fa
+
+            return fa(q, k, v, scale=scale,
+                      dispatch="nomax" if bounded else "auto", kv_len=kv_len)
+
+        fn = shard_map(local_varlen, mesh=mesh,
+                       in_specs=(spec, spec, spec, P(bspec)),
+                       out_specs=spec, check_rep=False)
+        return fn(q, k, v, kv_arr)
 
     def local(q, k, v):
         if impl == "pallas_int8":
@@ -85,7 +119,8 @@ def _pallas_sharded(q, k, v, scale, mesh, impl):
             return fa8(q, k, v, scale=scale)
         from goal_force_tpu.ops.flash_attention import flash_attention as fa
 
-        return fa(q, k, v, scale=scale)
+        return fa(q, k, v, scale=scale,
+                  dispatch="nomax" if bounded else "auto")
 
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
                    check_rep=False)

@@ -179,6 +179,13 @@ class GoalForcePipeline:
         from goal_force_tpu.models import wan_dit
 
         key = key if key is not None else jax.random.PRNGKey(0)
+        if dit_cfg is None and t5_cfg is None and vae_cfg is None:
+            # Mutually consistent tiny configs (bare tiny_dit() mirrors A14B's
+            # in_dim=36, which assumes the full z=16 VAE and cannot run e2e
+            # against tiny_vae()'s z=4).
+            dit_cfg, t5_cfg, vae_cfg, tiny_cn = configs.tiny_pipeline_configs()
+            if cn_cfg == ControlNetConfig():   # untouched default: match the tiny VAE
+                cn_cfg = tiny_cn
         dit_cfg = dit_cfg or configs.tiny_dit()
         t5_cfg = t5_cfg or configs.tiny_t5()
         vae_cfg = vae_cfg or configs.tiny_vae()

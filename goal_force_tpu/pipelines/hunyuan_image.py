@@ -170,6 +170,7 @@ class HunyuanImagePipeline:
         width: int = 1024,
         num_inference_steps: int = 30,
         seed: int = 0,
+        return_latents: bool = False,
     ) -> np.ndarray:
         from goal_force_tpu.models.sd_vae import sd_vae_decode
 
@@ -177,8 +178,10 @@ class HunyuanImagePipeline:
                                       beta_start=0.00085, beta_end=0.03,
                                       prediction_type="v_prediction")
         clip2, cm2, t52, t5m2 = self._embeds(prompt, negative_prompt)
+        # width FIRST (reference prepare_extra_input :197:
+        # [width, height, width, height, 0, 0])
         size_emb = jnp.tile(
-            jnp.asarray([[height, width, height, width, 0, 0]], jnp.float32),
+            jnp.asarray([[width, height, width, height, 0, 0]], jnp.float32),
             (2, 1))
 
         h, w = height // self.vae_factor, width // self.vae_factor
@@ -190,6 +193,8 @@ class HunyuanImagePipeline:
                                      t5m2, size_emb, float(cfg_scale))
             latents = ddim_step(schedule, pred.astype(latents.dtype), i,
                                 latents)
+        if return_latents:
+            return np.asarray(latents, np.float32)
         img = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
                             self.vae_dec_plan, groups=self.vae_groups,
                             scaling=self.vae_scaling)

@@ -177,6 +177,7 @@ class KolorsPipeline:
         num_inference_steps: int = 20,
         seed: int = 0,
         progress: bool = False,
+        return_latents: bool = False,
     ) -> np.ndarray:
         from goal_force_tpu.models.sd_vae import sd_vae_decode
 
@@ -203,6 +204,8 @@ class KolorsPipeline:
                                     float(schedule.timesteps[i]), ctx2, pooled2,
                                     add_time_id, cfg_scale)
             latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
+        if return_latents:
+            return np.asarray(latents, np.float32)
         img = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
                             self.vae_dec_plan, groups=self.vae_groups,
                             scaling=self.vae_scaling)

@@ -160,6 +160,7 @@ class SDVideoPipeline:
         cross_frame_attention: bool = False,
         controlnet: Optional[Dict] = None,      # {"params", "plan"(opt)}
         controlnet_frames: Optional[np.ndarray] = None,  # (F, 8h, 8w, 3) [0,1]
+        return_latents: bool = False,
     ) -> np.ndarray:
         """dancer.py parity: per-frame ControlNet residual stacks injected into
         the UNet skip stack each step (reference dancer.py:33-60,104-110) and
@@ -204,6 +205,8 @@ class SDVideoPipeline:
                                 cross_frame=cross_frame_attention)
             eps = e_n + cfg_scale * (e_p - e_n)
             latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
+        if return_latents:
+            return np.asarray(latents, np.float32)
         video = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
                               self.vae_dec_plan, groups=self.vae_groups)
         return np.asarray((video + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

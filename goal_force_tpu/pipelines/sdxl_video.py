@@ -139,6 +139,7 @@ class SDXLVideoPipeline:
         cross_frame_attention: bool = False,
         controlnet: Optional[Dict] = None,      # {"params", "plan"(opt), "task_id"(opt)}
         controlnet_frames: Optional[np.ndarray] = None,  # (F, 8h, 8w, 3) [0,1]
+        return_latents: bool = False,
     ) -> np.ndarray:
         """lets_dance_xl parity (reference dancer.py:119-245): per-frame
         ControlNet residuals injected into the skip stack each step, optional
@@ -190,6 +191,8 @@ class SDXLVideoPipeline:
                                 res_n, cross_frame=cross_frame_attention)
             eps = e_n + cfg_scale * (e_p - e_n)
             latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
+        if return_latents:
+            return np.asarray(latents, np.float32)
         video = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
                               self.vae_dec_plan, groups=self.vae_groups,
                               scaling=SDXL_SCALING_FACTOR)

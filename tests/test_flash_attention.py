@@ -40,6 +40,33 @@ def test_matches_xla_unbounded_logits():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
 
 
+def test_static_nomax_dispatch_matches_xla():
+    """dispatch="nomax" (the qk-normed fast path: no runtime bound, no lax.cond,
+    saturating clamp) must be EXACT for realistic logits."""
+    B, s, skv, N, H = 1, 300, 260, 2, 128
+    q, k, v = _rand((B, s, N, H), 0), _rand((B, skv, N, H), 1), _rand((B, skv, N, H), 2)
+    ref = _xla_attention(q, k, v, H**-0.5)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, scale=H**-0.5, block_q=128, block_k=128,
+                              dispatch="nomax")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_static_nomax_saturates_instead_of_overflowing():
+    """Pathological logits beyond NOMAX_CLAMP must saturate (finite output, a
+    v-average over near-max keys), never produce inf/NaN."""
+    B, s, N, H = 1, 128, 1, 128
+    q = _rand((B, s, N, H), 0) * 40.0
+    k, v = _rand((B, s, N, H), 1) * 40.0, _rand((B, s, N, H), 2)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, scale=H**-0.5, block_q=128, block_k=128,
+                              dispatch="nomax")
+    got = np.asarray(got)
+    assert np.isfinite(got).all()
+    # saturated rows are convex combinations of v rows
+    assert np.abs(got).max() <= np.abs(np.asarray(v)).max() + 1e-3
+
+
 def test_rejects_non_128_head_dim():
     q = jnp.zeros((1, 128, 2, 64))
     with pytest.raises(ValueError):

@@ -72,7 +72,11 @@ def test_hunyuan_video_golden_parity(guidance):
     ts = np.asarray([700.0], np.float32)
     prompt = rng.normal(size=(b, cfg.txt_len, cfg.text_dim)).astype(np.float32)
     mask = np.zeros((b, cfg.txt_len), np.int64)
-    mask[:, :90] = 1
+    # the bare reference forward uses a STATIC split_token=71 (:462) while we
+    # implement the pipeline's varlen split at text_mask.sum()
+    # (lets_dance_hunyuan_video :327); they coincide exactly when n_valid == 71
+    # — the pipeline golden covers the n_valid != 71 case
+    mask[:, :71] = 1
     pooled = rng.normal(size=(b, cfg.pooled_dim)).astype(np.float32)
     gval = np.asarray([6.0], np.float32)
 

@@ -280,6 +280,166 @@ def run_blocks(
     return x, ys
 
 
+def pp_run_blocks(
+    blocks,
+    x: jnp.ndarray,                  # (B, S, D), B = n_micro * microbatch
+    context: jnp.ndarray,            # (B, L_txt, D)
+    t_mod: jnp.ndarray,              # (B, 6, D)
+    cos, sin,
+    cfg: WanDiTConfig,
+    *,
+    n_micro: int,
+    injections: Optional[jnp.ndarray] = None,   # (n_inj, B, S, D)
+    remat: bool = False,
+    attn_impl: str = "auto",
+    num_img_tokens: int = 0,
+):
+    """GPipe-schedule pipeline-parallel block trunk over the mesh "pp" axis.
+
+    The reference has no pipeline parallelism (its scaling axes are DDP + USP,
+    /root/reference/src/goal_force/wan_video_new.py:460-463); this exceeds it the
+    GSPMD-native way rather than with hand-written send/recv: the layer stack is
+    reshaped stage-major (pp, L/pp, ...) and sharded over "pp", a vmap with
+    spmd_axis_name="pp" runs every stage in parallel on its own slot of a
+    stage-major activation buffer, and jnp.roll on the stage axis (XLA emits a
+    collective-permute) hands each stage's output to its successor. Microbatches
+    enter at slot 0 and drain from slot pp-1; a batch of B = n_micro * mb takes
+    n_micro + pp - 1 ticks (pipeline bubble (pp-1)/(n_micro+pp-1)).
+
+    Per-microbatch conditioning (context, t_mod, ControlNet injections) rides the
+    rolled buffer alongside the activations so each stage always sees the
+    conditioning of the microbatch it is processing. Fully differentiable: the
+    tick loop is a lax.scan, roll/dynamic-update transpose cleanly, and remat
+    checkpoints each stage body exactly like the plain run_blocks scan.
+    """
+    from goal_force_tpu.parallel import constrain, current_mesh
+
+    mesh = current_mesh()
+    if mesh is None or "pp" not in mesh.axis_names or mesh.shape["pp"] == 1:
+        out, _ = run_blocks(blocks, x, context, t_mod, cos, sin, cfg,
+                            injections=injections, remat=remat,
+                            attn_impl=attn_impl, num_img_tokens=num_img_tokens)
+        return out
+    pp = mesh.shape["pp"]
+    n_layers = cfg.num_layers
+    if n_layers % pp != 0:
+        raise ValueError(f"num_layers {n_layers} not divisible by pp {pp}")
+    l_stage = n_layers // pp
+    b, s, d = x.shape
+    if b % n_micro != 0:
+        raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
+    mb = b // n_micro
+    n_inj = 0 if injections is None else injections.shape[0]
+
+    # Stage-major stacked params (pp, L/pp, ...), stage axis pinned to "pp":
+    # each stage group holds only its own L/pp layers' weights. Other dims stay
+    # UNCONSTRAINED so an FSDP placement (parallel/sharding.py pins the layer
+    # axis to "pp" on pipeline meshes) flows through without resharding.
+    U = jax.sharding.PartitionSpec.UNCONSTRAINED
+
+    def stage_major(t_):
+        t_ = t_.reshape((pp, l_stage) + t_.shape[1:])
+        spec = jax.sharding.PartitionSpec("pp", *([U] * (t_.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            t_, jax.sharding.NamedSharding(mesh, spec))
+
+    blocks_st = jax.tree_util.tree_map(stage_major, blocks)
+
+    # RoPE tables are closed over by the manually-partitioned (spmd_axis_name)
+    # stage vmap; pin them replicated so the partitioner's fake parameters for
+    # them don't inherit an unreachable layout (they're S x head_dim — tiny).
+    cos = constrain(cos, *([None] * cos.ndim))
+    sin = constrain(sin, *([None] * sin.ndim))
+
+    # Normalize the incoming layouts (x0/y/context arrive carrying VAE/T5
+    # activation shardings): one expressible reshard here instead of
+    # inexpressible ones inside the tick loop.
+    x = constrain(x, "dp", "sp", None)
+    context = constrain(context, "dp", None, None)
+    t_mod = constrain(t_mod, "dp", None, None)
+    if injections is not None:
+        injections = constrain(injections, None, "dp", "sp", None)
+
+    # Microbatch j takes the STRIDED batch rows {j, n_micro+j, ...}: the mb axis
+    # then carries the dp sharding of the original batch (each dp group feeds
+    # every microbatch), so the per-tick dynamic index walks an UNSHARDED axis —
+    # indexing a dp-sharded axis forces a full reshard (involuntary
+    # rematerialization) every tick.
+    def to_mb(a):
+        a = a.reshape((mb, n_micro) + a.shape[1:])
+        return jnp.swapaxes(a, 0, 1)
+
+    x_mb = to_mb(x)
+    ctx_mb = to_mb(context)
+    tmod_mb = to_mb(t_mod)
+    inj_mb = None
+    if n_inj:
+        inj_mb = injections.reshape((n_inj, mb, n_micro, s, d)).transpose(2, 0, 1, 3, 4)
+
+    # Buffer layout hints: slot axis on "pp", microbatch rows on "dp", tokens on
+    # "sp" — keeps every tick's feed/roll/stage handoff expressible for GSPMD.
+    c_x = lambda a: constrain(a, "pp", "dp", "sp", None)
+    c_ctx = lambda a: constrain(a, "pp", "dp", None, None)
+    c_inj = lambda a: constrain(a, "pp", None, "dp", "sp", None)
+
+    def zbuf(mb_arr):
+        return jnp.zeros((pp,) + mb_arr.shape[1:], mb_arr.dtype)
+
+    def stage_apply(stage, blk, xs, cs, ts, js):
+        def body(carry, layer):
+            h, i = carry
+            h = constrain(h, "dp", "sp", None)
+            out = dit_block(layer, h, cs, ts, cos, sin, cfg, attn_impl,
+                            num_img_tokens=num_img_tokens)
+            if n_inj:
+                g = stage * l_stage + i          # global layer index
+                idx = jnp.minimum(g, n_inj - 1)
+                inj = jax.lax.dynamic_index_in_dim(js, idx, keepdims=False)
+                out = out + jnp.where(g < n_inj, 1.0, 0.0).astype(out.dtype) \
+                    * inj.astype(out.dtype)
+            return (out, i + 1), None
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        (h, _), _ = jax.lax.scan(body, (xs, jnp.zeros((), jnp.int32)), blk)
+        return h
+
+    # spmd_axis_name pins the mapped (stage) axis of every internal sharding
+    # constraint to "pp" — GSPMD partitions the stage computations across the
+    # pp groups instead of replicating them.
+    vstage = jax.vmap(stage_apply, in_axes=(0, 0, 0, 0, 0, 0 if n_inj else None),
+                      spmd_axis_name="pp")
+    stages = jnp.arange(pp, dtype=jnp.int32)
+
+    def tick(carry, t):
+        buf, ctxb, tmodb, injb, outs = carry
+        feeding = t < n_micro
+        src = jnp.minimum(t, n_micro - 1)
+
+        def feed(slot_buf, mb_arr):
+            v = jnp.where(feeding, mb_arr[src], slot_buf[0])
+            return slot_buf.at[0].set(v)
+
+        buf = c_x(feed(buf, x_mb))
+        ctxb = c_ctx(feed(ctxb, ctx_mb))
+        tmodb = c_ctx(feed(tmodb, tmod_mb))
+        if n_inj:
+            injb = c_inj(feed(injb, inj_mb))
+        out = vstage(stages, blocks_st, buf, ctxb, tmodb, injb)
+        dst = jnp.clip(t - (pp - 1), 0, n_micro - 1)
+        outs = outs.at[dst].set(jnp.where(t >= pp - 1, out[pp - 1], outs[dst]))
+        roll = lambda a: jnp.roll(a, 1, axis=0)
+        return (c_x(roll(out)), c_ctx(roll(ctxb)), c_ctx(roll(tmodb)),
+                c_inj(roll(injb)) if n_inj else None,
+                constrain(outs, None, "dp", "sp", None)), None
+
+    carry0 = (zbuf(x_mb), zbuf(ctx_mb), zbuf(tmod_mb),
+              zbuf(inj_mb) if n_inj else None, jnp.zeros_like(x_mb))
+    ticks = jnp.arange(n_micro + pp - 1, dtype=jnp.int32)
+    (_, _, _, _, outs), _ = jax.lax.scan(tick, carry0, ticks)
+    return jnp.swapaxes(outs, 0, 1).reshape(b, s, d)
+
+
 def head(p, x, t, eps: float = 1e-6):
     """Final projection with 2-way modulation (reference Head :253-269). t: (B, D)."""
     mod = p["modulation"].astype(t.dtype)[None] + t[:, None, :]  # (B, 2, D)

@@ -25,19 +25,29 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MESH_AXES = ("dp", "sp", "tp")
+MESH_AXES_PP = ("pp", "dp", "sp", "tp")
 
 _current_mesh: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
     "gf_mesh", default=None
 )
 
 
-def make_mesh(dp: int = 1, sp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, sp: int = 1, tp: int = 1, pp: int = 1, devices=None) -> Mesh:
+    """Device mesh over (dp, sp, tp) — plus a "pp" pipeline axis when pp > 1.
+
+    pp is outermost so each stage's (dp, sp, tp) group is ICI-contiguous and
+    buffer specs P("pp", "dp", "sp") are axis-aligned prefixes of the device
+    order (GSPMD cannot reshard across device-order transposes). pp == 1 keeps
+    the 3-axis mesh (exact round-2 layout)."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * sp * tp
+    n = dp * sp * tp * pp
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(dp, sp, tp)
-    return Mesh(grid, MESH_AXES)
+    if pp == 1:
+        grid = np.asarray(devices[:n]).reshape(dp, sp, tp)
+        return Mesh(grid, MESH_AXES)
+    grid = np.asarray(devices[:n]).reshape(pp, dp, sp, tp)
+    return Mesh(grid, MESH_AXES_PP)
 
 
 @contextlib.contextmanager

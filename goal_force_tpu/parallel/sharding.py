@@ -100,10 +100,21 @@ def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15) -> 
         dims = list(range(start, leaf.ndim))
         if not dims:
             return P()
+        out = [None] * leaf.ndim
+        # On a pipeline mesh, the stacked layer axis IS the weight-sharding
+        # axis: stage s's layers live on stage s's devices (matching
+        # pp_run_blocks' stage-major layout), and the other dims stay
+        # replicated within the stage group — FSDP-sharding them too makes the
+        # per-layer dynamic-slice inside the manually-partitioned stage vmap
+        # need a device-order-transposed all-gather GSPMD cannot express
+        # (involuntary full rematerialization per weight).
+        if (stacked and leaf.ndim > 1 and "pp" in mesh.axis_names
+                and leaf.shape[0] % mesh.shape["pp"] == 0):
+            out[0] = "pp"
+            return P(*out)
         best = max(dims, key=lambda d: leaf.shape[d])
         if leaf.shape[best] % n != 0:
             return P()
-        out = [None] * leaf.ndim
         out[best] = axes
         return P(*out)
 

@@ -18,6 +18,7 @@ from goal_force_tpu.models.controlnet import controlnet_injections
 from goal_force_tpu.models.wan_dit import (
     head,
     patchify,
+    pp_run_blocks,
     run_blocks,
     text_embed,
     time_embed,
@@ -44,6 +45,7 @@ def denoise_forward(
     vace_context: Optional[jnp.ndarray] = None,   # (B, F, H, W, vace_in_dim)
     vace_scale: float = 1.0,
     vace_layers: tuple = (),
+    pp_microbatches: Optional[int] = None,
 ) -> jnp.ndarray:
     """Velocity prediction (B, F, H, W, out_dim).
 
@@ -51,7 +53,9 @@ def denoise_forward(
     the TeaCache residual pair (reference :1283-1287).
     t_mod_offset: motion-controller t_mod shift (reference :1445-1446).
     vace_*: VACE hint stack injected after blocks in vace_layers (reference :1486-1487,
-    1572-1577)."""
+    1572-1577).
+    pp_microbatches: with an ambient mesh that has a "pp" axis > 1, run the block
+    trunk pipeline-parallel (wan_dit.pp_run_blocks) in this many microbatches."""
     t, t_mod = time_embed(dit_params, dit_cfg, timestep)
     if t_mod_offset is not None:
         t_mod = t_mod + t_mod_offset.astype(t_mod.dtype)
@@ -123,6 +127,12 @@ def denoise_forward(
         if pos < dit_cfg.num_layers:
             tokens, _ = run_blocks(seg(pos, dit_cfg.num_layers), tokens, ctx, t_mod,
                                    cos, sin, dit_cfg, remat=remat, attn_impl=attn_impl)
+    elif pp_microbatches:
+        tokens = pp_run_blocks(
+            dit_params["blocks"], tokens, ctx, t_mod, cos, sin, dit_cfg,
+            n_micro=pp_microbatches, injections=inj if use_cn else None,
+            remat=remat, attn_impl=attn_impl,
+        )
     else:
         tokens, _ = run_blocks(
             dit_params["blocks"], tokens, ctx, t_mod, cos, sin, dit_cfg,

@@ -64,6 +64,7 @@ def training_loss(
     y: jnp.ndarray,
     control_latents: Optional[jnp.ndarray],
     attn_impl: str = "auto",
+    pp_microbatches: Optional[int] = None,
 ) -> jnp.ndarray:
     latents = fm.add_noise(x0, noise, sigma)
     target = fm.training_target(x0, noise)
@@ -71,6 +72,7 @@ def training_loss(
         dit_params, dit_cfg, latents, timestep, context, y=y,
         controlnet_params=cn_params, controlnet_cfg=cn_cfg,
         control_latents=control_latents, remat=True, attn_impl=attn_impl,
+        pp_microbatches=pp_microbatches,
     )
     loss = jnp.mean((v.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
     return loss * weight
@@ -88,6 +90,7 @@ def make_train_step(
     attn_impl: str = "auto",
     train_lora: bool = False,
     lora_alpha: Optional[float] = None,
+    pp_microbatches: Optional[int] = None,
 ) -> Callable:
     """Returns jitted step(state, frozen, batch, rng) -> (state, metrics).
 
@@ -103,6 +106,9 @@ def make_train_step(
       - train_lora=True: state.params = {"lora": adapters[, "controlnet": cn]}
         — adapters merge into the frozen DiT INSIDE the jitted step (the base
         never updates), optionally training the ControlNet jointly.
+
+    pp_microbatches: with a mesh that has a "pp" axis > 1, pipeline the DiT
+    trunk over it in this many microbatches (wan_dit.pp_run_blocks).
     """
     schedule = fm.make_schedule(
         num_steps=1000, shift=5.0, sigma_min=0.0, extra_one_step=True, training=True
@@ -171,7 +177,7 @@ def make_train_step(
                 dit, cn_params, dit_cfg, cn_cfg if cn_params is not None else None,
                 x0, noise, sigma, timestep, weight, context, y,
                 control_latents if cn_params is not None else None,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, pp_microbatches=pp_microbatches,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -1,0 +1,130 @@
+"""Pipeline parallelism (mesh "pp" axis): pp_run_blocks == plain run_blocks.
+
+The reference has no pipeline parallelism (scaling = DDP + USP only,
+/root/reference/src/goal_force/wan_video_new.py:460-463); these tests pin the
+GPipe schedule in wan_dit.pp_run_blocks — forward, ControlNet-injection, and
+gradient equality against the sequential scan, on a real pp mesh (virtual CPU
+devices), plus the full denoise_forward hook.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from goal_force_tpu import configs
+from goal_force_tpu.models import controlnet as cnm
+from goal_force_tpu.models import wan_dit
+from goal_force_tpu.parallel import make_mesh, use_mesh
+from goal_force_tpu.pipelines.model_fn import denoise_forward
+
+
+CFG = configs.WanDiTConfig(
+    dim=96, in_dim=12, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+    num_heads=4, num_layers=4, rope_max_len=32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), CFG, jnp.float32)
+    k = jax.random.PRNGKey(1)
+    b, s, d = 4, 24, CFG.dim
+    x = jax.random.normal(jax.random.fold_in(k, 0), (b, s, d), jnp.float32)
+    ctx = jax.random.normal(jax.random.fold_in(k, 1), (b, 6, d), jnp.float32)
+    t_mod = jax.random.normal(jax.random.fold_in(k, 2), (b, 6, d), jnp.float32) * 0.1
+    from goal_force_tpu.ops.rope import assemble_rope, rope_tables_3d
+
+    cos, sin = assemble_rope(rope_tables_3d(CFG.head_dim, CFG.rope_max_len), 2, 3, 4)
+    return params, x, ctx, t_mod, cos, sin
+
+
+def _plain(params, x, ctx, t_mod, cos, sin, injections=None, remat=False):
+    out, _ = wan_dit.run_blocks(params["blocks"], x, ctx, t_mod, cos, sin, CFG,
+                                injections=injections, remat=remat)
+    return out
+
+
+def _pp(params, x, ctx, t_mod, cos, sin, pp, n_micro, injections=None, remat=False):
+    mesh = make_mesh(dp=1, sp=1, tp=1, pp=pp)
+    with use_mesh(mesh):
+        return jax.jit(
+            lambda p, xx, cc, tt, jj: wan_dit.pp_run_blocks(
+                p["blocks"], xx, cc, tt, cos, sin, CFG,
+                n_micro=n_micro, injections=jj, remat=remat)
+        )(params, x, ctx, t_mod, injections)
+
+
+@pytest.mark.parametrize("pp,n_micro", [(2, 2), (2, 4), (4, 4), (4, 2)])
+def test_pp_forward_matches_sequential(setup, pp, n_micro):
+    params, x, ctx, t_mod, cos, sin = setup
+    want = _plain(params, x, ctx, t_mod, cos, sin)
+    got = _pp(params, x, ctx, t_mod, cos, sin, pp, n_micro)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pp_with_controlnet_injections(setup):
+    params, x, ctx, t_mod, cos, sin = setup
+    # injections on the first 2 of 4 layers (as the goal-force ControlNet does)
+    inj = jax.random.normal(jax.random.PRNGKey(7), (2,) + x.shape, jnp.float32) * 0.1
+    want = _plain(params, x, ctx, t_mod, cos, sin, injections=inj)
+    got = _pp(params, x, ctx, t_mod, cos, sin, 2, 2, injections=inj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pp_grads_match_sequential(setup):
+    params, x, ctx, t_mod, cos, sin = setup
+
+    def loss_plain(blocks):
+        out, _ = wan_dit.run_blocks(blocks, x, ctx, t_mod, cos, sin, CFG, remat=True)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    def loss_pp(blocks):
+        out = wan_dit.pp_run_blocks(blocks, x, ctx, t_mod, cos, sin, CFG,
+                                    n_micro=2, remat=True)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g_want = jax.grad(loss_plain)(params["blocks"])
+    mesh = make_mesh(dp=1, sp=1, tp=1, pp=2)
+    with use_mesh(mesh):
+        g_got = jax.jit(jax.grad(loss_pp))(params["blocks"])
+    flat_w, _ = jax.tree_util.tree_flatten(g_want)
+    flat_g, _ = jax.tree_util.tree_flatten(g_got)
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_pp_composes_with_sp_tp_and_denoise_forward():
+    """Full denoise_forward (patchify/RoPE/head) with pp2 x sp2 x tp2 == unsharded."""
+    dit_cfg, _, _, cn_cfg = configs.tiny_pipeline_configs()
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), dit_cfg, jnp.float32)
+    cn = cnm.init_from_dit(jax.random.PRNGKey(1), params, dit_cfg, cn_cfg, jnp.float32)
+    # zero-conv init is identity; give the convs real weights so injections matter
+    cn = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+        cn)
+    b, f, h, w = 2, 3, 8, 8
+    k = jax.random.PRNGKey(3)
+    lat = jax.random.normal(jax.random.fold_in(k, 0), (b, f, h, w, 4), jnp.float32)
+    yc = jax.random.normal(jax.random.fold_in(k, 1), (b, f, h, w, 8), jnp.float32)
+    ctxt = jax.random.normal(jax.random.fold_in(k, 2), (b, 5, dit_cfg.text_dim),
+                             jnp.float32)
+    clat = jax.random.normal(jax.random.fold_in(k, 3), (b, f, h, w, 4), jnp.float32)
+    ts = jnp.full((b,), 500.0, jnp.float32)
+
+    def fwd(pp_micro):
+        return denoise_forward(params, dit_cfg, lat, ts, ctxt, y=yc,
+                               controlnet_params=cn, controlnet_cfg=cn_cfg,
+                               control_latents=clat, attn_impl="xla",
+                               pp_microbatches=pp_micro)
+
+    want = fwd(None)
+    mesh = make_mesh(dp=1, sp=2, tp=2, pp=2)
+    with use_mesh(mesh):
+        got = jax.jit(lambda: fwd(2))()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)

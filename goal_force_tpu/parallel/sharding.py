@@ -72,9 +72,21 @@ def inference_param_specs(params, mesh: Optional[Mesh] = None) -> dict:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15) -> dict:
+def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15,
+               pp_stage_fsdp: bool = False, pin_pp_layers: bool = True) -> dict:
     """Shard each leaf's largest divisible non-layer dim over `axes` (FSDP-style;
-    replaces ZeRO sharding of params/grads/optimizer state)."""
+    replaces ZeRO sharding of params/grads/optimizer state).
+
+    pp_stage_fsdp: on a pipeline mesh, ALSO FSDP-shard stacked block weights
+    within each stage group (HBM-tight topologies, e.g. A14B training on 16 GB
+    v5e chips). Off by default: the per-layer all-gather inside the manually
+    partitioned stage vmap crosses a device-order transpose GSPMD logs as an
+    involuntary full rematerialization (correct, just noisy/extra-hop).
+
+    pin_pp_layers: pin stacked layer axes to "pp" on pipeline meshes (the
+    pp_run_blocks stage-major layout). Pass False for stacks that are NOT
+    pipelined (e.g. the ControlNet side-stack, which runs before the trunk)."""
+    axes = tuple(a for a in axes if a != "pp")   # "pp" is the layer axis, below
     n = 1
     for a in axes:
         n *= mesh.shape[a]
@@ -108,13 +120,15 @@ def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15) -> 
         # per-layer dynamic-slice inside the manually-partitioned stage vmap
         # need a device-order-transposed all-gather GSPMD cannot express
         # (involuntary full rematerialization per weight).
-        if (stacked and leaf.ndim > 1 and "pp" in mesh.axis_names
+        if (pin_pp_layers and stacked and leaf.ndim > 1
+                and "pp" in mesh.axis_names
                 and leaf.shape[0] % mesh.shape["pp"] == 0):
             out[0] = "pp"
-            return P(*out)
+            if not pp_stage_fsdp:
+                return P(*out)
         best = max(dims, key=lambda d: leaf.shape[d])
         if leaf.shape[best] % n != 0:
-            return P()
+            return P(*out) if out[0] else P()
         out[best] = axes
         return P(*out)
 

@@ -134,21 +134,32 @@ def make_train_step(
         # partitions the convs (automatic halo exchange), dividing the encoder's
         # transient HBM by the mesh's sp*tp (the v5p memcheck measured 92 GB of
         # per-chip temps with replicated H/W)
-        from goal_force_tpu.parallel.mesh import constrain
+        from goal_force_tpu.parallel.mesh import constrain, current_mesh
 
-        shard_px = lambda v: constrain(v, "dp", None, "sp", "tp", None)
+        # On a pipeline mesh the pp axis joins the spatial sharding: the VAE
+        # runs before the pipelined trunk, so its transients should use ALL
+        # chips (81x480x832 encodes dominate HBM; 16 GB v5e chips need the
+        # full mesh behind them).
+        m = current_mesh()
+        h_axes = ("pp", "sp") if (m is not None and "pp" in m.axis_names) else "sp"
+        shard_px = lambda v: constrain(v, "dp", None, h_axes, "tp", None)
         video = shard_px(video)
         control_px = shard_px(batch["control"])
 
         # Conditioning (inside the step, as the reference does on-GPU — SURVEY §3.2)
         enc = jax.checkpoint(lambda v: vaem.encode_video(frozen["vae"], vae_cfg, v),
                              prevent_cse=False)
-        x0 = enc(video)
-        control_latents = enc(control_px)
+        # Latents return to the standard (dp, sp) layout: downstream consumers
+        # (ControlNet side-stack, patchify) constrain against it, and leaving
+        # the pp-spatial pixel sharding on them trips inexpressible reshards in
+        # the remat backward.
+        lat_layout = lambda z: constrain(z, "dp", None, "sp", "tp", None)
+        x0 = lat_layout(enc(video))
+        control_latents = lat_layout(enc(control_px))
         first = jnp.concatenate(
             [video[:, :1], jnp.zeros_like(video[:, 1:])], axis=1
         )
-        cond = enc(shard_px(first))
+        cond = lat_layout(enc(shard_px(first)))
         lat_f = (t - 1) // 4 + 1
         mask = jnp.asarray(build_i2v_mask(t, lat_f, cond.shape[2], cond.shape[3]))
         y = jnp.concatenate([jnp.broadcast_to(mask[None], (*cond.shape[:-1], 4)), cond], axis=-1)

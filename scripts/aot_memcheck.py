@@ -128,24 +128,31 @@ def check_inference(mesh, dit_cfg, cn_cfg, hbm_bytes, attn_impl):
     return _report("inference_denoise_step", compiled, hbm_bytes)
 
 
-def check_training(mesh, dit_cfg, t5_cfg, vae_cfg, cn_cfg, hbm_bytes, attn_impl):
+def check_training(mesh, dit_cfg, t5_cfg, vae_cfg, cn_cfg, hbm_bytes, attn_impl,
+                   pp_microbatches=None, name="train_step"):
     from goal_force_tpu.training import TrainState, make_optimizer, make_train_step
 
     key = jax.random.PRNGKey(0)
     all_axes = tuple(mesh.axis_names)
+    # On HBM-tight pipelined topologies, FSDP the block weights within each
+    # stage group too (pp alone leaves stage weights replicated over it).
+    stage_fsdp = pp_microbatches is not None
     frozen_shapes = {
         "dit": jax.eval_shape(lambda k: wan_dit.init_wan_dit(k, dit_cfg, jnp.bfloat16), key),
         "t5": jax.eval_shape(lambda k: t5m.init_t5(k, t5_cfg, jnp.bfloat16), key),
         "vae": jax.eval_shape(lambda k: vaem.init_vae(k, vae_cfg, jnp.bfloat16), key),
     }
     frozen_abs = _with_shardings(
-        frozen_shapes, fsdp_specs(frozen_shapes, mesh, axes=all_axes), mesh)
+        frozen_shapes,
+        fsdp_specs(frozen_shapes, mesh, axes=all_axes, pp_stage_fsdp=stage_fsdp),
+        mesh)
 
     cn_shapes = jax.eval_shape(
         lambda k: cnm.init_controlnet(k, dit_cfg, cn_cfg, jnp.float32), key)
     opt = make_optimizer()
     opt_shapes = jax.eval_shape(opt.init, cn_shapes)
-    cn_specs = fsdp_specs(cn_shapes, mesh, axes=all_axes)
+    cn_specs = fsdp_specs(cn_shapes, mesh, axes=all_axes, pp_stage_fsdp=stage_fsdp,
+                          pin_pp_layers=False)
     state_abs = TrainState(
         _with_shardings(cn_shapes, cn_specs, mesh),
         jax.tree_util.tree_map(
@@ -161,24 +168,26 @@ def check_training(mesh, dit_cfg, t5_cfg, vae_cfg, cn_cfg, hbm_bytes, attn_impl)
     )
 
     dp = mesh.shape["dp"]
+    # pipelined runs need batch >= microbatches (each microbatch still dp-wide)
+    b = dp * (pp_microbatches or 1)
     batch_abs = {
-        "video": jax.ShapeDtypeStruct((dp, 81, 480, 832, 3), jnp.float32,
+        "video": jax.ShapeDtypeStruct((b, 81, 480, 832, 3), jnp.float32,
                                       sharding=NamedSharding(mesh, P("dp"))),
-        "control": jax.ShapeDtypeStruct((dp, 81, 480, 832, 3), jnp.float32,
+        "control": jax.ShapeDtypeStruct((b, 81, 480, 832, 3), jnp.float32,
                                         sharding=NamedSharding(mesh, P("dp"))),
-        "ids": jax.ShapeDtypeStruct((dp, t5_cfg.text_len), jnp.int32,
+        "ids": jax.ShapeDtypeStruct((b, t5_cfg.text_len), jnp.int32,
                                     sharding=NamedSharding(mesh, P("dp"))),
-        "mask": jax.ShapeDtypeStruct((dp, t5_cfg.text_len), jnp.int32,
+        "mask": jax.ShapeDtypeStruct((b, t5_cfg.text_len), jnp.int32,
                                      sharding=NamedSharding(mesh, P("dp"))),
     }
     rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32,
                                    sharding=NamedSharding(mesh, P()))
 
     step = make_train_step(dit_cfg, t5_cfg, vae_cfg, cn_cfg, opt, num_frames=81,
-                           attn_impl=attn_impl)
+                           attn_impl=attn_impl, pp_microbatches=pp_microbatches)
     with use_mesh(mesh):
         compiled = jax.jit(step).lower(state_abs, frozen_abs, batch_abs, rng_abs).compile()
-    return _report("train_step", compiled, hbm_bytes)
+    return _report(name, compiled, hbm_bytes)
 
 
 def main():
@@ -194,17 +203,19 @@ def main():
     ap.add_argument("--train-topology", default="v5p:2x2x2")
     ap.add_argument("--train-hbm-gb", type=float, default=95.0)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-inference", action="store_true")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline stages for the TRAIN check (pp>1: the DiT "
+                         "trunk is GPipe-pipelined; lets A14B training fit "
+                         "16 GB v5e chips, e.g. --pp 4 --train-topology "
+                         "v5e:4x4 --train-hbm-gb 16)")
+    ap.add_argument("--pp-microbatches", type=int, default=2)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     from jax.experimental import topologies
 
-    topo = topologies.get_topology_desc(platform="tpu", topology_name=args.topology)
-    devices = topo.devices
-    n = args.dp * args.sp * args.tp
-    assert len(devices) >= n, f"topology has {len(devices)} chips, need {n}"
-    mesh = Mesh(np.array(devices[:n]).reshape(args.dp, args.sp, args.tp),
-                ("dp", "sp", "tp"))
+    from goal_force_tpu.parallel import make_mesh
 
     dit_cfg = configs.WAN22_A14B
     t5_cfg = configs.UMT5_XXL
@@ -212,17 +223,31 @@ def main():
     cn_cfg = configs.ControlNetConfig(num_layers=10, in_channels=16)
     hbm = args.hbm_gb * 1e9
 
-    records = [check_inference(mesh, dit_cfg, cn_cfg, hbm, args.attn)]
+    records = []
+    if not args.skip_inference:
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name=args.topology)
+        n = args.dp * args.sp * args.tp
+        assert len(topo.devices) >= n, \
+            f"topology has {len(topo.devices)} chips, need {n}"
+        mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp,
+                         devices=list(topo.devices))
+        records.append(check_inference(mesh, dit_cfg, cn_cfg, hbm, args.attn))
     if not args.skip_train:
-        # training targets the v5p tier (95 GB HBM — the A100-80GB-class pod the
-        # reference trains on); 81-frame training does not fit 16 GB v5e chips.
+        # without pp, training targets the v5p tier (95 GB HBM — the
+        # A100-80GB-class pod the reference trains on); with --pp the trunk is
+        # pipelined and 81-frame training fits 16 GB v5e chips.
         ttopo = topologies.get_topology_desc(platform="tpu",
                                              topology_name=args.train_topology)
-        tmesh = Mesh(np.array(ttopo.devices[:n]).reshape(args.dp, args.sp, args.tp),
-                     ("dp", "sp", "tp"))
+        tmesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp, pp=args.pp,
+                          devices=list(ttopo.devices))
         records.append(
             check_training(tmesh, dit_cfg, t5_cfg, vae_cfg, cn_cfg,
-                           args.train_hbm_gb * 1e9, args.attn))
+                           args.train_hbm_gb * 1e9, args.attn,
+                           pp_microbatches=(args.pp_microbatches
+                                            if args.pp > 1 else None),
+                           name=f"train_step_pp{args.pp}" if args.pp > 1
+                           else "train_step"))
 
     if args.json:
         with open(args.json, "w") as fh:

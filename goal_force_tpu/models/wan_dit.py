@@ -326,8 +326,11 @@ def pp_run_blocks(
         raise ValueError(f"num_layers {n_layers} not divisible by pp {pp}")
     l_stage = n_layers // pp
     b, s, d = x.shape
-    if b % n_micro != 0:
-        raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
+    # largest microbatch count <= n_micro that divides the batch (b=1 degrades
+    # to a single microbatch walking the stages — correct, just bubble-only)
+    n_micro = max(1, min(n_micro, b))
+    while b % n_micro:
+        n_micro -= 1
     mb = b // n_micro
     n_inj = 0 if injections is None else injections.shape[0]
 

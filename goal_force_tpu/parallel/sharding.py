@@ -57,9 +57,13 @@ def _divisible(spec: P, shape, mesh: Mesh) -> P:
 
 def inference_param_specs(params, mesh: Optional[Mesh] = None) -> dict:
     """Tensor-parallel PartitionSpecs for DiT-shaped param trees. With `mesh`,
-    specs that don't divide the leaf shape fall back to replicated."""
+    specs that don't divide the leaf shape fall back to replicated. On a
+    pipeline mesh, MAIN DiT stacked-block layer axes additionally pin to "pp"
+    (pp_run_blocks' stage-major layout); the ControlNet side-stack is not
+    pipelined and keeps its layer axis replicated."""
     def spec(kp, leaf):
         path = _flatten_path(kp)
+        is_cn = path.startswith(("controlnet.", "controlnet2."))
         # strip leading container names (dit/controlnet/...)
         for prefix in ("dit.", "dit2.", "controlnet.", "controlnet2."):
             if path.startswith(prefix):
@@ -67,6 +71,12 @@ def inference_param_specs(params, mesh: Optional[Mesh] = None) -> dict:
         s = _dit_leaf_spec(path, leaf.ndim)
         if mesh is not None:
             s = _divisible(s, leaf.shape, mesh)
+        stacked = path.startswith("blocks") or path.startswith("zero_convs")
+        if (mesh is not None and not is_cn and stacked and leaf.ndim > 1
+                and "pp" in mesh.axis_names
+                and leaf.shape[0] % mesh.shape["pp"] == 0):
+            rest = list(s) + [None] * (leaf.ndim - len(s))
+            s = P("pp", *rest[1:])
         return s
 
     return jax.tree_util.tree_map_with_path(spec, params)

@@ -72,6 +72,7 @@ class GoalForcePipeline:
     dtype: object = jnp.bfloat16
     attn_impl: str = "auto"
     mesh: Optional[object] = None       # jax.sharding.Mesh; set via shard()
+    pp_microbatches: Optional[int] = None   # pipeline-parallel microbatches (shard())
     _stager: Optional[object] = dataclasses.field(default=None, repr=False)
     _stager_low: bool = dataclasses.field(default=False, repr=False)
 
@@ -210,7 +211,8 @@ class GoalForcePipeline:
     # Sharding
     # ------------------------------------------------------------------
 
-    def shard(self, mesh, host_stage_experts: bool = False) -> "GoalForcePipeline":
+    def shard(self, mesh, host_stage_experts: bool = False,
+              pp_microbatches: Optional[int] = None) -> "GoalForcePipeline":
         """Place params over `mesh` and make it ambient for every jitted stage.
 
         DiT/ControlNet leaves get tensor-parallel NamedShardings (qkv/ffn-in column,
@@ -225,11 +227,19 @@ class GoalForcePipeline:
         in exactly once when the denoise loop crosses the 0.875 boundary — the TPU
         equivalent of the reference's per-phase offload dance
         (wan_video_new.py:697-704, diffsynth/utils/__init__.py:94-114).
+
+        pp_microbatches: with a mesh that has a "pp" axis > 1, the denoise trunk
+        runs pipeline-parallel in this many microbatches (default 2 on pp meshes:
+        the merged-CFG posi/nega batch feeds the pipeline as two microbatches).
         """
         from goal_force_tpu.parallel import inference_param_specs, place
         from goal_force_tpu.parallel.host_staging import ExpertStager
 
         self.mesh = mesh
+        if (pp_microbatches is None and "pp" in mesh.axis_names
+                and mesh.shape["pp"] > 1):
+            pp_microbatches = 2
+        self.pp_microbatches = pp_microbatches
         if host_stage_experts and "dit2" in self.params:
             active = {"dit": self.params.pop("dit")}
             standby = {"dit": self.params.pop("dit2")}
@@ -299,6 +309,7 @@ class GoalForcePipeline:
     def _denoise_step(self):
         dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
         attn_impl = self.attn_impl
+        pp_micro = self.pp_microbatches
 
         @functools.partial(jax.jit, static_argnames=("use_cn",), donate_argnums=(2,))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
@@ -313,7 +324,7 @@ class GoalForcePipeline:
                 controlnet_params=cn_params if use_cn else None,
                 controlnet_cfg=cn_cfg,
                 control_latents=control_latents2 if use_cn else None,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, pp_microbatches=pp_micro,
             )
             v_posi, v_nega = v[:b], v[b:]
             v = v_nega + cfg_scale * (v_posi - v_nega)
@@ -338,6 +349,7 @@ class GoalForcePipeline:
         """Merged-CFG step that also returns the TeaCache token residual."""
         dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
         attn_impl = self.attn_impl
+        pp_micro = self.pp_microbatches
 
         @functools.partial(jax.jit, static_argnames=("use_cn",))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
@@ -351,6 +363,7 @@ class GoalForcePipeline:
                 controlnet_cfg=cn_cfg,
                 control_latents=control_latents2 if use_cn else None,
                 attn_impl=attn_impl, return_token_states=True,
+                pp_microbatches=pp_micro,
             )
             v = v[b:] + cfg_scale * (v[:b] - v[b:])
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next), post - pre
@@ -376,6 +389,7 @@ class GoalForcePipeline:
     def _denoise_step_nocfg(self):
         dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
         attn_impl = self.attn_impl
+        pp_micro = self.pp_microbatches
 
         @functools.partial(jax.jit, static_argnames=("use_cn",), donate_argnums=(2,))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
@@ -385,7 +399,7 @@ class GoalForcePipeline:
                 controlnet_params=cn_params if use_cn else None,
                 controlnet_cfg=cn_cfg,
                 control_latents=control_latents if use_cn else None,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, pp_microbatches=pp_micro,
             )
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 

@@ -75,3 +75,20 @@ def test_sharded_generate_batch_matches_unsharded():
            .generate_batch(prompts, imgs, **kw))
     assert got.shape == (2, 5, 32, 32, 3)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_pp_sharded_call_matches_unsharded():
+    """Pipeline-parallel inference through the public API: shard() on a pp mesh
+    pipelines the merged-CFG batch as microbatches (wan_dit.pp_run_blocks)."""
+    img, ctrl = _inputs()
+    kw = dict(control_signal_video=ctrl, num_frames=5, num_inference_steps=4,
+              cfg_scale=3.0, seed=0)
+
+    ref = _tiny_pipe()("a ball rolls", img, **kw)
+
+    pipe = _tiny_pipe().shard(make_mesh(dp=1, sp=2, tp=2, pp=2))
+    assert pipe.pp_microbatches == 2
+    got = pipe("a ball rolls", img, **kw)
+
+    assert got.shape == (5, 32, 32, 3)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)

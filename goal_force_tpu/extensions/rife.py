@@ -202,3 +202,57 @@ class RIFEInterpolater:
         if (h, w) != (h32, w32):
             work = np.stack([cv2.resize(fr, (w, h)) for fr in work])
         return np.clip(work, 0, 1)
+
+    def smooth(self, frames: np.ndarray, batch_size: int = 4,
+               interpolate: bool = True) -> np.ndarray:
+        """Temporal deflicker (reference RIFESmoother,
+        diffsynth/processors/RIFE.py:55-77): for each interior frame, predict
+        the midpoint of its neighbors; with interpolate=True replace the frame
+        by mid(frame, prediction), else by their average. First/last frames
+        pass through."""
+        import cv2
+
+        f, h, w, _ = frames.shape
+        if f < 3:
+            return np.asarray(frames, np.float32)
+        h32, w32 = -(-h // 32) * 32, -(-w // 32) * 32
+        work = frames
+        if (h, w) != (h32, w32):
+            work = np.stack([cv2.resize(fr, (w32, h32)) for fr in frames])
+        work = work.astype(np.float32)
+
+        def mids(a_all, b_all):
+            out = []
+            for i in range(0, a_all.shape[0], batch_size):
+                a = jnp.asarray(a_all[i:i + batch_size])
+                b = jnp.asarray(b_all[i:i + batch_size])
+                out.append(np.asarray(self._fn(self.params, a, b)))
+            return np.clip(np.concatenate(out), 0, 1)
+
+        pred = mids(work[:-2], work[2:])
+        if interpolate:
+            work[1:-1] = mids(work[1:-1], pred)
+        else:
+            work[1:-1] = (work[1:-1] + pred) / 2
+        if (h, w) != (h32, w32):
+            work = np.stack([cv2.resize(fr, (w, h)) for fr in work])
+        return np.clip(work, 0, 1)
+
+
+class RIFESmoother:
+    """VideoProcessor-shaped wrapper over RIFEInterpolater.smooth (the
+    reference's processors/RIFE.py contract)."""
+
+    def __init__(self, interpolater: "RIFEInterpolater" = None, path: str = None,
+                 batch_size: int = 4, interpolate: bool = True):
+        if interpolater is None:
+            if path is None:
+                raise ValueError("RIFESmoother needs an interpolater or a checkpoint path")
+            interpolater = RIFEInterpolater.from_torch_checkpoint(path)
+        self.interpolater = interpolater
+        self.batch_size = batch_size
+        self.interpolate = interpolate
+
+    def __call__(self, frames: np.ndarray, **kwargs) -> np.ndarray:
+        return self.interpolater.smooth(frames, batch_size=self.batch_size,
+                                        interpolate=self.interpolate)

@@ -355,3 +355,61 @@ def batch_iterator(dataset, batch_size=1, shuffle=True, seed=0, drop_remainder=T
             buf = []
     if buf and not drop_remainder:
         yield buf
+
+
+class TextImageDataset:
+    """metadata.csv + image folder for generic (LoRA) fine-tuning.
+
+    Reference: diffsynth/data/simple_text_image.py::TextImageDataset — a
+    `train/metadata.csv` with `file_name,text` columns next to the images;
+    each item is resized-to-cover, center- (or seeded-random-) cropped,
+    optionally h-flipped, and normalized to [-1, 1]. Items here are numpy
+    dicts {"text": str, "image": (H, W, 3) float32 in [-1, 1]} (channels-last,
+    the framework's native layout). Indexing reproduces the reference's
+    fixed-seed walk: item i reads file (offset + i) % n_files.
+    """
+
+    def __init__(self, dataset_path, steps_per_epoch=10000, height=1024,
+                 width=1024, center_crop=True, random_flip=False, seed=0):
+        import csv
+        import os
+
+        self.steps_per_epoch = steps_per_epoch
+        self.height, self.width = height, width
+        self.center_crop, self.random_flip = center_crop, random_flip
+        self._rng = np.random.default_rng(seed)
+        self._offset = int(self._rng.integers(0, 2**31))
+        self.paths, self.texts = [], []
+        with open(os.path.join(dataset_path, "train", "metadata.csv")) as fh:
+            for row in csv.DictReader(fh):
+                self.paths.append(os.path.join(dataset_path, "train",
+                                               row["file_name"]))
+                self.texts.append(row["text"])
+
+    def __len__(self):
+        return self.steps_per_epoch
+
+    def _load(self, path):
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+        scale = max(self.width / w, self.height / h)
+        shape = (round(w * scale), round(h * scale))
+        img = img.resize(shape, Image.BILINEAR)
+        return np.asarray(img, np.float32) / 255.0
+
+    def __getitem__(self, index):
+        idx = (self._offset + index) % len(self.paths)
+        arr = self._load(self.paths[idx])
+        h, w = arr.shape[:2]
+        if self.center_crop:
+            y0 = (h - self.height) // 2
+            x0 = (w - self.width) // 2
+        else:
+            y0 = int(self._rng.integers(0, h - self.height + 1))
+            x0 = int(self._rng.integers(0, w - self.width + 1))
+        arr = arr[y0:y0 + self.height, x0:x0 + self.width]
+        if self.random_flip and self._rng.random() < 0.5:
+            arr = arr[:, ::-1]
+        return {"text": self.texts[idx], "image": arr * 2.0 - 1.0}

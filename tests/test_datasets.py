@@ -108,3 +108,31 @@ def test_unified_dataset_csv(tmp_path):
                             repeat=2)
     assert len(ds) == 2
     assert ds[1]["prompt"] == "hi"
+
+
+def test_text_image_dataset(tmp_path):
+    """metadata.csv folder -> cover-resize, crop, [-1,1] (simple_text_image.py)."""
+    from PIL import Image
+
+    from goal_force_tpu.data.datasets import TextImageDataset
+
+    d = tmp_path / "train"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (40 + 8 * i, 64, 3), np.uint8)).save(
+            d / f"img{i}.png")
+    (d / "metadata.csv").write_text(
+        "file_name,text\n" + "\n".join(f"img{i}.png,caption {i}" for i in range(3)))
+
+    ds = TextImageDataset(str(tmp_path), steps_per_epoch=5, height=32, width=32,
+                          center_crop=True, seed=1)
+    assert len(ds) == 5
+    seen = set()
+    for i in range(5):
+        item = ds[i]
+        assert item["image"].shape == (32, 32, 3)
+        assert -1.0 <= item["image"].min() and item["image"].max() <= 1.0
+        assert item["text"].startswith("caption")
+        seen.add(item["text"])
+    assert len(seen) == 3  # fixed-seed walk covers all files

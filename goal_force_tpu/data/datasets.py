@@ -365,8 +365,10 @@ class TextImageDataset:
     each item is resized-to-cover, center- (or seeded-random-) cropped,
     optionally h-flipped, and normalized to [-1, 1]. Items here are numpy
     dicts {"text": str, "image": (H, W, 3) float32 in [-1, 1]} (channels-last,
-    the framework's native layout). Indexing reproduces the reference's
-    fixed-seed walk: item i reads file (offset + i) % n_files.
+    the framework's native layout). Sampling mirrors the reference: each
+    __getitem__ draws a fresh random id and offsets it by the index
+    ((randint + index) % n_files, simple_text_image.py:27-28) — independent
+    draws, duplicates within a batch possible, deterministic under `seed`.
     """
 
     def __init__(self, dataset_path, steps_per_epoch=10000, height=1024,
@@ -378,7 +380,6 @@ class TextImageDataset:
         self.height, self.width = height, width
         self.center_crop, self.random_flip = center_crop, random_flip
         self._rng = np.random.default_rng(seed)
-        self._offset = int(self._rng.integers(0, 2**31))
         self.paths, self.texts = [], []
         with open(os.path.join(dataset_path, "train", "metadata.csv")) as fh:
             for row in csv.DictReader(fh):
@@ -400,7 +401,7 @@ class TextImageDataset:
         return np.asarray(img, np.float32) / 255.0
 
     def __getitem__(self, index):
-        idx = (self._offset + index) % len(self.paths)
+        idx = (int(self._rng.integers(0, len(self.paths))) + index) % len(self.paths)
         arr = self._load(self.paths[idx])
         h, w = arr.shape[:2]
         if self.center_crop:

@@ -43,11 +43,14 @@ class ContrastEditor(VideoProcessor):
         self.rate = float(rate)
 
     def __call__(self, frames: np.ndarray, **kwargs) -> np.ndarray:
-        u8 = _to_u8(frames).astype(np.float32)
-        # PIL: ImageStat.Stat(image.convert("L")).mean, L = (299R+587G+114B)/1000
-        # computed on u8 with integer truncation per pixel.
-        l = (u8[..., 0] * 299 + u8[..., 1] * 587 + u8[..., 2] * 114) // 1000
+        u8 = _to_u8(frames)
+        # PIL: ImageStat.Stat(image.convert("L")).mean with modern Pillow's
+        # fixed-point rounded luma L = (19595R + 38470G + 7471B + 2^15) >> 16.
+        u32 = u8.astype(np.uint32)
+        l = (u32[..., 0] * 19595 + u32[..., 1] * 38470 + u32[..., 2] * 7471
+             + 0x8000) >> 16
         mean = np.floor(l.reshape(l.shape[0], -1).mean(axis=1) + 0.5)  # per frame
+        u8 = u8.astype(np.float32)
         deg = mean[:, None, None, None]
         out = deg + self.rate * (u8 - deg)
         return _to_f32(np.clip(np.round(out), 0, 255).astype(np.uint8))

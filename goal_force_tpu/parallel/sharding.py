@@ -130,7 +130,11 @@ def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15,
         # per-layer dynamic-slice inside the manually-partitioned stage vmap
         # need a device-order-transposed all-gather GSPMD cannot express
         # (involuntary full rematerialization per weight).
-        if (pin_pp_layers and stacked and leaf.ndim > 1
+        # Only the pipelined DiT trunk ("dit.*" subtrees or a bare "blocks"
+        # root) gets the stage-major pin — T5/VAE/ControlNet stacks run
+        # unpipelined and must keep their layer axis whole for their scans.
+        pipelined = path.startswith(("dit", "blocks"))
+        if (pin_pp_layers and stacked and pipelined and leaf.ndim > 1
                 and "pp" in mesh.axis_names
                 and leaf.shape[0] % mesh.shape["pp"] == 0):
             out[0] = "pp"

@@ -240,6 +240,12 @@ class GoalForcePipeline:
                 and mesh.shape["pp"] > 1):
             pp_microbatches = 2
         self.pp_microbatches = pp_microbatches
+        # The jitted step closures capture pp_microbatches/mesh state at first
+        # access — drop any already-built ones so a pipeline used before
+        # shard() (or re-sharded) rebuilds them against the new mesh.
+        for name, attr in vars(type(self)).items():
+            if isinstance(attr, functools.cached_property):
+                self.__dict__.pop(name, None)
         if host_stage_experts and "dit2" in self.params:
             active = {"dit": self.params.pop("dit")}
             standby = {"dit": self.params.pop("dit2")}
@@ -413,6 +419,7 @@ class GoalForcePipeline:
         the window's slice of the control latents."""
         dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
         attn_impl = self.attn_impl
+        pp_micro = self.pp_microbatches
 
         @functools.partial(jax.jit, static_argnames=("use_cn", "window", "stride"))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
@@ -430,6 +437,7 @@ class GoalForcePipeline:
                     controlnet_params=cn_params if cl2 is not None else None,
                     controlnet_cfg=cn_cfg,
                     control_latents=cl2, attn_impl=attn_impl,
+                    pp_microbatches=pp_micro,
                 )
                 return v[b:] + cfg_scale * (v[:b] - v[b:])
 

@@ -78,6 +78,15 @@ def denoise_forward(
             cos, sin, remat=remat, attn_impl=attn_impl,
             apply_zero_convs=(stride is None),
         )
+    if pp_microbatches and (stride is not None or vace_params is not None):
+        # Both modes run the trunk as Python-segmented scans between injection
+        # points — a shape the GPipe schedule does not cover. Refuse loudly
+        # rather than silently falling back to the unpipelined trunk on a mesh
+        # whose block weights are stage-major pinned (per-layer cross-stage
+        # gathers + unpipelined activation memory on HBM-tight topologies).
+        raise NotImplementedError(
+            "pp_microbatches cannot be combined with strided-ControlNet or "
+            "VACE segmented execution; shard without a pp axis for these modes")
     if use_cn and stride is not None:
         # Strided mode: raw states added after blocks 0, stride, 2*stride, ...
         # (reference :1560-1562 — note no zero conv in this mode).

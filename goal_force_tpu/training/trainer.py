@@ -79,6 +79,8 @@ class TrainerConfig:
     # of) the ControlNet; checkpoints export in PEFT key format
     train_lora: bool = False
     lora_rank: int = 32
+    # pipeline-parallel microbatches (mesh must have a "pp" axis > 1)
+    pp_microbatches: Optional[int] = None
     use_wandb: bool = False
     wandb_project: Optional[str] = None
     run_name: Optional[str] = None
@@ -109,6 +111,7 @@ def train(
         max_timestep_boundary=cfg.max_timestep_boundary,
         min_timestep_boundary=cfg.min_timestep_boundary,
         train_lora=cfg.train_lora,
+        pp_microbatches=cfg.pp_microbatches,
     )
 
     start_step = 0

@@ -56,6 +56,10 @@ def parse_args():
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages over the DiT trunk "
+                        "(GPipe; lets A14B training fit 16 GB v5e chips)")
+    p.add_argument("--pp_microbatches", type=int, default=2)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default="goal_force_tpu")
     p.add_argument("--run_name", type=str, default=None)
@@ -95,10 +99,11 @@ def main():
     cn = cnm.init_from_dit(jax.random.PRNGKey(0), frozen["dit"], dit_cfg, cn_cfg, dtype)
 
     mesh = None
-    if args.dp * args.sp * args.tp > 1:
-        mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp)
+    if args.dp * args.sp * args.tp * args.pp > 1:
+        mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp, pp=args.pp)
         frozen = place(frozen, mesh, fsdp_specs(frozen, mesh))
-        cn = place(cn, mesh, fsdp_specs(cn, mesh))
+        # CN side-stack is not pipelined: keep its layer axis whole
+        cn = place(cn, mesh, fsdp_specs(cn, mesh, pin_pp_layers=False))
 
     masks = dict(
         p_mask_out_direct_force=args.p_mask_out_direct_force,
@@ -125,6 +130,7 @@ def main():
         min_timestep_boundary=args.min_timestep_boundary,
         num_frames=args.num_frames, height=args.height, width=args.width,
         use_wandb=args.use_wandb, wandb_project=args.wandb_project, run_name=args.run_name,
+        pp_microbatches=args.pp_microbatches if args.pp > 1 else None,
     )
     train(tcfg, dit_cfg, t5_cfg, vae_cfg, cn_cfg, frozen, cn, dataset, tok,
           resume=args.resume, max_steps=args.max_steps, mesh=mesh)

@@ -128,11 +128,15 @@ def test_text_image_dataset(tmp_path):
     ds = TextImageDataset(str(tmp_path), steps_per_epoch=5, height=32, width=32,
                           center_crop=True, seed=1)
     assert len(ds) == 5
-    seen = set()
     for i in range(5):
         item = ds[i]
         assert item["image"].shape == (32, 32, 3)
         assert -1.0 <= item["image"].min() and item["image"].max() <= 1.0
         assert item["text"].startswith("caption")
-        seen.add(item["text"])
-    assert len(seen) == 3  # fixed-seed walk covers all files
+    # deterministic under a fixed seed (fresh random draw per item, as the
+    # reference does with torch.randint + index offset)
+    a = [TextImageDataset(str(tmp_path), steps_per_epoch=5, height=32, width=32,
+                          seed=7)[i]["text"] for i in range(5)]
+    b = [TextImageDataset(str(tmp_path), steps_per_epoch=5, height=32, width=32,
+                          seed=7)[i]["text"] for i in range(5)]
+    assert a == b

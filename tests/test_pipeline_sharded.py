@@ -92,3 +92,14 @@ def test_pp_sharded_call_matches_unsharded():
 
     assert got.shape == (5, 32, 32, 3)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_shard_invalidates_cached_steps():
+    """shard() must drop step closures built before it (they capture
+    pp_microbatches/mesh state at first access)."""
+    pipe = _tiny_pipe()
+    _ = pipe._denoise_step          # build a closure pre-shard
+    assert "_denoise_step" in pipe.__dict__
+    pipe.shard(make_mesh(dp=1, sp=2, tp=2, pp=2))
+    assert "_denoise_step" not in pipe.__dict__   # rebuilt on next access
+    assert pipe.pp_microbatches == 2

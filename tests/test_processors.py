@@ -31,7 +31,7 @@ def _pil_enhance(frames, enhancer, rate):
     return np.stack(out).astype(np.float32) / 255.0
 
 
-@pytest.mark.parametrize("rate", [0.5, 1.0, 1.5])
+@pytest.mark.parametrize("rate", [0.5, 1.0, 1.5, 3.0])
 def test_contrast_matches_pil(rate):
     from PIL import ImageEnhance
 
@@ -42,7 +42,7 @@ def test_contrast_matches_pil(rate):
     assert np.abs(got - want).max() <= (1.0 / 255.0) + 1e-6
 
 
-@pytest.mark.parametrize("rate", [0.5, 1.0, 1.5])
+@pytest.mark.parametrize("rate", [0.5, 1.0, 1.5, 3.0])
 def test_sharpness_matches_pil(rate):
     from PIL import ImageEnhance
 

@@ -388,11 +388,17 @@ def pp_run_blocks(
     def zbuf(mb_arr):
         return jnp.zeros((pp,) + mb_arr.shape[1:], mb_arr.dtype)
 
+    # Inside the manually partitioned stage vmap the flash kernel's shard_map
+    # dispatch cannot apply (shard_map under vmap(spmd_axis_name)); the XLA
+    # attention partitions correctly under the pp schedule. The ControlNet
+    # side-stack and any non-pp caller keep the Pallas path.
+    stage_attn = "xla" if attn_impl in ("auto", "pallas", "pallas_int8") else attn_impl
+
     def stage_apply(stage, blk, xs, cs, ts, js):
         def body(carry, layer):
             h, i = carry
             h = constrain(h, "dp", "sp", None)
-            out = dit_block(layer, h, cs, ts, cos, sin, cfg, attn_impl,
+            out = dit_block(layer, h, cs, ts, cos, sin, cfg, stage_attn,
                             num_img_tokens=num_img_tokens)
             if n_inj:
                 g = stage * l_stage + i          # global layer index

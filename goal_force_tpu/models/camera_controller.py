@@ -132,6 +132,26 @@ def simple_adapter_apply(params: Dict, x: jnp.ndarray,
     return x
 
 
+def init_simple_adapter(key, out_dim: int, in_dim: int = 24, kernel: int = 2,
+                        num_residual_blocks: int = 1, dtype=jnp.float32) -> Dict:
+    """Random SimpleAdapter params (reference wan_video_camera_controller.py:12-23:
+    conv after PixelUnshuffle(8) so its input channels are in_dim*64)."""
+    import jax
+
+    ks = jax.random.split(key, 1 + 2 * num_residual_blocks)
+
+    def conv(k, kh, kw, ci, co):
+        s = 1.0 / np.sqrt(ci * kh * kw)
+        return {"w": jax.random.uniform(k, (kh, kw, ci, co), dtype, -s, s),
+                "b": jnp.zeros((co,), dtype)}
+
+    blocks = [{"conv1": conv(ks[1 + 2 * i], 3, 3, out_dim, out_dim),
+               "conv2": conv(ks[2 + 2 * i], 3, 3, out_dim, out_dim)}
+              for i in range(num_residual_blocks)]
+    return {"conv": conv(ks[0], kernel, kernel, in_dim * 64, out_dim),
+            "res_blocks": blocks}
+
+
 def simple_adapter_params_from_torch(sd) -> Dict:
     g = lambda k: np.asarray(sd[k])
     c = lambda pre: {"w": jnp.asarray(g(pre + ".weight").transpose(2, 3, 1, 0)),

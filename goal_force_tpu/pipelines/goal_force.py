@@ -71,6 +71,7 @@ class GoalForcePipeline:
     tokenizer: object
     dtype: object = jnp.bfloat16
     attn_impl: str = "auto"
+    vace_layers: tuple = ()             # DiT layers with VACE hints (when "vace" loaded)
     mesh: Optional[object] = None       # jax.sharding.Mesh; set via shard()
     pp_microbatches: Optional[int] = None   # pipeline-parallel microbatches (shard())
     _stager: Optional[object] = dataclasses.field(default=None, repr=False)
@@ -91,6 +92,10 @@ class GoalForcePipeline:
         controlnet_num_layers: int = 10,
         controlnet_stride: Optional[int] = None,
         tokenizer_path: Optional[str] = None,
+        vace_path: Optional[str] = None,              # VACE adapter weights
+        vace_layers: Optional[tuple] = None,          # default: by DiT depth
+        motion_controller_path: Optional[str] = None,  # speed-control MLP
+        camera_adapter_path: Optional[str] = None,     # Fun-Camera SimpleAdapter
         dit_cfg: Optional[WanDiTConfig] = None,
         t5_cfg: Optional[T5Config] = None,
         vae_cfg: Optional[VAEConfig] = None,
@@ -158,10 +163,42 @@ class GoalForcePipeline:
                     load_goalforce_controlnet(controlnet_checkpoint, cn_cfg)
                 )
 
+        resolved_vace_layers = ()
+        if vace_path is not None:
+            from goal_force_tpu.models.adapters import (
+                VACE_LAYERS_14B,
+                VACE_LAYERS_1_3B,
+                vace_from_torch,
+            )
+
+            resolved_vace_layers = tuple(
+                vace_layers if vace_layers is not None
+                else (VACE_LAYERS_14B if dit_cfg.num_layers >= 40 else VACE_LAYERS_1_3B))
+            params["vace"] = to_dev(
+                vace_from_torch(_load_any(vace_path), dit_cfg, resolved_vace_layers))
+        if motion_controller_path is not None:
+            from goal_force_tpu.models.adapters import motion_controller_from_torch
+
+            params["motion_controller"] = to_dev(
+                motion_controller_from_torch(_load_any(motion_controller_path)))
+        if camera_adapter_path is not None:
+            from goal_force_tpu.models.camera_controller import (
+                simple_adapter_params_from_torch,
+            )
+
+            sd_cam = _load_any(camera_adapter_path)
+            # camera models carry the adapter inside the DiT state dict under
+            # "control_adapter." (wan_video_dit.py:336-338); accept both layouts
+            if any("control_adapter." in k for k in sd_cam):
+                sd_cam = {k.split("control_adapter.", 1)[1]: v
+                          for k, v in sd_cam.items() if "control_adapter." in k}
+            params["camera_adapter"] = to_dev(simple_adapter_params_from_torch(sd_cam))
+
         tok = load_tokenizer(tokenizer_path, t5_cfg.vocab, t5_cfg.text_len)
         return cls(dit_cfg, t5_cfg, vae_cfg,
                    cn_cfg if controlnet_num_layers > 0 else None,
-                   pipe_cfg, params, tok, dtype)
+                   pipe_cfg, params, tok, dtype,
+                   vace_layers=resolved_vace_layers)
 
     @classmethod
     def init_random(
@@ -311,15 +348,30 @@ class GoalForcePipeline:
 
         return fn
 
+    def _extra_kwargs(self, extra):
+        """denoise_forward kwargs for the adapter conditionings dict."""
+        if not extra:
+            return {}
+        return dict(
+            t_mod_offset=extra.get("t_mod_offset"),
+            reference_latents=extra.get("reference_latents"),
+            camera_embedding=extra.get("camera_embedding"),
+            vace_params=extra.get("vace_params"),
+            vace_context=extra.get("vace_context"),
+            vace_scale=extra.get("vace_scale", 1.0),
+            vace_layers=self.vace_layers,
+        )
+
     @functools.cached_property
     def _denoise_step(self):
         dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
         attn_impl = self.attn_impl
         pp_micro = self.pp_microbatches
+        ek = self._extra_kwargs
 
         @functools.partial(jax.jit, static_argnames=("use_cn",), donate_argnums=(2,))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
-               context2, y2, control_latents2, cfg_scale, use_cn):
+               context2, y2, control_latents2, cfg_scale, use_cn, extra=None):
             """One Euler step with merged CFG. latents: (1, F, H, W, 16);
             *2 args are posi/nega batches of 2."""
             b = latents.shape[0]
@@ -331,6 +383,7 @@ class GoalForcePipeline:
                 controlnet_cfg=cn_cfg,
                 control_latents=control_latents2 if use_cn else None,
                 attn_impl=attn_impl, pp_microbatches=pp_micro,
+                **ek(extra),
             )
             v_posi, v_nega = v[:b], v[b:]
             v = v_nega + cfg_scale * (v_posi - v_nega)
@@ -357,9 +410,11 @@ class GoalForcePipeline:
         attn_impl = self.attn_impl
         pp_micro = self.pp_microbatches
 
+        ek = self._extra_kwargs
+
         @functools.partial(jax.jit, static_argnames=("use_cn",))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
-               context2, y2, control_latents2, cfg_scale, use_cn):
+               context2, y2, control_latents2, cfg_scale, use_cn, extra=None):
             b = latents.shape[0]
             x2 = jnp.concatenate([latents, latents], axis=0)
             t2 = jnp.concatenate([timestep, timestep], axis=0)
@@ -370,6 +425,7 @@ class GoalForcePipeline:
                 control_latents=control_latents2 if use_cn else None,
                 attn_impl=attn_impl, return_token_states=True,
                 pp_microbatches=pp_micro,
+                **ek(extra),
             )
             v = v[b:] + cfg_scale * (v[:b] - v[b:])
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next), post - pre
@@ -397,15 +453,18 @@ class GoalForcePipeline:
         attn_impl = self.attn_impl
         pp_micro = self.pp_microbatches
 
+        ek = self._extra_kwargs
+
         @functools.partial(jax.jit, static_argnames=("use_cn",), donate_argnums=(2,))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
-               context, y, control_latents, use_cn):
+               context, y, control_latents, use_cn, extra=None):
             v = denoise_forward(
                 dit_params, dit_cfg, latents, timestep, context, y=y,
                 controlnet_params=cn_params if use_cn else None,
                 controlnet_cfg=cn_cfg,
                 control_latents=control_latents if use_cn else None,
                 attn_impl=attn_impl, pp_microbatches=pp_micro,
+                **ek(extra),
             )
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
@@ -507,6 +566,104 @@ class GoalForcePipeline:
         x = jnp.asarray(control_video, jnp.float32)[None] * 2.0 - 1.0
         return self._vae_encode_px(x).astype(self.dtype)
 
+    def _build_vace_context(self, vace_video, vace_video_mask, vace_reference_image,
+                            num_frames: int, h: int, w: int) -> jnp.ndarray:
+        """VACE conditioning tensor (1, F'(+1), h/8, w/8, 96): VAE-encoded
+        inactive/reactive splits (32ch) ++ 8x8 pixel-shuffled mask latents (64ch),
+        optionally with an encoded reference frame prepended
+        (reference WanVideoUnit_VACE :1051-1100)."""
+        vae_p = self.params["vae"]
+        if vace_video is None:
+            # the reference's default is zeros in *preprocessed* ([-1,1]) space (:1068)
+            vid = jnp.zeros((1, num_frames, h, w, 3), jnp.float32)
+        else:
+            vid = jnp.asarray(vace_video, jnp.float32)[None] * 2.0 - 1.0
+        if vace_video_mask is None:
+            mask_px = np.ones((num_frames, h, w), np.float32)
+        else:
+            mask_px = np.asarray(vace_video_mask, np.float32)
+            if mask_px.ndim == 4:
+                mask_px = mask_px[..., 0]
+        m = jnp.asarray(mask_px)[None, ..., None]             # (1, F, H, W, 1)
+        inactive = self._vae_encode_px(vid * (1.0 - m))
+        reactive = self._vae_encode_px(vid * m)
+        video_lat = jnp.concatenate([inactive, reactive], axis=-1)  # (1, f, h8, w8, 32)
+
+        # mask latents: "T (H P) (W Q) -> (P Q) T H W" with P=Q=8, then nearest-exact
+        # temporal resize T -> (T+3)//4 (reference :1082-1084)
+        h8, w8 = h // 8, w // 8
+        ml = mask_px.reshape(num_frames, h8, 8, w8, 8).transpose(2, 4, 0, 1, 3)
+        ml = ml.reshape(64, num_frames, h8, w8)
+        t_out = (num_frames + 3) // 4
+        idx = np.minimum((np.floor((np.arange(t_out) + 0.5) * num_frames / t_out))
+                         .astype(np.int64), num_frames - 1)
+        ml = ml[:, idx].transpose(1, 2, 3, 0)[None]           # (1, t_out, h8, w8, 64)
+
+        if vace_reference_image is not None:
+            ref = jnp.asarray(vace_reference_image, jnp.float32)[None, None] * 2.0 - 1.0
+            ref_lat = self._vae_encode_px(ref)                # (1, 1, h8, w8, 16)
+            ref_lat = jnp.concatenate([ref_lat, jnp.zeros_like(ref_lat)], axis=-1)
+            video_lat = jnp.concatenate([ref_lat, video_lat], axis=1)
+            ml = np.concatenate([np.zeros_like(ml[:, :1]), ml], axis=1)
+        return jnp.concatenate([video_lat, jnp.asarray(ml, video_lat.dtype)],
+                               axis=-1).astype(self.dtype)
+
+    def _build_extra_conditioning(self, reference_image, camera_control_direction,
+                                  camera_control_speed, camera_control_origin,
+                                  motion_bucket_id, vace_video, vace_video_mask,
+                                  vace_reference_image, num_frames, h, w,
+                                  vace_scale: float = 1.0) -> Dict:
+        """Adapter conditionings dict for denoise_forward (the reference's
+        SpeedControl / FunReference / FunCameraControl / VACE units)."""
+        extra: Dict = {}
+        if motion_bucket_id is not None:
+            if "motion_controller" not in self.params:
+                raise ValueError("motion_bucket_id requires motion_controller weights "
+                                 "(from_pretrained(motion_controller_path=...))")
+            from goal_force_tpu.models.adapters import motion_controller_apply
+
+            mc = self.params["motion_controller"]
+            off = motion_controller_apply(
+                mc, jnp.asarray([float(motion_bucket_id)], jnp.float32),
+                freq_dim=mc["fc0"]["w"].shape[0])
+            extra["t_mod_offset"] = off.reshape(1, 6, -1)
+        if reference_image is not None:
+            ref = jnp.asarray(reference_image, jnp.float32)[None, None] * 2.0 - 1.0
+            extra["reference_latents"] = self._vae_encode_px(ref)[:, 0].astype(self.dtype)
+        if camera_control_direction is not None:
+            if "camera_adapter" not in self.params:
+                raise ValueError("camera control requires camera_adapter weights "
+                                 "(from_pretrained(camera_adapter_path=...))")
+            from goal_force_tpu.models.camera_controller import (
+                DEFAULT_ORIGIN,
+                camera_control_embedding,
+                simple_adapter_apply,
+            )
+
+            origin = DEFAULT_ORIGIN if camera_control_origin is None else camera_control_origin
+            emb = camera_control_embedding(camera_control_direction, num_frames, h, w,
+                                           camera_control_speed, origin)  # (F, H, W, 6)
+            # temporal grouping: frame 0 x4 then groups of 4 -> 24 channels, channel-major
+            # (c, sub-frame) order (reference WanVideoUnit_FunCameraControl :1004-1012)
+            lf = (num_frames - 1) // 4 + 1
+            grouped = np.concatenate([np.repeat(emb[:1], 4, axis=0), emb[1:]], axis=0)
+            grouped = grouped.reshape(lf, 4, h, w, 6).transpose(0, 2, 3, 4, 1)
+            grouped = grouped.reshape(lf, h, w, 24)
+            feats = simple_adapter_apply(self.params["camera_adapter"],
+                                         jnp.asarray(grouped, self.dtype),
+                                         stride=self.dit_cfg.patch_size[1])
+            extra["camera_embedding"] = feats.reshape(1, -1, feats.shape[-1])
+        if (vace_video is not None or vace_video_mask is not None
+                or vace_reference_image is not None):
+            if "vace" not in self.params:
+                raise ValueError("VACE conditioning requires vace weights "
+                                 "(from_pretrained(vace_path=...))")
+            extra["vace_context"] = self._build_vace_context(
+                vace_video, vace_video_mask, vace_reference_image, num_frames, h, w)
+            extra["vace_params"] = self.params["vace"]
+            extra["vace_scale"] = float(vace_scale)
+        return extra
+
     # ------------------------------------------------------------------
     # Generation
     # ------------------------------------------------------------------
@@ -530,14 +687,25 @@ class GoalForcePipeline:
     def _generate(
         self,
         prompt: str,
-        input_image: np.ndarray,              # (H, W, 3) float [0,1]
+        input_image: Optional[np.ndarray] = None,  # (H, W, 3) float [0,1]; None = t2v
         control_signal_video: Optional[np.ndarray] = None,  # (F, H, W, 3) float [0,1]
         negative_prompt: Optional[str] = None,
         end_image: Optional[np.ndarray] = None,             # first-last-frame mode
         input_video: Optional[np.ndarray] = None,           # (F, H, W, 3) v2v mode
         fun_control_video: Optional[np.ndarray] = None,     # Fun-Control y-concat mode
+        reference_image: Optional[np.ndarray] = None,       # (H, W, 3) Fun-Reference
+        camera_control_direction: Optional[str] = None,     # Left/Right/Up/... (:989)
+        camera_control_speed: float = 1 / 54,
+        camera_control_origin=None,
+        motion_bucket_id: Optional[float] = None,           # speed control (:1039-1047)
+        vace_video: Optional[np.ndarray] = None,            # (F, H, W, 3) float [0,1]
+        vace_video_mask: Optional[np.ndarray] = None,       # (F, H, W[, 1]) float [0,1]
+        vace_reference_image: Optional[np.ndarray] = None,  # (H, W, 3) float [0,1]
+        vace_scale: float = 1.0,
         denoising_strength: float = 1.0,
         seed: int = 0,
+        height: Optional[int] = None,         # used when input_image is None (t2v)
+        width: Optional[int] = None,
         num_frames: Optional[int] = None,
         num_inference_steps: Optional[int] = None,
         cfg_scale: Optional[float] = None,
@@ -565,7 +733,21 @@ class GoalForcePipeline:
 
         # Conditioning
         ctx = self.encode_prompts([prompt, negative_prompt])  # (2, L, text_dim)
-        y = self.encode_first_frame(input_image, num_frames, end_image=end_image)
+        if input_image is not None:
+            y = self.encode_first_frame(input_image, num_frames, end_image=end_image)
+            h, w = input_image.shape[:2]
+        else:
+            # t2v / VACE mode: no first-frame conditioning channels
+            # (reference WanVideoUnit_ImageEmbedderVAE no-ops when input_image is None).
+            if self.dit_cfg.in_dim != self.vae_cfg.z_dim and fun_control_video is None:
+                raise ValueError(
+                    "this DiT expects first-frame conditioning "
+                    f"(in_dim {self.dit_cfg.in_dim} > z_dim {self.vae_cfg.z_dim}); "
+                    "pass input_image")
+            y = None
+            if height is None or width is None:
+                raise ValueError("height/width are required when input_image is None")
+            h, w = height, width
         if fun_control_video is not None:
             # Fun-Control: control latents concat into y's leading channels
             # (reference WanVideoUnit_FunControl :942-963).
@@ -575,6 +757,9 @@ class GoalForcePipeline:
                     f"expected num_frames={num_frames}")
             fc = self.encode_control_video(fun_control_video)
             y_dim = self.dit_cfg.in_dim - self.vae_cfg.z_dim - fc.shape[-1]
+            if y is None:
+                # no first frame: zero conditioning channels (reference :958-960)
+                y = jnp.zeros(fc.shape[:-1] + (y_dim,), fc.dtype)
             y = jnp.concatenate([fc, y[..., -y_dim:]], axis=-1)
         use_cn = controlnet and control_signal_video is not None and "controlnet" in self.params
         if use_cn and control_signal_video.shape[0] != num_frames:
@@ -586,21 +771,51 @@ class GoalForcePipeline:
             self.encode_control_video(control_signal_video) if use_cn else None
         )
 
+        # Adapter conditionings (motion / Fun-Reference / camera / VACE)
+        extra = self._build_extra_conditioning(
+            reference_image, camera_control_direction, camera_control_speed,
+            camera_control_origin, motion_bucket_id,
+            vace_video, vace_video_mask, vace_reference_image,
+            num_frames, h, w, vace_scale=vace_scale,
+        )
+        if extra and (sliding_window_size is not None or fun_control_video is not None
+                      or tea_cache_l1_thresh is not None):
+            raise NotImplementedError(
+                "motion/reference/camera/VACE conditioning cannot combine with the "
+                "sliding-window, Fun-Control, or TeaCache paths")
+        vace_ref = vace_reference_image is not None
+        if vace_ref and y is not None:
+            raise NotImplementedError(
+                "vace_reference_image needs a t2v (no first-frame conditioning) model; "
+                "omit input_image (reference runs VACE on Wan-T2V checkpoints)")
+
         # Noise (jax PRNG; the reference uses CPU torch.randn — RNG streams differ by
         # design, parity is checked with imported noise in tests)
-        h, w = input_image.shape[:2]
-        lat_f = (num_frames - 1) // 4 + 1
+        lat_f = (num_frames - 1) // 4 + 1 + (1 if vace_ref else 0)
         shape = (1, lat_f, h // 8, w // 8, self.vae_cfg.z_dim)
         latents = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32).astype(self.dtype)
+        if vace_ref:
+            # the reference rolls the last noise frame to the front for the
+            # prepended VACE reference frame (WanVideoUnit_NoiseInitializer :761-762)
+            latents = jnp.concatenate([latents[:, -1:], latents[:, :-1]], axis=1)
         if input_video is not None:
             # v2v: start from the noised input video at the first schedule sigma
             # (reference WanVideoUnit_InputVideoEmbedder :774-788).
             iv = jnp.asarray(input_video, jnp.float32)[None] * 2.0 - 1.0
             input_latents = self._encode_vae(self.params["vae"], iv).astype(self.dtype)
+            if vace_ref:
+                # prepend the encoded reference frame (reference :780-783)
+                ref = jnp.asarray(vace_reference_image, jnp.float32)[None, None] * 2.0 - 1.0
+                ref_lat = self._encode_vae(self.params["vae"], ref).astype(self.dtype)
+                input_latents = jnp.concatenate([ref_lat, input_latents], axis=1)
             latents = fm.add_noise(input_latents, latents, schedule.sigmas[0])
 
-        y2 = jnp.concatenate([y, y], axis=0)
+        y2 = None if y is None else jnp.concatenate([y, y], axis=0)
         cl2 = jnp.concatenate([control_latents] * 2, axis=0) if use_cn else None
+        # merged-CFG copies of the per-sample conditionings (vace params/scale broadcast)
+        _batched = ("t_mod_offset", "reference_latents", "camera_embedding", "vace_context")
+        extra2 = {k: (jnp.concatenate([v, v], axis=0) if k in _batched else v)
+                  for k, v in extra.items()}
 
         tea_cache = None
         if tea_cache_l1_thresh is not None:
@@ -637,7 +852,7 @@ class GoalForcePipeline:
                 else:
                     latents, residual = self._denoise_step_tc_full(
                         dit_p, cn_p, latents, tstep, sig, sig_n, ctx, y2, cl2,
-                        cfg_scale, use_cn,
+                        cfg_scale, use_cn, extra2,
                     )
                     tea_cache.residual = residual
                 continue
@@ -645,14 +860,16 @@ class GoalForcePipeline:
             if cfg_scale != 1.0:
                 latents = self._denoise_step(
                     dit_p, cn_p, latents, tstep, sig, sig_n, ctx, y2, cl2,
-                    cfg_scale, use_cn,
+                    cfg_scale, use_cn, extra2,
                 )
             else:
                 latents = self._denoise_step_nocfg(
                     dit_p, cn_p, latents, tstep, sig, sig_n,
-                    ctx[:1], y, control_latents, use_cn,
+                    ctx[:1], y, control_latents, use_cn, extra,
                 )
 
+        if vace_ref:
+            latents = latents[:, 1:]  # drop the VACE reference frame (reference :726-727)
         video = self._vae_decode_full(latents.astype(jnp.float32))
         return np.asarray((video[0] + 1.0) / 2.0, np.float32)
 

@@ -17,6 +17,7 @@ from goal_force_tpu.configs import ControlNetConfig, WanDiTConfig
 from goal_force_tpu.models.controlnet import controlnet_injections
 from goal_force_tpu.models.wan_dit import (
     head,
+    linear,
     patchify,
     pp_run_blocks,
     run_blocks,
@@ -43,8 +44,10 @@ def denoise_forward(
     t_mod_offset: Optional[jnp.ndarray] = None,   # motion controller (B, 6, D)
     vace_params: Optional[Dict] = None,
     vace_context: Optional[jnp.ndarray] = None,   # (B, F, H, W, vace_in_dim)
-    vace_scale: float = 1.0,
+    vace_scale=1.0,
     vace_layers: tuple = (),
+    reference_latents: Optional[jnp.ndarray] = None,  # (B, h, w, 16) Fun-Reference
+    camera_embedding: Optional[jnp.ndarray] = None,   # (B, S, D) camera adapter tokens
     pp_microbatches: Optional[int] = None,
 ) -> jnp.ndarray:
     """Velocity prediction (B, F, H, W, out_dim).
@@ -54,6 +57,10 @@ def denoise_forward(
     t_mod_offset: motion-controller t_mod shift (reference :1445-1446).
     vace_*: VACE hint stack injected after blocks in vace_layers (reference :1486-1487,
     1572-1577).
+    reference_latents: Fun-Reference — a 2x2-conv patch of the reference image prepended
+    as extra tokens (reference :1467-1471), stripped again after the head (:1587).
+    camera_embedding: per-token camera adapter features added to the patch embedding
+    (reference wan_video_dit.py:343-346).
     pp_microbatches: with an ambient mesh that has a "pp" axis > 1, run the block
     trunk pipeline-parallel (wan_dit.pp_run_blocks) in this many microbatches."""
     t, t_mod = time_embed(dit_params, dit_cfg, timestep)
@@ -65,10 +72,30 @@ def denoise_forward(
     if y is not None:
         x = jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
     tokens, grid = patchify(dit_params["patch_embedding"], x, dit_cfg.patch_size)
+    if camera_embedding is not None:
+        tokens = tokens + camera_embedding.astype(tokens.dtype)
+    tokens_pre = tokens if return_token_states else None  # TeaCache pair (:1283-1287)
+    n_ref = 0
+    rope_grid = grid
+    if reference_latents is not None:
+        if "ref_conv" not in dit_params:
+            raise ValueError(
+                "reference_latents requires a DiT with ref_conv weights "
+                "(Fun-Reference checkpoints)")
+        if controlnet_params is not None and control_latents is not None:
+            raise NotImplementedError(
+                "Fun-Reference tokens cannot combine with the goal-force "
+                "ControlNet: the side-stack states cover only the video tokens")
+        b_, hh_, ww_, c_ = reference_latents.shape
+        r = reference_latents.reshape(b_, hh_ // 2, 2, ww_ // 2, 2, c_)
+        r = r.transpose(0, 1, 3, 5, 2, 4).reshape(b_, (hh_ // 2) * (ww_ // 2), c_ * 4)
+        ref_tokens = linear(dit_params["ref_conv"], r).astype(tokens.dtype)
+        n_ref = ref_tokens.shape[1]
+        tokens = jnp.concatenate([ref_tokens, tokens], axis=1)
+        rope_grid = (grid[0] + 1, grid[1], grid[2])
     tables = rope_tables_3d(dit_cfg.head_dim, dit_cfg.rope_max_len)
-    cos, sin = assemble_rope(tables, *grid)
+    cos, sin = assemble_rope(tables, *rope_grid)
 
-    tokens_pre = tokens if return_token_states else None
     use_cn = controlnet_params is not None and control_latents is not None
     stride = controlnet_cfg.stride if (use_cn and controlnet_cfg is not None) else None
 
@@ -149,6 +176,8 @@ def denoise_forward(
             remat=remat, attn_impl=attn_impl,
         )
 
+    if n_ref:
+        tokens = tokens[:, n_ref:]  # strip Fun-Reference tokens (reference :1587)
     out = head(dit_params["head"], tokens, t, dit_cfg.eps)
     out = unpatchify(out, grid, dit_cfg.patch_size, dit_cfg.out_dim)
     if return_token_states:

@@ -47,6 +47,7 @@ def __getattr__(name):
                               "SDXLVideoPipeline"),
         "NexusGenPipeline": ("goal_force_tpu.pipelines.nexus_gen",
                              "NexusGenPipeline"),
+        "S2VPipeline": ("goal_force_tpu.pipelines.s2v", "S2VPipeline"),
         "VideoPipelineRunner": ("goal_force_tpu.pipelines.runner",
                                 "VideoPipelineRunner"),
     }

@@ -136,8 +136,6 @@ def init_simple_adapter(key, out_dim: int, in_dim: int = 24, kernel: int = 2,
                         num_residual_blocks: int = 1, dtype=jnp.float32) -> Dict:
     """Random SimpleAdapter params (reference wan_video_camera_controller.py:12-23:
     conv after PixelUnshuffle(8) so its input channels are in_dim*64)."""
-    import jax
-
     ks = jax.random.split(key, 1 + 2 * num_residual_blocks)
 
     def conv(k, kh, kw, ci, co):

@@ -348,8 +348,13 @@ class GoalForcePipeline:
 
         return fn
 
-    def _extra_kwargs(self, extra):
-        """denoise_forward kwargs for the adapter conditionings dict."""
+    @staticmethod
+    def _extra_kwargs(extra, vace_layers):
+        """denoise_forward kwargs for the adapter conditionings dict.
+
+        vace_layers rides as a STATIC jit argument on the step functions (not a
+        closure) so a pipeline whose vace_layers change retraces instead of
+        silently reusing the old injection points."""
         if not extra:
             return {}
         return dict(
@@ -359,7 +364,7 @@ class GoalForcePipeline:
             vace_params=extra.get("vace_params"),
             vace_context=extra.get("vace_context"),
             vace_scale=extra.get("vace_scale", 1.0),
-            vace_layers=self.vace_layers,
+            vace_layers=vace_layers,
         )
 
     @functools.cached_property
@@ -369,9 +374,11 @@ class GoalForcePipeline:
         pp_micro = self.pp_microbatches
         ek = self._extra_kwargs
 
-        @functools.partial(jax.jit, static_argnames=("use_cn",), donate_argnums=(2,))
+        @functools.partial(jax.jit, static_argnames=("use_cn", "vace_layers"),
+                           donate_argnums=(2,))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
-               context2, y2, control_latents2, cfg_scale, use_cn, extra=None):
+               context2, y2, control_latents2, cfg_scale, use_cn, extra=None,
+               vace_layers=()):
             """One Euler step with merged CFG. latents: (1, F, H, W, 16);
             *2 args are posi/nega batches of 2."""
             b = latents.shape[0]
@@ -383,7 +390,7 @@ class GoalForcePipeline:
                 controlnet_cfg=cn_cfg,
                 control_latents=control_latents2 if use_cn else None,
                 attn_impl=attn_impl, pp_microbatches=pp_micro,
-                **ek(extra),
+                **ek(extra, vace_layers),
             )
             v_posi, v_nega = v[:b], v[b:]
             v = v_nega + cfg_scale * (v_posi - v_nega)
@@ -412,9 +419,10 @@ class GoalForcePipeline:
 
         ek = self._extra_kwargs
 
-        @functools.partial(jax.jit, static_argnames=("use_cn",))
+        @functools.partial(jax.jit, static_argnames=("use_cn", "vace_layers"))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
-               context2, y2, control_latents2, cfg_scale, use_cn, extra=None):
+               context2, y2, control_latents2, cfg_scale, use_cn, extra=None,
+               vace_layers=()):
             b = latents.shape[0]
             x2 = jnp.concatenate([latents, latents], axis=0)
             t2 = jnp.concatenate([timestep, timestep], axis=0)
@@ -425,7 +433,7 @@ class GoalForcePipeline:
                 control_latents=control_latents2 if use_cn else None,
                 attn_impl=attn_impl, return_token_states=True,
                 pp_microbatches=pp_micro,
-                **ek(extra),
+                **ek(extra, vace_layers),
             )
             v = v[b:] + cfg_scale * (v[:b] - v[b:])
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next), post - pre
@@ -457,14 +465,14 @@ class GoalForcePipeline:
 
         @functools.partial(jax.jit, static_argnames=("use_cn",), donate_argnums=(2,))
         def fn(dit_params, cn_params, latents, timestep, sigma, sigma_next,
-               context, y, control_latents, use_cn, extra=None):
+               context, y, control_latents, use_cn, extra=None, vace_layers=()):
             v = denoise_forward(
                 dit_params, dit_cfg, latents, timestep, context, y=y,
                 controlnet_params=cn_params if use_cn else None,
                 controlnet_cfg=cn_cfg,
                 control_latents=control_latents if use_cn else None,
                 attn_impl=attn_impl, pp_microbatches=pp_micro,
-                **ek(extra),
+                **ek(extra, vace_layers),
             )
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
@@ -572,7 +580,12 @@ class GoalForcePipeline:
         inactive/reactive splits (32ch) ++ 8x8 pixel-shuffled mask latents (64ch),
         optionally with an encoded reference frame prepended
         (reference WanVideoUnit_VACE :1051-1100)."""
-        vae_p = self.params["vae"]
+        if vace_video is not None and np.shape(vace_video)[0] != num_frames:
+            raise ValueError(f"vace_video has {np.shape(vace_video)[0]} frames, "
+                             f"expected num_frames={num_frames}")
+        if vace_video_mask is not None and np.shape(vace_video_mask)[0] != num_frames:
+            raise ValueError(f"vace_video_mask has {np.shape(vace_video_mask)[0]} "
+                             f"frames, expected num_frames={num_frames}")
         if vace_video is None:
             # the reference's default is zeros in *preprocessed* ([-1,1]) space (:1068)
             vid = jnp.zeros((1, num_frames, h, w, 3), jnp.float32)
@@ -783,6 +796,18 @@ class GoalForcePipeline:
             raise NotImplementedError(
                 "motion/reference/camera/VACE conditioning cannot combine with the "
                 "sliding-window, Fun-Control, or TeaCache paths")
+        if camera_control_direction is not None and input_image is not None:
+            # Camera checkpoints (in_dim = 2*z) take a mask-less y: zeros with
+            # frame 0 = the single-frame encode of the input image (reference
+            # WanVideoUnit_FunCameraControl :1016-1022; the 4+z i2v y built above
+            # is the reference's own fallback for in_dim = 4+2z models :1024-1034).
+            z = self.vae_cfg.z_dim
+            if self.dit_cfg.in_dim - z == z:
+                img1 = self._vae_encode_px(
+                    jnp.asarray(input_image, jnp.float32)[None, None] * 2.0 - 1.0)
+                lf = (num_frames - 1) // 4 + 1
+                y = jnp.zeros((1, lf) + img1.shape[2:], img1.dtype).at[:, :1].set(img1)
+                y = y.astype(self.dtype)
         vace_ref = vace_reference_image is not None
         if vace_ref and y is not None:
             raise NotImplementedError(
@@ -852,7 +877,7 @@ class GoalForcePipeline:
                 else:
                     latents, residual = self._denoise_step_tc_full(
                         dit_p, cn_p, latents, tstep, sig, sig_n, ctx, y2, cl2,
-                        cfg_scale, use_cn, extra2,
+                        cfg_scale, use_cn, extra2, vace_layers=self.vace_layers,
                     )
                     tea_cache.residual = residual
                 continue
@@ -860,12 +885,13 @@ class GoalForcePipeline:
             if cfg_scale != 1.0:
                 latents = self._denoise_step(
                     dit_p, cn_p, latents, tstep, sig, sig_n, ctx, y2, cl2,
-                    cfg_scale, use_cn, extra2,
+                    cfg_scale, use_cn, extra2, vace_layers=self.vace_layers,
                 )
             else:
                 latents = self._denoise_step_nocfg(
                     dit_p, cn_p, latents, tstep, sig, sig_n,
                     ctx[:1], y, control_latents, use_cn, extra,
+                    vace_layers=self.vace_layers,
                 )
 
         if vace_ref:

@@ -196,7 +196,15 @@ class S2VPipeline:
     # Generation
     # ------------------------------------------------------------------
 
-    def __call__(
+    def __call__(self, *args, **kwargs) -> np.ndarray:
+        """Generate one clip (see _generate for the full signature). Runs with the
+        pipeline's mesh ambient so activation constraints become GSPMD hints."""
+        from goal_force_tpu.parallel import use_mesh
+
+        with use_mesh(self.mesh):
+            return self._generate(*args, **kwargs)
+
+    def _generate(
         self,
         prompt: str,
         input_image: np.ndarray,              # (H, W, 3) float [0,1]
@@ -280,5 +288,10 @@ class S2VPipeline:
                 use_motion, use_pose,
             )
 
+        if use_motion:
+            # WanVideoPostUnit_S2V (reference :1232-1239, drop_motion_frames=False):
+            # decode the motion context followed by the generated frames — the ref
+            # latent frame is dropped, the 73 motion frames lead the output.
+            latents = jnp.concatenate([motion_latents, latents[:, 1:]], axis=1)
         video = self._decode_vae(self.params["vae"], latents.astype(jnp.float32))
         return np.asarray((video[0] + 1.0) / 2.0, np.float32)

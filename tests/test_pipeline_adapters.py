@@ -90,6 +90,25 @@ def test_camera_control(pipe, image):
     assert np.abs(out - base).max() > 1e-6
 
 
+def test_camera_model_y_path():
+    """Fun-Camera checkpoints use in_dim = 2*z with a mask-less y (zeros + frame-0
+    single-image encode, reference WanVideoUnit_FunCameraControl :1016-1022) — not
+    the 4+z i2v y."""
+    dit_cfg, t5_cfg, vae_cfg, _ = configs.tiny_pipeline_configs()
+    dit_cfg = dataclasses.replace(dit_cfg, in_dim=2 * vae_cfg.z_dim)
+    p = GoalForcePipeline.init_random(
+        jax.random.PRNGKey(3), dit_cfg=dit_cfg, t5_cfg=t5_cfg, vae_cfg=vae_cfg,
+        cn_cfg=None, dtype=jnp.float32,
+    )
+    p.params["camera_adapter"] = init_simple_adapter(
+        jax.random.PRNGKey(4), out_dim=dit_cfg.dim, in_dim=24,
+        kernel=dit_cfg.patch_size[1])
+    image = np.random.default_rng(5).uniform(size=(H, W, 3)).astype(np.float32)
+    out = p("a ball", image, camera_control_direction="Up", **KW)
+    assert out.shape == (F, H, W, 3)
+    assert np.isfinite(out).all()
+
+
 # ---------------------------------------------------------------------------
 # t2v + VACE (no first-frame conditioning)
 # ---------------------------------------------------------------------------

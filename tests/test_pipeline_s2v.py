@@ -145,9 +145,11 @@ def test_s2v_motion():
     with_motion = p("a person speaks", image, audio_embeds=audio,
                     motion_video=motion, seed=0, num_frames=F,
                     num_inference_steps=1)
-    assert with_motion.shape == (F, h2, w2, 3)
+    # WanVideoPostUnit_S2V: the 73 motion frames lead the output and the ref
+    # latent frame is dropped -> 73 + (F-1) frames
+    assert with_motion.shape == (73 + F - 1, h2, w2, 3)
     assert np.isfinite(with_motion).all()
-    assert np.abs(with_motion - base).max() > 1e-6
+    assert np.abs(with_motion[-(F - 1):] - base[1:]).max() > 1e-6
 
 
 def test_s2v_motion_frame_count_enforced(pipe, inputs):

@@ -729,9 +729,34 @@ class GoalForcePipeline:
         tea_cache_model_id: str = "Wan2.1-I2V-14B-480P",
         sliding_window_size: Optional[int] = None,
         sliding_window_stride: Optional[int] = None,
+        tiled: Optional[bool] = None,         # per-call VAE tiling override
+        tile_size: Optional[tuple] = None,    # latent units (reference :649)
+        tile_stride: Optional[tuple] = None,
         progress: bool = False,
     ) -> np.ndarray:
         """Returns (F, H, W, 3) float32 frames in [0, 1]."""
+        if tiled is not None or tile_size is not None or tile_stride is not None:
+            # per-call tiling override (reference __call__ tiled/tile_size/
+            # tile_stride kwargs :648-650); the VAE entry points read pipe_cfg
+            overrides = {k: v for k, v in
+                         [("tiled", tiled), ("tile_size", tile_size),
+                          ("tile_stride", tile_stride)] if v is not None}
+            saved = self.pipe_cfg
+            self.pipe_cfg = dataclasses.replace(saved, **overrides)
+            try:
+                return self._generate(
+                    prompt, input_image, control_signal_video, negative_prompt,
+                    end_image, input_video, fun_control_video, reference_image,
+                    camera_control_direction, camera_control_speed,
+                    camera_control_origin, motion_bucket_id, vace_video,
+                    vace_video_mask, vace_reference_image, vace_scale,
+                    denoising_strength, seed, height, width, num_frames,
+                    num_inference_steps, cfg_scale, sigma_shift,
+                    switch_dit_boundary, controlnet, tea_cache_l1_thresh,
+                    tea_cache_model_id, sliding_window_size,
+                    sliding_window_stride, progress=progress)
+            finally:
+                self.pipe_cfg = saved
         pc = self.pipe_cfg
         num_frames = num_frames or pc.num_frames
         steps = num_inference_steps or pc.num_inference_steps

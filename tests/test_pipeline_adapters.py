@@ -188,3 +188,20 @@ def test_vace_mask_interpolation_matches_torch():
         torch.from_numpy(m)[None], size=(t_out, h8, w8), mode="nearest-exact"
     )[0].numpy()
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_per_call_tiling_override(pipe, image):
+    """tiled/tile_size/tile_stride per-call kwargs (reference __call__ :648-650).
+
+    Forcing 2-latent tiles on the tiny VAE (receptive field wider than a tile)
+    must actually route through the tiled coders — the blend-mask tiling is an
+    approximation, so the output changing proves the switch — and the override
+    must not stick to the pipeline config."""
+    base = pipe("a ball", image, tiled=False, **KW)
+    tiled = pipe("a ball", image, tiled=True, tile_size=(2, 2),
+                 tile_stride=(1, 1), **KW)
+    assert pipe.pipe_cfg.tile_size == (30, 52)  # override did not stick
+    assert pipe.pipe_cfg.tiled is True
+    assert tiled.shape == base.shape
+    assert np.isfinite(tiled).all()
+    assert np.abs(tiled - base).max() > 1e-6  # tiled path actually ran

@@ -18,8 +18,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def run_canny_edge(pipe, args, out_dir, step):
+    """Canny-edge control inference (reference scripts/inference/
+    inference_canny_edge_control.py:125-183): CSV rows (image, control_video,
+    caption) with precomputed canny videos under canny-videos/ and first
+    frames under images/."""
+    import pandas as pd
+    from PIL import Image
+
+    from goal_force_tpu.data.video_io import load_video, save_video
+
+    csvs = split_contiguous(args.example_paths, args.world_size, args.device_id)
+    for csv in csvs:
+        df = pd.read_csv(csv)
+        base_path = os.path.dirname(csv)
+        for _, row in df.iterrows():
+            image = np.asarray(
+                Image.open(os.path.join(base_path, "images", row["image"]))
+                .convert("RGB").resize((args.width, args.height)),
+                np.float32) / 255.0
+            cv_name = row["control_video"]
+            frames = load_video(os.path.join(base_path, "canny-videos", cv_name),
+                                args.num_frames)
+            import cv2
+
+            cv = np.stack([cv2.resize(f, (args.width, args.height),
+                                      interpolation=cv2.INTER_AREA) for f in frames])
+            root = cv_name.split("_canny.mp4")[0].split(".mp4")[0]
+            out = os.path.join(out_dir, f"{root}-canny-output.mp4")
+            save_video(cv, os.path.join(out_dir, f"{root}-canny-control-signal.mp4"),
+                       fps=15, quality=5)
+            Image.fromarray((image * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{root}-image-condition.png"))
+            video = pipe(row["caption"], image, control_signal_video=cv,
+                         seed=args.seed, num_frames=args.num_frames, progress=True)
+            save_video(video, out, fps=15, quality=5)
+            print("wrote", out)
+
+
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--control_signal_type", type=str, default="goal_force",
+                   choices=["goal_force", "canny_edge"],
+                   help="canny_edge: CSVs with (image, control_video, caption) rows "
+                        "and precomputed canny videos (reference "
+                        "inference_canny_edge_control.py; default num_frames 49 there)")
     p.add_argument("--model_ckpt_path", type=str, default=None,
                    help="trained ControlNet step-K.safetensors (omit => base Wan2.2)")
     p.add_argument("--high_noise_model", type=str, required=True)
@@ -82,6 +125,10 @@ def main():
     out_dir = args.output_dir or os.path.join(
         os.path.dirname(args.model_ckpt_path or "."), f"step-{step}-videos")
     os.makedirs(out_dir, exist_ok=True)
+
+    if args.control_signal_type == "canny_edge":
+        run_canny_edge(pipe, args, out_dir, step)
+        return
 
     csvs = split_contiguous(args.example_paths, args.world_size, args.device_id)
     for csv in csvs:

@@ -242,6 +242,35 @@ class FluxPipeline:
         return fn
 
     @functools.cached_property
+    def _denoise_step_eligen(self):
+        """EliGen step (reference FluxImageUnit_EliGen): entity prompts extend
+        the text tokens, so posi/nega run as separate forwards — the negative
+        branch only carries entities when eligen_enable_on_negative."""
+        cfg = self.dit_cfg
+        attn_impl = self.attn_impl
+
+        @functools.partial(jax.jit, static_argnames=("use_cfg",), donate_argnums=(1,))
+        def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
+               guidance, cfg_scale, use_cfg, ent_emb, ent_masks,
+               ent_emb_nega=None):
+            v = flux_dit_forward(dit, cfg, latents, timestep, prompt_emb[:1],
+                                 pooled[:1], guidance, attn_impl=attn_impl,
+                                 entity_prompt_emb=ent_emb,
+                                 entity_masks=ent_masks)
+            if use_cfg:
+                nega_ent = ent_emb_nega is not None
+                v_n = flux_dit_forward(
+                    dit, cfg, latents, timestep, prompt_emb[1:2], pooled[1:2],
+                    guidance, attn_impl=attn_impl,
+                    entity_prompt_emb=ent_emb_nega if nega_ent else None,
+                    entity_masks=ent_masks if nega_ent else None)
+                v = v_n + cfg_scale * (v - v_n)
+            return fm.euler_step(latents, v.astype(latents.dtype), sigma,
+                                 sigma_next)
+
+        return fn
+
+    @functools.cached_property
     def _decode(self):
         return jax.jit(lambda p, z: sd3_vae_decode(
             p, z, self.vae_scaling, self.vae_dec_plan, self.vae_groups))
@@ -290,6 +319,9 @@ class FluxPipeline:
         flex_condition=None,                       # (1, h, w, C) extra channels
         flex_uncondition=None,
         flex_control_stop_timestep: float = 0.0,
+        eligen_entity_prompts=None,                # list[str] (EliGen)
+        eligen_entity_masks=None,                  # (M, H, W) float [0,1]
+        eligen_enable_on_negative: bool = False,
         prompt_emb_override=None,                  # (B, S, text_dim), e.g.
         # NexusGen adapter/merger outputs (flux_image_new.py:791-812)
         tea_cache_thresh: float = 0.0,             # >0 enables Flux TeaCache
@@ -396,6 +428,35 @@ class FluxPipeline:
             kimg = jnp.asarray(kontext_image, jnp.float32)[None] * 2.0 - 1.0
             kontext = self._encode(self.vae_encoder, kimg).astype(self.dtype)
 
+        eligen = None
+        if eligen_entity_prompts is not None and eligen_entity_masks is not None:
+            if (cn_fn is not None or kontext is not None or step1x is not None
+                    or ip is not None or rope_tables_override is not None
+                    or flex_condition is not None or tea_cache_thresh > 0):
+                raise NotImplementedError(
+                    "EliGen composes with the base/CFG path only here")
+            e_clip, e_t5 = self._ids(list(eligen_entity_prompts))
+            ent_emb, _ = self._encode_text(self.t5, self.clip, e_t5, e_clip)
+            ent_emb = ent_emb.astype(self.dtype)[None]        # (1, M, L, D)
+            # PIL-NEAREST resize to latent res + binarize (reference
+            # FluxImageUnit_EliGen.preprocess_masks :741-751)
+            masks = np.asarray(eligen_entity_masks, np.float32)
+            mh, mw = height // self.vae_factor, width // self.vae_factor
+            yi = np.minimum((np.floor((np.arange(mh) + 0.5)
+                                      * masks.shape[1] / mh)).astype(int),
+                            masks.shape[1] - 1)
+            xi = np.minimum((np.floor((np.arange(mw) + 0.5)
+                                      * masks.shape[2] / mw)).astype(int),
+                            masks.shape[2] - 1)
+            masks_lat = (masks[:, yi][:, :, xi] > 0.5).astype(np.float32)[None]
+            ent_emb_nega = None
+            if eligen_enable_on_negative and use_cfg:
+                # nega branch reuses the negative prompt for every entity
+                # (reference prepare_eligen :760-762)
+                m = ent_emb.shape[1]
+                ent_emb_nega = jnp.repeat(prompt_emb[1:2][:, None], m, axis=1)
+            eligen = (ent_emb, jnp.asarray(masks_lat), ent_emb_nega)
+
         tc = None
         if tea_cache_thresh > 0:
             from goal_force_tpu.models.flux_dit import (
@@ -475,6 +536,13 @@ class FluxPipeline:
                                                     schedule.sigma_next(i),
                                                     use_cfg_=use_cfg)
                     tc.store(x_in, x_out)
+                continue
+            if eligen is not None:
+                ent_emb, ent_masks, ent_emb_nega = eligen
+                latents = self._denoise_step_eligen(
+                    self.dit, latents, tstep, schedule.sigmas[i],
+                    schedule.sigma_next(i), prompt_emb, pooled, guidance,
+                    cfg_scale, use_cfg, ent_emb, ent_masks, ent_emb_nega)
                 continue
             cn_res = cn_single_res = None
             if cn_fn is not None:

@@ -360,3 +360,32 @@ def test_nexus_editing_rope_override():
                            jnp.asarray([3.5]), rope_tables_override=tables)
     assert out.shape == (1, 8, 8, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flux_pipeline_eligen():
+    """EliGen through the public pipeline: entity prompts + masks change the
+    output; enable_on_negative exercises the nega-entities branch
+    (reference FluxImageUnit_EliGen, flux_image_new.py:741-767)."""
+    pipe = FluxPipeline.init_random(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(0)
+    masks = np.zeros((2, 32, 32), np.float32)
+    masks[0, :, :16] = 1.0
+    masks[1, :, 16:] = 1.0
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=0)
+    base = pipe("a cat and a dog", **kw)
+    out = pipe("a cat and a dog", eligen_entity_prompts=["a cat", "a dog"],
+               eligen_entity_masks=masks, **kw)
+    assert out.shape == (32, 32, 3)
+    assert np.isfinite(out).all()
+    assert np.abs(out - base).max() > 1e-6
+
+    out_cfg = pipe("a cat and a dog", negative_prompt="blurry", cfg_scale=2.0,
+                   eligen_entity_prompts=["a cat", "a dog"],
+                   eligen_entity_masks=masks, eligen_enable_on_negative=True,
+                   **kw)
+    assert np.isfinite(out_cfg).all()
+    assert np.abs(out_cfg - out).max() > 1e-6
+
+    with pytest.raises(NotImplementedError):
+        pipe("a cat", eligen_entity_prompts=["a cat"],
+             eligen_entity_masks=masks[:1], tea_cache_thresh=0.1, **kw)

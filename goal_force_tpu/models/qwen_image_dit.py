@@ -46,34 +46,44 @@ class QwenImageDiTConfig:
 
 
 @lru_cache(maxsize=8)
-def qwen_rope_tables(gh: int, gw: int, txt_len: int, axes_dim: Tuple[int, ...],
-                     theta: float):
+def qwen_rope_tables_multi(shapes, txt_len: int, axes_dim: Tuple[int, ...],
+                           theta: float):
     """((S_img, D/2), (S_txt, D/2)) cos/sin pairs (reference QwenEmbedRope.forward
-    with scale_rope=True :124-166): frame axis position 0; h/w positions centered
-    (range(-(n - n//2), n//2)); text positions start at max(gh//2, gw//2) on all
-    three axes."""
+    with scale_rope=True :124-166) for a LIST of image grids.
+
+    shapes: sequence of (gh, gw) token grids — the i-th shape's frame axis sits
+    at position i (main latents 0, context/edit images 1, 2, ... :136-141);
+    h/w positions are centered (range(-(n - n//2), n//2)); text positions start
+    at max over shapes of max(gh//2, gw//2) on all three axes (:158-163)."""
     halves = [d // 2 for d in axes_dim]
 
     def axis_angles(pos, d):
         freqs = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
         return np.outer(np.asarray(pos, np.float64), freqs)
 
-    hpos = np.arange(-(gh - gh // 2), gh // 2)
-    wpos = np.arange(-(gw - gw // 2), gw // 2)
-    af = axis_angles([0], axes_dim[0])                       # (1, 8)
-    ah = axis_angles(hpos, axes_dim[1])                      # (gh, 28)
-    aw = axis_angles(wpos, axes_dim[2])                      # (gw, 28)
-    img = np.concatenate([
-        np.broadcast_to(af[:, None, None, :], (1, gh, gw, halves[0])),
-        np.broadcast_to(ah[None, :, None, :], (1, gh, gw, halves[1])),
-        np.broadcast_to(aw[None, None, :, :], (1, gh, gw, halves[2])),
-    ], axis=-1).reshape(gh * gw, -1)
+    parts = []
+    for idx, (gh, gw) in enumerate(shapes):
+        af = axis_angles([idx], axes_dim[0])                 # (1, 8)
+        ah = axis_angles(np.arange(-(gh - gh // 2), gh // 2), axes_dim[1])
+        aw = axis_angles(np.arange(-(gw - gw // 2), gw // 2), axes_dim[2])
+        parts.append(np.concatenate([
+            np.broadcast_to(af[:, None, None, :], (1, gh, gw, halves[0])),
+            np.broadcast_to(ah[None, :, None, :], (1, gh, gw, halves[1])),
+            np.broadcast_to(aw[None, None, :, :], (1, gh, gw, halves[2])),
+        ], axis=-1).reshape(gh * gw, -1))
+    img = np.concatenate(parts, axis=0)
 
-    start = max(gh // 2, gw // 2)
+    start = max(max(gh // 2, gw // 2) for gh, gw in shapes)
     tpos = np.arange(start, start + txt_len)
     txt = np.concatenate([axis_angles(tpos, d) for d in axes_dim], axis=-1)
     return ((np.cos(img).astype(np.float32), np.sin(img).astype(np.float32)),
             (np.cos(txt).astype(np.float32), np.sin(txt).astype(np.float32)))
+
+
+def qwen_rope_tables(gh: int, gw: int, txt_len: int, axes_dim: Tuple[int, ...],
+                     theta: float):
+    """Single-grid convenience wrapper over qwen_rope_tables_multi."""
+    return qwen_rope_tables_multi(((gh, gw),), txt_len, axes_dim, theta)
 
 
 def _approx_gelu(x):
@@ -85,8 +95,36 @@ def _mod3(e):
     return shift[:, None], scale[:, None], gate[:, None]
 
 
+def _qwen_entity_bias(entity_masks, seg_lens, s_img_total: int, s_main: int):
+    """(B, 1, S, S) additive attention bias for EliGen (reference
+    process_entity_masks :448-496). seg_lens lists each text segment's length
+    with the global prompt LAST; entity_masks (B, M, h_lat, w_lat) are tiled
+    over extra image tokens (:478-480)."""
+    b, m = entity_masks.shape[:2]
+    gh, gw = entity_masks.shape[2] // 2, entity_masks.shape[3] // 2
+    patch = entity_masks.reshape(b, m, gh, 2, gw, 2)
+    patch = (patch.sum(axis=(3, 5)) > 0).reshape(b, m, gh * gw)
+    patch = jnp.tile(patch, (1, 1, s_img_total // s_main))
+    s_txt = int(sum(seg_lens))
+    s = s_txt + s_img_total
+    allow = jnp.ones((b, s, s), bool)
+    cum = np.cumsum([0] + list(seg_lens))
+    for i in range(m):  # the global prompt (last segment) stays dense
+        st, en = int(cum[i]), int(cum[i + 1])
+        im = jnp.repeat(patch[:, i][:, None], en - st, axis=1)
+        allow = allow.at[:, st:en, s_txt:].set(im)
+        allow = allow.at[:, s_txt:, st:en].set(im.transpose(0, 2, 1))
+    n = len(seg_lens)
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                allow = allow.at[:, int(cum[i]):int(cum[i + 1]),
+                                 int(cum[j]):int(cum[j + 1])].set(False)
+    return jnp.where(allow, 0.0, -jnp.inf)[:, None]
+
+
 def qwen_block(p, img, txt, temb, img_rope, txt_rope, cfg: QwenImageDiTConfig,
-               attn_impl="auto"):
+               attn_impl="auto", attn_bias=None):
     """QwenImageTransformerBlock.forward (:360-402)."""
     n = cfg.num_heads
     e_img = linear(p["img_mod"], jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
@@ -120,7 +158,8 @@ def qwen_block(p, img, txt, temb, img_rope, txt_rope, cfg: QwenImageDiTConfig,
     q = constrain(q, "dp", None, ("sp", "tp"), None)
     k = constrain(k, "dp", None, ("sp", "tp"), None)
     v = constrain(v, "dp", None, ("sp", "tp"), None)
-    out = attention(q, k, v, impl=attn_impl)
+    out = attention(q, k, v, impl="xla" if attn_bias is not None else attn_impl,
+                    bias=attn_bias)
     out = constrain(out, "dp", "sp", None, None).reshape(b, st + si, cfg.dim)
     att_txt = linear(a["to_add_out"], out[:, :st])
     att_img = linear(a["to_out"], out[:, st:])
@@ -149,24 +188,56 @@ def qwen_image_dit_forward(
     attn_impl: str = "auto",
     controlnet: Dict = None,       # blockwise controlnet params
     controlnet_cond: jnp.ndarray = None,   # (B, S, in_dim) patchified cond
+    extra_latents=None,            # list of (B, H_i, W_i, 16): context/edit images
+    entity_prompt_embs=None,       # list of (B, L_i, text_dim): EliGen locals
+    entity_masks: jnp.ndarray = None,      # (B, M, h_lat, w_lat) binary
 ) -> jnp.ndarray:
-    """QwenImageDiT.forward (:502-538). Returns image TOKENS (B, S, 64) like the
-    reference (the pipeline unpatchifies).
+    """QwenImageDiT.forward (:502-538). Returns image TOKENS (B, S_main, 64) like
+    the reference (the pipeline unpatchifies).
 
     controlnet/controlnet_cond: blockwise Qwen-Image ControlNet — after every
     block the image stream receives the zero-init residual of
-    qwen_image_controlnet.qwen_cn_block (reference qwen_image.py:37-45)."""
+    qwen_image_controlnet.qwen_cn_block (reference qwen_image.py:37-45).
+
+    extra_latents: clean conditioning images appended as extra image tokens with
+    their own rope grids at frame positions 1, 2, ... — the reference's
+    context_latents (in-context control) and edit_latents (Qwen-Image-Edit)
+    paths (model_fn_qwen_image :768-776); their output tokens are discarded
+    (:821-822).
+
+    entity_prompt_embs/entity_masks: Qwen EliGen (reference
+    process_entity_masks :434-500) — local prompts (true, unpadded lengths)
+    precede the global prompt in the text stream; each entity text block
+    attends only its masked image tokens (tiled over extra_latents), distinct
+    prompt blocks are mutually masked, image-image stays dense."""
     from goal_force_tpu.models.sd_unet import timestep_embedding
 
+    def patch2(z):
+        bb, hh, ww, cc = z.shape
+        g1, g2 = hh // 2, ww // 2
+        t = z.reshape(bb, g1, 2, g2, 2, cc).transpose(0, 1, 3, 5, 2, 4)
+        return t.reshape(bb, g1 * g2, cc * 4), (g1, g2)
+
     b, h, w, c = latents.shape
-    gh, gw = h // 2, w // 2
     dtype = params["proj_out"]["w"].dtype
-    x = latents.reshape(b, gh, 2, gw, 2, c).transpose(0, 1, 3, 5, 2, 4)
-    x = x.reshape(b, gh * gw, c * 4)
+    x, (gh, gw) = patch2(latents)
+    shapes = [(gh, gw)]
+    s_main = x.shape[1]
+    for extra in (extra_latents or ()):
+        xe, ge = patch2(extra.astype(latents.dtype))
+        shapes.append(ge)
+        x = jnp.concatenate([x, xe], axis=1)
     img = linear(params["img_in"], x)
-    txt = linear(params["txt_in"],
-                 rms_norm(prompt_emb.astype(dtype), params["txt_norm"]["w"],
-                          cfg.eps))
+    embed_txt = lambda e: linear(
+        params["txt_in"],
+        rms_norm(e.astype(dtype), params["txt_norm"]["w"], cfg.eps))
+    attn_bias = None
+    if entity_prompt_embs:
+        # local prompts FIRST, global LAST (reference :436-438)
+        segments = list(entity_prompt_embs) + [prompt_emb]
+        txt = jnp.concatenate([embed_txt(e) for e in segments], axis=1)
+    else:
+        txt = embed_txt(prompt_emb)
     # scale=1000 multiplies the sinusoid ANGLES (svd_unet get_timestep_embedding
     # `emb = scale * emb` BEFORE sin/cos :145-170) — equivalent to t*1000
     temb = timestep_embedding(timestep * 1000.0, cfg.freq_dim).astype(dtype)
@@ -174,8 +245,19 @@ def qwen_image_dit_forward(
                   jax.nn.silu(linear(params["time_in"]["fc0"], temb)
                               .astype(jnp.float32)).astype(dtype))
 
-    (icos, isin), (tcos, tsin) = qwen_rope_tables(
-        gh, gw, prompt_emb.shape[1], tuple(cfg.axes_dim), cfg.rope_theta)
+    shapes = tuple(shapes)
+    (icos, isin), (tcos, tsin) = qwen_rope_tables_multi(
+        shapes, prompt_emb.shape[1], tuple(cfg.axes_dim), cfg.rope_theta)
+    if entity_prompt_embs:
+        # each text segment gets its own rope run from the shared start
+        # (reference :441-446) and the block-structured attention bias
+        seg_tabs = [qwen_rope_tables_multi(shapes, e.shape[1],
+                                           tuple(cfg.axes_dim), cfg.rope_theta)[1]
+                    for e in segments]
+        tcos = np.concatenate([t[0] for t in seg_tabs], axis=0)
+        tsin = np.concatenate([t[1] for t in seg_tabs], axis=0)
+        attn_bias = _qwen_entity_bias(
+            entity_masks, [e.shape[1] for e in segments], x.shape[1], s_main)
     img_rope = (jnp.asarray(icos), jnp.asarray(isin))
     txt_rope = (jnp.asarray(tcos), jnp.asarray(tsin))
 
@@ -195,9 +277,12 @@ def qwen_image_dit_forward(
         if cn_cond is not None:
             p, cn_p = p
         xi, xt = qwen_block(p, xi, xt, temb, img_rope, txt_rope, cfg,
-                            attn_impl)
+                            attn_impl, attn_bias=attn_bias)
         if cn_cond is not None:
-            xi = xi + qwen_cn_block_p(cn_p, xi, cn_cond, cfg.eps)
+            # the CN residual lands on the MAIN image tokens only
+            # (reference model_fn_qwen_image :811-817 image[:, :image_seq_len])
+            res = qwen_cn_block_p(cn_p, xi[:, :s_main], cn_cond, cfg.eps)
+            xi = xi.at[:, :s_main].add(res)
         return (xi, xt), None
 
     if remat:
@@ -211,7 +296,7 @@ def qwen_image_dit_forward(
                jax.nn.silu(temb.astype(jnp.float32)).astype(dtype))
     scale, shift = jnp.split(e, 2, axis=-1)
     img = layer_norm(img, cfg.eps) * (1 + scale[:, None]) + shift[:, None]
-    return linear(params["proj_out"], img)
+    return linear(params["proj_out"], img[:, :s_main])
 
 
 def qwen_unpatchify(tokens, height, width, channels=16):

@@ -494,3 +494,59 @@ def qwen_vl_vision_params_from_torch(sd, cfg: QwenVLVisionConfig,
             "fc2": _lin(sd, prefix + "merger.mlp.2"),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# Host-side image preprocessing (HF Qwen2VLImageProcessor parity)
+# ---------------------------------------------------------------------------
+
+_QWEN_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+_QWEN_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def smart_resize(height: int, width: int, factor: int = 28,
+                 min_pixels: int = 56 * 56,
+                 max_pixels: int = 14 * 14 * 4 * 1280):
+    """Target (h, w): multiples of `factor`, aspect preserved, pixel count in
+    [min_pixels, max_pixels] (HF qwen2_vl image_processing smart_resize)."""
+    import math
+
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("absolute aspect ratio must be smaller than 200")
+    h_bar = max(factor, round(height / factor) * factor)
+    w_bar = max(factor, round(width / factor) * factor)
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = math.floor(height / beta / factor) * factor
+        w_bar = math.floor(width / beta / factor) * factor
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def preprocess_image_for_vision(image01: np.ndarray, cfg: QwenVLVisionConfig,
+                                min_pixels: int = 56 * 56,
+                                max_pixels: int = 14 * 14 * 4 * 1280):
+    """(H, W, 3) float [0,1] -> (n_patches, C*T*P*P) pixel patches + grid_thw.
+
+    Mirrors HF Qwen2VLImageProcessor._preprocess: smart-resize (bicubic) to
+    multiples of patch*merge, CLIP-normalize, duplicate the frame to
+    temporal_patch_size, then the (t, h//m, w//m, m, C, T, P, P) patch layout."""
+    from PIL import Image
+
+    p, m, t = cfg.patch_size, cfg.spatial_merge_size, cfg.temporal_patch_size
+    h0, w0 = image01.shape[:2]
+    h, w = smart_resize(h0, w0, factor=p * m, min_pixels=min_pixels,
+                        max_pixels=max_pixels)
+    pil = Image.fromarray((np.clip(image01, 0, 1) * 255).astype(np.uint8))
+    arr = np.asarray(pil.resize((w, h), Image.BICUBIC), np.float32) / 255.0
+    arr = (arr - np.asarray(_QWEN_IMAGE_MEAN)) / np.asarray(_QWEN_IMAGE_STD)
+    arr = arr.transpose(2, 0, 1)[None]                     # (1, C, H, W)
+    arr = np.repeat(arr, t, axis=0)                        # (T, C, H, W)
+    gh, gw = h // p, w // p
+    patches = arr.reshape(1, t, 3, gh // m, m, p, gw // m, m, p)
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return (patches.reshape(gh * gw, 3 * t * p * p).astype(np.float32),
+            (1, gh, gw))

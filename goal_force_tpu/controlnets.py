@@ -58,7 +58,10 @@ class Annotator:
           - depth loads the MiDaS DPT-Hybrid weights in the HF
             `Intel/dpt-hybrid-midas` layout through extensions/depth.py
             (num_heads overrides the shape-inferred ViT head count — it is
-            not recorded in checkpoints; the real geometry infers 12).
+            not recorded in checkpoints; the real geometry infers 12);
+          - lineart loads the sk_model.pth CycleGAN generator (or
+            sk_model2.pth, the same net trained coarse) through
+            extensions/lineart.py.
         approx=True opts into the documented classical stand-ins for ids
         whose learned detector weights are unavailable."""
         if processor_id not in PROCESSOR_IDS:
@@ -86,11 +89,17 @@ class Annotator:
                 if num_heads is not None:
                     cfg = _dc.replace(cfg, num_heads=num_heads)
                 self._net = (dpt_params_from_torch(sd, cfg), cfg)
+            elif processor_id == "lineart":
+                from goal_force_tpu.extensions.lineart import (
+                    lineart_params_from_torch)
+
+                self._net = lineart_params_from_torch(
+                    load_weights(weights_path))
             else:
                 raise ValueError(
                     f"no learned net is ported for {processor_id!r}; "
                     "softedge loads ControlNetHED.pth, depth loads "
-                    "dpt-hybrid-midas")
+                    "dpt-hybrid-midas, lineart loads sk_model.pth")
 
     # ids served exactly without any external weights
     _EXACT = ("canny", "tile", "none", "inpaint")
@@ -113,6 +122,10 @@ class Annotator:
                 params, cfg = self._net
                 d = depth_annotate(params, cfg, img)
                 return np.repeat(d[..., None], 3, -1)
+            if self.processor_id == "lineart":
+                from goal_force_tpu.extensions.lineart import lineart_annotate
+
+                return lineart_annotate(self._net, img).astype(np.float32) / 255.0
             from goal_force_tpu.extensions.hed import hed_forward
 
             edge = np.asarray(hed_forward(

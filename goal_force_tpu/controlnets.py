@@ -61,7 +61,9 @@ class Annotator:
             not recorded in checkpoints; the real geometry infers 12);
           - lineart loads the sk_model.pth CycleGAN generator (or
             sk_model2.pth, the same net trained coarse) through
-            extensions/lineart.py.
+            extensions/lineart.py;
+          - openpose loads body_pose_model.pth (two-branch CPM body
+            network + PAF decode) through extensions/openpose.py.
         approx=True opts into the documented classical stand-ins for ids
         whose learned detector weights are unavailable."""
         if processor_id not in PROCESSOR_IDS:
@@ -95,11 +97,17 @@ class Annotator:
 
                 self._net = lineart_params_from_torch(
                     load_weights(weights_path))
+            elif processor_id == "openpose":
+                from goal_force_tpu.extensions.openpose import (
+                    body_params_from_torch)
+
+                self._net = body_params_from_torch(load_weights(weights_path))
             else:
                 raise ValueError(
                     f"no learned net is ported for {processor_id!r}; "
                     "softedge loads ControlNetHED.pth, depth loads "
-                    "dpt-hybrid-midas, lineart loads sk_model.pth")
+                    "dpt-hybrid-midas, lineart loads sk_model.pth, openpose "
+                    "loads body_pose_model.pth")
 
     # ids served exactly without any external weights
     _EXACT = ("canny", "tile", "none", "inpaint")
@@ -126,6 +134,10 @@ class Annotator:
                 from goal_force_tpu.extensions.lineart import lineart_annotate
 
                 return lineart_annotate(self._net, img).astype(np.float32) / 255.0
+            if self.processor_id == "openpose":
+                from goal_force_tpu.extensions.openpose import openpose_annotate
+
+                return openpose_annotate(self._net, img).astype(np.float32) / 255.0
             from goal_force_tpu.extensions.hed import hed_forward
 
             edge = np.asarray(hed_forward(

@@ -1,0 +1,164 @@
+"""OpenPose body annotator: golden network parity + decode behavior.
+
+The reference's Annotator("openpose") wraps controlnet_aux's OpenposeDetector
+(diffsynth/controlnets/processors.py:26-28); its body branch is the two-branch
+CPM network shipped as body_pose_model.pth. controlnet_aux is not installed
+here, so the torch side is reconstructed from the checkpoint's flat layer
+names with random weights; the converter must reproduce the network exactly.
+The PAF decode is exercised on synthetic maps with known ground truth.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from goal_force_tpu.extensions.openpose import (LIMB_SEQ, MAP_IDX,
+                                                body_forward,
+                                                body_params_from_torch,
+                                                decode_body_maps,
+                                                draw_bodypose,
+                                                init_openpose_body,
+                                                openpose_annotate)
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+
+def _build_torch_body():
+    """The body_pose_model layout: flat named conv layers, ReLU after every
+    conv except each branch's final 1x1 output."""
+    import collections
+
+    def convs(plan, final_no_relu=True):
+        layers = collections.OrderedDict()
+        for i, item in enumerate(plan):
+            if item == "pool":
+                layers[f"pool_{i}"] = nn.MaxPool2d(2, 2)
+                continue
+            name, ci, co, k = item
+            layers[name] = nn.Conv2d(ci, co, k, padding=k // 2)
+            is_last = i == len(plan) - 1
+            if not (final_no_relu and is_last):
+                layers["relu_" + name] = nn.ReLU()
+        return nn.Sequential(layers)
+
+    from goal_force_tpu.extensions.openpose import _TRUNK, _stage_plan
+
+    class Body(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.trunk = convs(_TRUNK, final_no_relu=False)
+            for s in range(1, 7):
+                for br in ("L1", "L2"):
+                    setattr(self, f"s{s}{br}", convs(_stage_plan(s, br)))
+
+        def forward(self, x):
+            t = self.trunk(x)
+            paf, heat = self.s1L1(t), self.s1L2(t)
+            for s in range(2, 7):
+                inp = torch.cat([paf, heat, t], dim=1)
+                paf = getattr(self, f"s{s}L1")(inp)
+                heat = getattr(self, f"s{s}L2")(inp)
+            return paf, heat
+
+    return Body().eval()
+
+
+def _flat_sd(model):
+    """state dict with the checkpoint's flat keys (conv name only)."""
+    out = {}
+    for k, v in model.state_dict().items():
+        out[k.split(".", 1)[1]] = v.numpy()
+    return out
+
+
+def test_openpose_body_golden_parity():
+    torch.manual_seed(0)
+    ref = _build_torch_body()
+    sd = _flat_sd(ref)
+    params = body_params_from_torch(sd)
+    with pytest.raises(ValueError, match="unconsumed"):
+        body_params_from_torch({**sd, "bogus.k": sd["conv1_1.bias"]})
+
+    img = np.random.default_rng(0).uniform(-0.5, 0.5, (1, 16, 24, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        want_paf, want_heat = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    paf, heat = body_forward(params, img)
+    assert paf.shape == (1, 2, 3, 38) and heat.shape == (1, 2, 3, 19)
+    np.testing.assert_allclose(np.asarray(paf), want_paf.numpy()
+                               .transpose(0, 2, 3, 1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(heat), want_heat.numpy()
+                               .transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def _synthetic_person(h, w, joints):
+    """Build heat/paf maps encoding one person with the given part -> (x, y)
+    dict (1-based part ids)."""
+    heat = np.zeros((h, w, 19), np.float32)
+    paf = np.zeros((h, w, 38), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for part, (x, y) in joints.items():
+        heat[:, :, part - 1] = np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / 18.0)
+    for (a, b), (m1, m2) in zip(LIMB_SEQ, MAP_IDX):
+        if a in joints and b in joints:
+            (x1, y1), (x2, y2) = joints[a], joints[b]
+            vec = np.array([x2 - x1, y2 - y1], np.float32)
+            vec /= max(np.hypot(*vec), 1e-8)
+            # paint the PAF in a broad band around the segment
+            t = ((xx - x1) * (x2 - x1) + (yy - y1) * (y2 - y1))
+            t /= max((x2 - x1) ** 2 + (y2 - y1) ** 2, 1e-8)
+            t = np.clip(t, 0, 1)
+            px, py = x1 + t * (x2 - x1), y1 + t * (y2 - y1)
+            band = (np.hypot(xx - px, yy - py) < 4.0)
+            paf[:, :, m1] += band * vec[0]
+            paf[:, :, m2] += band * vec[1]
+    return heat, paf
+
+
+def test_decode_recovers_synthetic_person():
+    joints = {1: (40, 12), 2: (40, 24), 3: (30, 24), 4: (26, 40),
+              6: (50, 24), 7: (54, 40), 9: (34, 48), 12: (46, 48)}
+    heat, paf = _synthetic_person(64, 80, joints)
+    candidate, subset = decode_body_maps(heat, paf)
+    assert len(subset) == 1
+    person = subset[0]
+    assert person[-1] == len(joints)  # every painted part assembled
+    for part, (x, y) in joints.items():
+        idx = int(person[part - 1])
+        assert idx >= 0
+        px, py = candidate[idx, 0:2]
+        assert abs(px - x) <= 1 and abs(py - y) <= 1
+    canvas = draw_bodypose(np.zeros((64, 80, 3), np.uint8), candidate, subset)
+    assert canvas.sum() > 0
+
+
+def test_decode_rejects_sparse_person():
+    """A person with <4 parts is dropped (the reference deleteIdx rule)."""
+    heat, paf = _synthetic_person(64, 80, {1: (40, 12), 2: (40, 24)})
+    _, subset = decode_body_maps(heat, paf)
+    assert len(subset) == 0
+
+
+def test_openpose_annotator_wiring(tmp_path):
+    from safetensors.numpy import save_file
+
+    from goal_force_tpu.controlnets import Annotator
+
+    torch.manual_seed(1)
+    sd = _flat_sd(_build_torch_body())
+    path = tmp_path / "body_pose_model.safetensors"
+    save_file(sd, str(path))
+    ann = Annotator("openpose", weights_path=str(path))
+    img = np.random.default_rng(1).integers(0, 255, (48, 64, 3), np.uint8)
+    out = ann(img)
+    assert out.shape == (48, 64, 3) and out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_openpose_annotate_random_weights_runs():
+    params = init_openpose_body(jax.random.PRNGKey(0))
+    img = np.random.default_rng(2).integers(0, 255, (40, 56, 3), np.uint8)
+    out = openpose_annotate(params, img)
+    assert out.shape == (40, 56, 3) and out.dtype == np.uint8

@@ -63,7 +63,9 @@ class Annotator:
             sk_model2.pth, the same net trained coarse) through
             extensions/lineart.py;
           - openpose loads body_pose_model.pth (two-branch CPM body
-            network + PAF decode) through extensions/openpose.py.
+            network + PAF decode) through extensions/openpose.py;
+          - lineart_anime loads the netG.pth pix2pix UnetGenerator through
+            extensions/lineart_anime.py.
         approx=True opts into the documented classical stand-ins for ids
         whose learned detector weights are unavailable."""
         if processor_id not in PROCESSOR_IDS:
@@ -102,6 +104,12 @@ class Annotator:
                     body_params_from_torch)
 
                 self._net = body_params_from_torch(load_weights(weights_path))
+            elif processor_id == "lineart_anime":
+                from goal_force_tpu.extensions.lineart_anime import (
+                    lineart_anime_params_from_torch)
+
+                self._net = lineart_anime_params_from_torch(
+                    load_weights(weights_path))
             else:
                 raise ValueError(
                     f"no learned net is ported for {processor_id!r}; "
@@ -138,6 +146,12 @@ class Annotator:
                 from goal_force_tpu.extensions.openpose import openpose_annotate
 
                 return openpose_annotate(self._net, img).astype(np.float32) / 255.0
+            if self.processor_id == "lineart_anime":
+                from goal_force_tpu.extensions.lineart_anime import (
+                    lineart_anime_annotate)
+
+                return lineart_anime_annotate(self._net, img) \
+                    .astype(np.float32) / 255.0
             from goal_force_tpu.extensions.hed import hed_forward
 
             edge = np.asarray(hed_forward(

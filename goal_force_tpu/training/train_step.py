@@ -43,11 +43,19 @@ class TrainState:
     step: jnp.ndarray
 
 
-def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.01, grad_clip: float = 1.0):
-    return optax.chain(
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.01, grad_clip: float = 1.0,
+                   grad_accum_steps: int = 1):
+    """AdamW with global-norm clipping; grad_accum_steps > 1 averages
+    gradients over that many micro-steps and applies the clipped AdamW
+    update only on the sync step (the reference's accelerator.accumulate +
+    clip-on-sync_gradients loop, src/goal_force/utils.py:742-844)."""
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay),
     )
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx
 
 
 def training_loss(

@@ -65,6 +65,9 @@ class TrainerConfig:
     lr: float = 1e-5                    # train_goal_force.sh
     weight_decay: float = 0.01
     grad_clip: float = 1.0
+    # micro-batches averaged per optimizer step (reference
+    # --gradient_accumulation_steps, utils.py:742-844)
+    grad_accum_steps: int = 1
     num_epochs: int = 2
     save_steps: int = 500
     log_every: int = 10
@@ -104,7 +107,8 @@ def train(
     from goal_force_tpu.data.datasets import should_skip
     from goal_force_tpu.parallel import use_mesh
 
-    optimizer = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip)
+    optimizer = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip,
+                               grad_accum_steps=cfg.grad_accum_steps)
     step_fn = make_train_step(
         dit_cfg, t5_cfg, vae_cfg, cn_cfg, optimizer,
         num_frames=cfg.num_frames,

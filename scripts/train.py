@@ -40,6 +40,7 @@ def parse_args():
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--num_epochs", type=int, default=2)
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--max_steps", type=int, default=None)
@@ -125,6 +126,7 @@ def main():
     tcfg = TrainerConfig(
         output_dir=args.output_path, lr=args.learning_rate, weight_decay=args.weight_decay,
         grad_clip=args.max_grad_norm, num_epochs=args.num_epochs, save_steps=args.save_steps,
+        grad_accum_steps=args.gradient_accumulation_steps,
         max_timestep_boundary=args.max_timestep_boundary,
         train_lora=args.train_lora, lora_rank=args.lora_rank,
         min_timestep_boundary=args.min_timestep_boundary,

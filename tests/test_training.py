@@ -90,3 +90,50 @@ def test_grad_norm_clipping(setup):
         for a, b in zip(jax.tree_util.tree_leaves(cn_before), jax.tree_util.tree_leaves(state2.params))
     )
     assert delta < 1e-2
+
+
+def test_grad_accumulation_matches_mean_gradient():
+    """grad_accum_steps=k: no update until the k-th micro-step, and the
+    synced update equals a single step on the mean gradient (reference
+    accelerator.accumulate semantics, src/goal_force/utils.py:742-844)."""
+    import optax
+
+    params = {"w": jnp.arange(4.0)}
+    g1 = {"w": jnp.array([1.0, -2.0, 0.5, 3.0])}
+    g2 = {"w": jnp.array([-1.0, 4.0, 0.5, 1.0])}
+
+    acc = make_optimizer(lr=1e-2, grad_clip=100.0, grad_accum_steps=2)
+    st = acc.init(params)
+    up1, st = acc.update(g1, st, params)
+    mid = optax.apply_updates(params, up1)
+    # first micro-step: identity
+    assert all(float(jnp.abs(a - b).max()) == 0
+               for a, b in zip(jax.tree_util.tree_leaves(mid),
+                               jax.tree_util.tree_leaves(params)))
+    up2, st = acc.update(g2, st, mid)
+    got = optax.apply_updates(mid, up2)
+
+    ref = make_optimizer(lr=1e-2, grad_clip=100.0)
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+    upr, _ = ref.update(gmean, ref.init(params), params)
+    want = optax.apply_updates(params, upr)
+    assert float(jnp.abs(got["w"] - want["w"]).max()) < 1e-7
+
+
+def test_grad_accumulation_through_generic_step():
+    from goal_force_tpu.training.generic import (GenericTrainState,
+                                                 make_generic_train_step)
+
+    def loss_fn(p, batch, rng):
+        return jnp.sum((p["w"] - batch["t"]) ** 2)
+
+    opt = make_optimizer(lr=1e-2, grad_clip=100.0, grad_accum_steps=2)
+    params = {"w": jnp.ones((3,))}
+    state = GenericTrainState(params, opt.init(params),
+                              jnp.zeros((), jnp.int32))
+    step = make_generic_train_step(loss_fn, opt)
+    b = {"t": jnp.zeros((3,))}
+    state, m1 = step(state, b, jax.random.PRNGKey(0))
+    assert float(jnp.abs(state.params["w"] - 1.0).max()) == 0  # accumulating
+    state, m2 = step(state, b, jax.random.PRNGKey(1))
+    assert float(jnp.abs(state.params["w"] - 1.0).max()) > 0   # synced

@@ -4,11 +4,13 @@ Parity targets:
   - Annotator (/root/reference/diffsynth/controlnets/processors.py:8-62): dispatch
     over processor ids canny/depth/softedge/lineart/lineart_anime/openpose/normal/
     tile/none/inpaint. The reference wraps controlnet_aux's PRETRAINED detectors
-    (MiDaS, HED, ...); those require external model weights, so here the
-    model-based ids accept a user-supplied `processor` callable (e.g. a
-    controlnet_aux detector where installed) and otherwise fall back to cheap
-    classical host-side approximations — documented per id — while canny and the
-    pass-through ids (tile/none/inpaint) are exact.
+    (MiDaS, HED, ...). Here EVERY model-based id has a TPU-native port of the
+    corresponding detector network, loadable from its released checkpoint via
+    `weights_path=` (extensions/{depth,hed,lineart,lineart_anime,openpose,
+    normalbae}.py — all golden-tested); canny and the pass-through ids
+    (tile/none/inpaint) are exact without weights. A user-supplied `processor`
+    callable is still accepted, and cheap classical host-side approximations
+    remain available behind the explicit `approx=True` opt-in.
   - ControlNetUnit / MultiControlNetManager
     (/root/reference/diffsynth/controlnets/controlnet_unit.py:14-65): each unit is
     (annotator, model params + apply fn, scale); the manager processes the image
@@ -65,7 +67,9 @@ class Annotator:
           - openpose loads body_pose_model.pth (two-branch CPM body
             network + PAF decode) through extensions/openpose.py;
           - lineart_anime loads the netG.pth pix2pix UnetGenerator through
-            extensions/lineart_anime.py.
+            extensions/lineart_anime.py;
+          - normal loads the NormalBae scannet.pt NNET (tf_efficientnet_b5
+            encoder + BN refinement decoder) through extensions/normalbae.py.
         approx=True opts into the documented classical stand-ins for ids
         whose learned detector weights are unavailable."""
         if processor_id not in PROCESSOR_IDS:
@@ -110,6 +114,12 @@ class Annotator:
 
                 self._net = lineart_anime_params_from_torch(
                     load_weights(weights_path))
+            elif processor_id == "normal":
+                from goal_force_tpu.extensions.normalbae import (
+                    normalbae_params_from_torch)
+
+                self._net = normalbae_params_from_torch(
+                    load_weights(weights_path))
             else:
                 raise ValueError(
                     f"no learned net is ported for {processor_id!r}; "
@@ -151,6 +161,12 @@ class Annotator:
                     lineart_anime_annotate)
 
                 return lineart_anime_annotate(self._net, img) \
+                    .astype(np.float32) / 255.0
+            if self.processor_id == "normal":
+                from goal_force_tpu.extensions.normalbae import (
+                    normalbae_annotate)
+
+                return normalbae_annotate(self._net, img) \
                     .astype(np.float32) / 255.0
             from goal_force_tpu.extensions.hed import hed_forward
 

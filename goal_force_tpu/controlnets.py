@@ -51,7 +51,8 @@ class Annotator:
                  low: int = 100, high: int = 200,
                  weights_path: Optional[str] = None,
                  approx: bool = False,
-                 num_heads: Optional[int] = None):
+                 num_heads: Optional[int] = None,
+                 hand_weights_path: Optional[str] = None):
         """weights_path: local checkpoint for a LEARNED annotator net — like
         the reference loads controlnet_aux detectors from models/Annotators
         (processors.py:9-33):
@@ -65,7 +66,9 @@ class Annotator:
             sk_model2.pth, the same net trained coarse) through
             extensions/lineart.py;
           - openpose loads body_pose_model.pth (two-branch CPM body
-            network + PAF decode) through extensions/openpose.py;
+            network + PAF decode) through extensions/openpose.py, plus
+            hand_pose_model.pth via hand_weights_path= for include_hand
+            rendering (face is not ported);
           - lineart_anime loads the netG.pth pix2pix UnetGenerator through
             extensions/lineart_anime.py;
           - normal loads the NormalBae scannet.pt NNET (tf_efficientnet_b5
@@ -105,9 +108,14 @@ class Annotator:
                     load_weights(weights_path))
             elif processor_id == "openpose":
                 from goal_force_tpu.extensions.openpose import (
-                    body_params_from_torch)
+                    body_params_from_torch, hand_params_from_torch)
 
-                self._net = body_params_from_torch(load_weights(weights_path))
+                hand = None
+                if hand_weights_path is not None:
+                    hand = hand_params_from_torch(
+                        load_weights(hand_weights_path))
+                self._net = (body_params_from_torch(load_weights(weights_path)),
+                             hand)
             elif processor_id == "lineart_anime":
                 from goal_force_tpu.extensions.lineart_anime import (
                     lineart_anime_params_from_torch)
@@ -155,7 +163,9 @@ class Annotator:
             if self.processor_id == "openpose":
                 from goal_force_tpu.extensions.openpose import openpose_annotate
 
-                return openpose_annotate(self._net, img).astype(np.float32) / 255.0
+                body, hand = self._net
+                return openpose_annotate(body, img, hand_params=hand) \
+                    .astype(np.float32) / 255.0
             if self.processor_id == "lineart_anime":
                 from goal_force_tpu.extensions.lineart_anime import (
                     lineart_anime_annotate)

@@ -330,9 +330,203 @@ def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray,
     return canvas
 
 
-def openpose_annotate(params: Dict, image: np.ndarray) -> np.ndarray:
+def openpose_annotate(params: Dict, image: np.ndarray,
+                      hand_params: Dict = None) -> np.ndarray:
     """uint8 (H, W, 3) -> uint8 (H, W, 3) pose control image: the detected
-    skeletons drawn on black (OpenposeDetector's body-only output)."""
+    skeletons drawn on black (OpenposeDetector's output; hands are included
+    when the hand network's params are supplied — include_hand semantics).
+    The face branch is not ported."""
     candidate, subset = body_estimate(params, image)
     canvas = np.zeros_like(image)
-    return draw_bodypose(canvas, candidate, subset)
+    canvas = draw_bodypose(canvas, candidate, subset)
+    if hand_params is not None:
+        for x, y, w, _ in hand_detect(candidate, subset, image.shape[:2]):
+            crop = image[y:y + w, x:x + w]
+            if min(crop.shape[:2]) < 16:
+                continue
+            peaks = hand_estimate(hand_params, crop)
+            found = peaks[:, 0] >= 0
+            peaks[found] += np.array([x, y])
+            canvas = draw_handpose(canvas, peaks)
+    return canvas
+
+
+# ---------------------------------------------------------------------------
+# hand branch: the CPM hand network (``hand_pose_model.pth``, flat keys
+# ``conv1_1`` .. ``Mconv7_stage6``) — a VGG19 trunk into 128-ch CPM features,
+# a 22-map stage-1 head, and five 150->22 refinement stages — plus the
+# body-keypoint-derived hand boxes and the 21-point hand skeleton rendering.
+
+_HAND_TRUNK = (
+    ("conv1_1", 3, 64, 3), ("conv1_2", 64, 64, 3), "pool",
+    ("conv2_1", 64, 128, 3), ("conv2_2", 128, 128, 3), "pool",
+    ("conv3_1", 128, 256, 3), ("conv3_2", 256, 256, 3),
+    ("conv3_3", 256, 256, 3), ("conv3_4", 256, 256, 3), "pool",
+    ("conv4_1", 256, 512, 3), ("conv4_2", 512, 512, 3),
+    ("conv4_3", 512, 512, 3), ("conv4_4", 512, 512, 3),
+    ("conv5_1", 512, 512, 3), ("conv5_2", 512, 512, 3),
+    ("conv5_3_CPM", 512, 128, 3),
+)
+
+
+def _hand_stage_plan(stage: int):
+    if stage == 1:
+        return (("conv6_1_CPM", 128, 512, 1), ("conv6_2_CPM", 512, 22, 1))
+    pre = f"Mconv%d_stage{stage}"
+    return tuple([((pre % i), 150 if i == 1 else 128, 128, 7)
+                  for i in range(1, 6)] +
+                 [((pre % 6), 128, 128, 1), ((pre % 7), 128, 22, 1)])
+
+
+def _hand_convs():
+    convs = [c for c in _HAND_TRUNK if c != "pool"]
+    for stage in range(1, 7):
+        convs.extend(_hand_stage_plan(stage))
+    return convs
+
+
+def init_openpose_hand(key, dtype=jnp.float32) -> Dict:
+    convs = _hand_convs()
+    ks = iter(jax.random.split(key, len(convs)))
+    return {name: {
+        "w": jax.random.normal(next(ks), (k, k, ci, co), dtype)
+        * np.sqrt(2.0 / (k * k * ci)),
+        "b": jnp.zeros((co,), dtype)} for name, ci, co, k in convs}
+
+
+def hand_params_from_torch(sd: Mapping[str, np.ndarray],
+                           dtype=jnp.float32) -> Dict:
+    """Convert ``hand_pose_model.pth`` (flat layer-name keys, OIHW). Strict."""
+    sd = dict(sd)
+    params = {}
+    for name, ci, co, k in _hand_convs():
+        w = np.asarray(sd.pop(name + ".weight"))
+        if w.shape != (co, ci, k, k):
+            raise ValueError(f"{name}: got {w.shape}, want {(co, ci, k, k)}")
+        params[name] = {
+            "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), dtype),
+            "b": jnp.asarray(np.asarray(sd.pop(name + ".bias")), dtype),
+        }
+    if sd:
+        raise ValueError(f"unconsumed checkpoint keys: {sorted(sd)[:8]}")
+    return params
+
+
+def hand_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) image, ``x/256 - 0.5`` normalized, H/W multiples of 8 ->
+    (B, H/8, W/8, 22) heatmaps (stage-6 output; every conv ReLU-activated
+    except conv6_2_CPM and each Mconv7)."""
+    h = image
+    for c in _HAND_TRUNK:
+        if c == "pool":
+            h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        else:
+            name, _, _, k = c
+            h = jax.nn.relu(_conv(params[name], h, k // 2))
+    feat = h
+
+    def run_stage(stage, x):
+        plan = _hand_stage_plan(stage)
+        for name, _, _, k in plan[:-1]:
+            x = jax.nn.relu(_conv(params[name], x, k // 2))
+        name, _, _, k = plan[-1]
+        return _conv(params[name], x, k // 2)
+
+    out = run_stage(1, feat)
+    for stage in range(2, 7):
+        out = run_stage(stage, jnp.concatenate([out, feat], axis=-1))
+    return out
+
+
+_hand_forward_jit = jax.jit(hand_forward)
+
+
+def hand_estimate(params: Dict, image: np.ndarray,
+                  scale_search=(0.5, 1.0, 1.5, 2.0), boxsize=368, stride=8,
+                  pad_value=128, thre=0.05) -> np.ndarray:
+    """uint8 (H, W, 3) hand crop -> (21, 2) int peak coordinates, (-1, -1)
+    for undetected parts (the standard hand decode: multi-scale averaged
+    heatmaps, Gaussian smoothing, largest connected component above ``thre``
+    per part, argmax within it)."""
+    import cv2
+    from scipy.ndimage import gaussian_filter, label
+
+    ori_h, ori_w = image.shape[:2]
+    heat_avg = np.zeros((ori_h, ori_w, 22), np.float32)
+    for scale in [s * boxsize / ori_h for s in scale_search]:
+        scaled = cv2.resize(image, (0, 0), fx=scale, fy=scale,
+                            interpolation=cv2.INTER_CUBIC)
+        padded, (ph, pw) = _pad_rd(scaled, stride, pad_value)
+        x = jnp.asarray(padded, jnp.float32)[None] / 256.0 - 0.5
+        heat = np.asarray(_hand_forward_jit(params, x))[0]
+        m = cv2.resize(heat, (0, 0), fx=stride, fy=stride,
+                       interpolation=cv2.INTER_CUBIC)
+        m = m[:m.shape[0] - ph, :m.shape[1] - pw]
+        m = cv2.resize(m, (ori_w, ori_h), interpolation=cv2.INTER_CUBIC)
+        heat_avg += m / len(scale_search)
+
+    peaks = np.full((21, 2), -1, np.int64)
+    for part in range(21):
+        raw = heat_avg[:, :, part]
+        smoothed = gaussian_filter(raw, sigma=3)
+        binary = smoothed > thre
+        if not binary.any():
+            continue
+        labels, n = label(binary)
+        sums = [raw[labels == i].sum() for i in range(1, n + 1)]
+        keep = int(np.argmax(sums)) + 1
+        masked = np.where(labels == keep, raw, 0.0)
+        peaks[part] = np.unravel_index(masked.argmax(), masked.shape)[::-1]
+    return peaks
+
+
+def hand_detect(candidate: np.ndarray, subset: np.ndarray,
+                shape: Tuple[int, int]) -> List[Tuple[int, int, int, bool]]:
+    """Derive square hand boxes (x, y, width, is_left) from body keypoints:
+    the box is centered past the wrist along the elbow->wrist direction
+    (ratio 0.33), sized 1.5*max(|wrist-elbow|, 0.9*|elbow-shoulder|)."""
+    h, w = shape
+    out = []
+    for person in subset:
+        for shoulder, elbow, wrist, is_left in ((5, 6, 7, True),
+                                                (2, 3, 4, False)):
+            ids = person[[shoulder - 1, elbow - 1, wrist - 1]]
+            if -1 in ids:
+                continue
+            (x1, y1), (x2, y2), (x3, y3) = candidate[ids.astype(int), 0:2]
+            x = x3 + 0.33 * (x3 - x2)
+            y = y3 + 0.33 * (y3 - y2)
+            width = 1.5 * max(math.hypot(x3 - x2, y3 - y2),
+                              0.9 * math.hypot(x2 - x1, y2 - y1))
+            x, y = x - width / 2, y - width / 2
+            x, y = max(0, int(x)), max(0, int(y))
+            width = int(min(width, w - x, h - y))
+            if width >= 20:
+                out.append((x, y, width, is_left))
+    return out
+
+
+_HAND_EDGES = ((0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8),
+               (0, 9), (9, 10), (10, 11), (11, 12), (0, 13), (13, 14),
+               (14, 15), (15, 16), (0, 17), (17, 18), (18, 19), (19, 20))
+
+
+def draw_handpose(canvas: np.ndarray, peaks: np.ndarray) -> np.ndarray:
+    """Render the 21-point hand skeleton: HSV-spread edge colors, width-2
+    lines, blue joint dots (the canonical hand rendering)."""
+    import colorsys
+
+    import cv2
+
+    canvas = canvas.copy()
+    for ie, (a, b) in enumerate(_HAND_EDGES):
+        if (peaks[a] < 0).any() or (peaks[b] < 0).any():
+            continue
+        rgb = colorsys.hsv_to_rgb(ie / len(_HAND_EDGES), 1.0, 1.0)
+        color = tuple(int(c * 255) for c in rgb)
+        cv2.line(canvas, tuple(peaks[a]), tuple(peaks[b]), color, 2)
+    for x, y in peaks:
+        if x >= 0:
+            cv2.circle(canvas, (int(x), int(y)), 4, (0, 0, 255), thickness=-1)
+    return canvas

@@ -162,3 +162,109 @@ def test_openpose_annotate_random_weights_runs():
     img = np.random.default_rng(2).integers(0, 255, (40, 56, 3), np.uint8)
     out = openpose_annotate(params, img)
     assert out.shape == (40, 56, 3) and out.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# hand branch
+
+def _build_torch_hand():
+    import collections
+
+    from goal_force_tpu.extensions.openpose import (_HAND_TRUNK,
+                                                    _hand_stage_plan)
+
+    def convs(plan, final_no_relu=True):
+        layers = collections.OrderedDict()
+        for i, item in enumerate(plan):
+            if item == "pool":
+                layers[f"pool_{i}"] = nn.MaxPool2d(2, 2)
+                continue
+            name, ci, co, k = item
+            layers[name] = nn.Conv2d(ci, co, k, padding=k // 2)
+            if not (final_no_relu and i == len(plan) - 1):
+                layers["relu_" + name] = nn.ReLU()
+        return nn.Sequential(layers)
+
+    class Hand(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.trunk = convs(_HAND_TRUNK, final_no_relu=False)
+            for s in range(1, 7):
+                setattr(self, f"s{s}", convs(_hand_stage_plan(s)))
+
+        def forward(self, x):
+            feat = self.trunk(x)
+            out = self.s1(feat)
+            for s in range(2, 7):
+                out = getattr(self, f"s{s}")(torch.cat([out, feat], dim=1))
+            return out
+
+    return Hand().eval()
+
+
+def test_openpose_hand_golden_parity():
+    from goal_force_tpu.extensions.openpose import (hand_forward,
+                                                    hand_params_from_torch)
+
+    torch.manual_seed(3)
+    ref = _build_torch_hand()
+    sd = _flat_sd(ref)
+    params = hand_params_from_torch(sd)
+    with pytest.raises(ValueError, match="unconsumed"):
+        hand_params_from_torch({**sd, "bogus.k": sd["conv1_1.bias"]})
+
+    img = np.random.default_rng(3).uniform(-0.5, 0.5, (1, 16, 24, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    got = hand_forward(params, img)
+    assert got.shape == (1, 2, 3, 22)
+    np.testing.assert_allclose(np.asarray(got),
+                               want.numpy().transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_hand_detect_boxes_from_body():
+    from goal_force_tpu.extensions.openpose import hand_detect
+
+    # one person with full right arm (parts 2, 3, 4) and no left arm
+    candidate = np.array([[40, 10, 0.9, 0], [40, 30, 0.9, 1],
+                          [60, 50, 0.9, 2]], np.float32)
+    person = -1 * np.ones(20, np.float32)
+    person[[1, 2, 3]] = [0, 1, 2]  # shoulder=2, elbow=3, wrist=4 (1-based)
+    boxes = hand_detect(candidate, np.array([person]), (128, 128))
+    assert len(boxes) == 1
+    x, y, w, is_left = boxes[0]
+    assert not is_left and w >= 20
+    # the box contains the extrapolated point past the wrist
+    ex, ey = 60 + 0.33 * 20, 50 + 0.33 * 20
+    assert x <= ex <= x + w and y <= ey <= y + w
+
+
+def test_hand_estimate_recovers_synthetic_peak():
+    from goal_force_tpu.extensions.openpose import (draw_handpose,
+                                                    hand_estimate,
+                                                    init_openpose_hand)
+
+    params = init_openpose_hand(jax.random.PRNGKey(1))
+    img = np.random.default_rng(4).integers(0, 255, (48, 48, 3), np.uint8)
+    peaks = hand_estimate(params, img)
+    assert peaks.shape == (21, 2)
+    canvas = draw_handpose(np.zeros((48, 48, 3), np.uint8), peaks)
+    assert canvas.shape == (48, 48, 3)
+
+
+def test_openpose_annotator_with_hand_wiring(tmp_path):
+    from safetensors.numpy import save_file
+
+    from goal_force_tpu.controlnets import Annotator
+
+    torch.manual_seed(5)
+    save_file(_flat_sd(_build_torch_body()),
+              str(tmp_path / "body.safetensors"))
+    save_file(_flat_sd(_build_torch_hand()),
+              str(tmp_path / "hand.safetensors"))
+    ann = Annotator("openpose", weights_path=str(tmp_path / "body.safetensors"),
+                    hand_weights_path=str(tmp_path / "hand.safetensors"))
+    img = np.random.default_rng(5).integers(0, 255, (48, 64, 3), np.uint8)
+    out = ann(img)
+    assert out.shape == (48, 64, 3) and out.dtype == np.float32

@@ -52,7 +52,8 @@ class Annotator:
                  weights_path: Optional[str] = None,
                  approx: bool = False,
                  num_heads: Optional[int] = None,
-                 hand_weights_path: Optional[str] = None):
+                 hand_weights_path: Optional[str] = None,
+                 face_weights_path: Optional[str] = None):
         """weights_path: local checkpoint for a LEARNED annotator net — like
         the reference loads controlnet_aux detectors from models/Annotators
         (processors.py:9-33):
@@ -67,8 +68,8 @@ class Annotator:
             extensions/lineart.py;
           - openpose loads body_pose_model.pth (two-branch CPM body
             network + PAF decode) through extensions/openpose.py, plus
-            hand_pose_model.pth via hand_weights_path= for include_hand
-            rendering (face is not ported);
+            hand_pose_model.pth via hand_weights_path= and facenet.pth via
+            face_weights_path= for include_hand / include_face rendering;
           - lineart_anime loads the netG.pth pix2pix UnetGenerator through
             extensions/lineart_anime.py;
           - normal loads the NormalBae scannet.pt NNET (tf_efficientnet_b5
@@ -108,14 +109,18 @@ class Annotator:
                     load_weights(weights_path))
             elif processor_id == "openpose":
                 from goal_force_tpu.extensions.openpose import (
-                    body_params_from_torch, hand_params_from_torch)
+                    body_params_from_torch, face_params_from_torch,
+                    hand_params_from_torch)
 
-                hand = None
+                hand = face = None
                 if hand_weights_path is not None:
                     hand = hand_params_from_torch(
                         load_weights(hand_weights_path))
+                if face_weights_path is not None:
+                    face = face_params_from_torch(
+                        load_weights(face_weights_path))
                 self._net = (body_params_from_torch(load_weights(weights_path)),
-                             hand)
+                             hand, face)
             elif processor_id == "lineart_anime":
                 from goal_force_tpu.extensions.lineart_anime import (
                     lineart_anime_params_from_torch)
@@ -163,8 +168,9 @@ class Annotator:
             if self.processor_id == "openpose":
                 from goal_force_tpu.extensions.openpose import openpose_annotate
 
-                body, hand = self._net
-                return openpose_annotate(body, img, hand_params=hand) \
+                body, hand, face = self._net
+                return openpose_annotate(body, img, hand_params=hand,
+                                         face_params=face) \
                     .astype(np.float32) / 255.0
             if self.processor_id == "lineart_anime":
                 from goal_force_tpu.extensions.lineart_anime import (

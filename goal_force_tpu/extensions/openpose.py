@@ -331,11 +331,12 @@ def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray,
 
 
 def openpose_annotate(params: Dict, image: np.ndarray,
-                      hand_params: Dict = None) -> np.ndarray:
+                      hand_params: Dict = None,
+                      face_params: Dict = None) -> np.ndarray:
     """uint8 (H, W, 3) -> uint8 (H, W, 3) pose control image: the detected
-    skeletons drawn on black (OpenposeDetector's output; hands are included
-    when the hand network's params are supplied — include_hand semantics).
-    The face branch is not ported."""
+    skeletons drawn on black (OpenposeDetector's include_body/hand/face
+    output; the hand and face branches run when their networks' params are
+    supplied)."""
     candidate, subset = body_estimate(params, image)
     canvas = np.zeros_like(image)
     canvas = draw_bodypose(canvas, candidate, subset)
@@ -348,6 +349,15 @@ def openpose_annotate(params: Dict, image: np.ndarray,
             found = peaks[:, 0] >= 0
             peaks[found] += np.array([x, y])
             canvas = draw_handpose(canvas, peaks)
+    if face_params is not None:
+        for x, y, w in face_detect(candidate, subset, image.shape[:2]):
+            crop = image[y:y + w, x:x + w]
+            if min(crop.shape[:2]) < 16:
+                continue
+            peaks = face_estimate(face_params, crop)
+            found = peaks[:, 0] >= 0
+            peaks[found] += np.array([x, y])
+            canvas = draw_facepose(canvas, peaks)
     return canvas
 
 
@@ -369,24 +379,26 @@ _HAND_TRUNK = (
 )
 
 
-def _hand_stage_plan(stage: int):
+def _hand_stage_plan(stage: int, out: int = 22):
+    """CPM refinement stage (shared by the hand net, out=22, and the face
+    net — identical layer names with out=71, ``facenet.pth``)."""
     if stage == 1:
-        return (("conv6_1_CPM", 128, 512, 1), ("conv6_2_CPM", 512, 22, 1))
+        return (("conv6_1_CPM", 128, 512, 1), ("conv6_2_CPM", 512, out, 1))
     pre = f"Mconv%d_stage{stage}"
-    return tuple([((pre % i), 150 if i == 1 else 128, 128, 7)
+    return tuple([((pre % i), 128 + out if i == 1 else 128, 128, 7)
                   for i in range(1, 6)] +
-                 [((pre % 6), 128, 128, 1), ((pre % 7), 128, 22, 1)])
+                 [((pre % 6), 128, 128, 1), ((pre % 7), 128, out, 1)])
 
 
-def _hand_convs():
+def _hand_convs(out: int = 22):
     convs = [c for c in _HAND_TRUNK if c != "pool"]
     for stage in range(1, 7):
-        convs.extend(_hand_stage_plan(stage))
+        convs.extend(_hand_stage_plan(stage, out))
     return convs
 
 
-def init_openpose_hand(key, dtype=jnp.float32) -> Dict:
-    convs = _hand_convs()
+def init_openpose_hand(key, dtype=jnp.float32, out: int = 22) -> Dict:
+    convs = _hand_convs(out)
     ks = iter(jax.random.split(key, len(convs)))
     return {name: {
         "w": jax.random.normal(next(ks), (k, k, ci, co), dtype)
@@ -394,12 +406,14 @@ def init_openpose_hand(key, dtype=jnp.float32) -> Dict:
         "b": jnp.zeros((co,), dtype)} for name, ci, co, k in convs}
 
 
-def hand_params_from_torch(sd: Mapping[str, np.ndarray],
-                           dtype=jnp.float32) -> Dict:
-    """Convert ``hand_pose_model.pth`` (flat layer-name keys, OIHW). Strict."""
+def init_openpose_face(key, dtype=jnp.float32) -> Dict:
+    return init_openpose_hand(key, dtype, out=71)
+
+
+def _cpm_params_from_torch(sd, out: int, dtype):
     sd = dict(sd)
     params = {}
-    for name, ci, co, k in _hand_convs():
+    for name, ci, co, k in _hand_convs(out):
         w = np.asarray(sd.pop(name + ".weight"))
         if w.shape != (co, ci, k, k):
             raise ValueError(f"{name}: got {w.shape}, want {(co, ci, k, k)}")
@@ -412,10 +426,19 @@ def hand_params_from_torch(sd: Mapping[str, np.ndarray],
     return params
 
 
-def hand_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, 3) image, ``x/256 - 0.5`` normalized, H/W multiples of 8 ->
-    (B, H/8, W/8, 22) heatmaps (stage-6 output; every conv ReLU-activated
-    except conv6_2_CPM and each Mconv7)."""
+def hand_params_from_torch(sd: Mapping[str, np.ndarray],
+                           dtype=jnp.float32) -> Dict:
+    """Convert ``hand_pose_model.pth`` (flat layer-name keys, OIHW). Strict."""
+    return _cpm_params_from_torch(sd, 22, dtype)
+
+
+def face_params_from_torch(sd: Mapping[str, np.ndarray],
+                           dtype=jnp.float32) -> Dict:
+    """Convert ``facenet.pth`` — the same CPM topology with 71 maps. Strict."""
+    return _cpm_params_from_torch(sd, 71, dtype)
+
+
+def _cpm_forward(params: Dict, image: jnp.ndarray, out_ch: int) -> jnp.ndarray:
     h = image
     for c in _HAND_TRUNK:
         if c == "pool":
@@ -427,7 +450,7 @@ def hand_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
     feat = h
 
     def run_stage(stage, x):
-        plan = _hand_stage_plan(stage)
+        plan = _hand_stage_plan(stage, out_ch)
         for name, _, _, k in plan[:-1]:
             x = jax.nn.relu(_conv(params[name], x, k // 2))
         name, _, _, k = plan[-1]
@@ -439,7 +462,20 @@ def hand_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def hand_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) image, ``x/256 - 0.5`` normalized, H/W multiples of 8 ->
+    (B, H/8, W/8, 22) heatmaps (stage-6 output; every conv ReLU-activated
+    except conv6_2_CPM and each Mconv7)."""
+    return _cpm_forward(params, image, 22)
+
+
+def face_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, H/8, W/8, 71) face heatmaps (facenet stage 6)."""
+    return _cpm_forward(params, image, 71)
+
+
 _hand_forward_jit = jax.jit(hand_forward)
+_face_forward_jit = jax.jit(face_forward)
 
 
 def hand_estimate(params: Dict, image: np.ndarray,
@@ -505,6 +541,69 @@ def hand_detect(candidate: np.ndarray, subset: np.ndarray,
             if width >= 20:
                 out.append((x, y, width, is_left))
     return out
+
+
+def face_estimate(params: Dict, image: np.ndarray, input_size=384,
+                  thre=0.05) -> np.ndarray:
+    """uint8 (H, W, 3) face crop -> (70, 2) int peak coordinates, (-1, -1)
+    for undetected parts (the face decode: one pass at the 384-square input,
+    heatmaps upsampled back to the crop with align-corners bilinear, per-part
+    argmax above ``thre``)."""
+    import cv2
+
+    ori_h, ori_w = image.shape[:2]
+    interp = cv2.INTER_AREA if input_size < min(ori_h, ori_w) \
+        else cv2.INTER_LANCZOS4
+    scaled = cv2.resize(image, (input_size, input_size), interpolation=interp)
+    x = jnp.asarray(scaled, jnp.float32)[None] / 256.0 - 0.5
+    heat = np.asarray(_face_forward_jit(params, x))[0]
+    heat = cv2.resize(heat, (ori_w, ori_h), interpolation=cv2.INTER_CUBIC)
+
+    peaks = np.full((70, 2), -1, np.int64)
+    for part in range(70):
+        raw = heat[:, :, part]
+        if (raw > thre).any():
+            peaks[part] = np.unravel_index(
+                np.where(raw > thre, raw, -np.inf).argmax(), raw.shape)[::-1]
+    return peaks
+
+
+def face_detect(candidate: np.ndarray, subset: np.ndarray,
+                shape: Tuple[int, int]) -> List[Tuple[int, int, int]]:
+    """Square face boxes (x, y, width) from the nose/eye/ear body keypoints
+    (width = max over 3x the nose-eye distances and 1.5x the nose-ear
+    distances; box spans [center - w, center + w])."""
+    h, w = shape
+    out = []
+    for person in subset:
+        if person[0] < 0:
+            continue
+        x0, y0 = candidate[int(person[0]), 0:2]
+        width = 0.0
+        for part, factor in ((14, 3.0), (15, 3.0), (16, 1.5), (17, 1.5)):
+            if person[part] < 0:
+                continue
+            x1, y1 = candidate[int(person[part]), 0:2]
+            width = max(width, max(abs(x0 - x1), abs(y0 - y1)) * factor)
+        if width == 0.0:
+            continue
+        x, y = max(0, int(x0 - width)), max(0, int(y0 - width))
+        size = int(min(width * 2, w - x, h - y))
+        if size >= 20:
+            out.append((x, y, size))
+    return out
+
+
+def draw_facepose(canvas: np.ndarray, peaks: np.ndarray) -> np.ndarray:
+    """Render the 70 face landmarks as small white dots."""
+    import cv2
+
+    canvas = canvas.copy()
+    for x, y in peaks:
+        if x >= 0:
+            cv2.circle(canvas, (int(x), int(y)), 3, (255, 255, 255),
+                       thickness=-1)
+    return canvas
 
 
 _HAND_EDGES = ((0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8),

@@ -268,3 +268,84 @@ def test_openpose_annotator_with_hand_wiring(tmp_path):
     img = np.random.default_rng(5).integers(0, 255, (48, 64, 3), np.uint8)
     out = ann(img)
     assert out.shape == (48, 64, 3) and out.dtype == np.float32
+
+
+# ---------------------------------------------------------------------------
+# face branch (same CPM topology, 71 maps — facenet.pth)
+
+def test_openpose_face_golden_parity():
+    from goal_force_tpu.extensions.openpose import (face_forward,
+                                                    face_params_from_torch)
+
+    class Face(nn.Module):
+        def __init__(self):
+            super().__init__()
+            import collections
+
+            from goal_force_tpu.extensions.openpose import (_HAND_TRUNK,
+                                                            _hand_stage_plan)
+
+            def convs(plan, final_no_relu=True):
+                layers = collections.OrderedDict()
+                for i, item in enumerate(plan):
+                    if item == "pool":
+                        layers[f"pool_{i}"] = nn.MaxPool2d(2, 2)
+                        continue
+                    name, ci, co, k = item
+                    layers[name] = nn.Conv2d(ci, co, k, padding=k // 2)
+                    if not (final_no_relu and i == len(plan) - 1):
+                        layers["relu_" + name] = nn.ReLU()
+                return nn.Sequential(layers)
+
+            self.trunk = convs(_HAND_TRUNK, final_no_relu=False)
+            for s in range(1, 7):
+                setattr(self, f"s{s}", convs(_hand_stage_plan(s, 71)))
+
+        def forward(self, x):
+            feat = self.trunk(x)
+            out = self.s1(feat)
+            for s in range(2, 7):
+                out = getattr(self, f"s{s}")(torch.cat([out, feat], dim=1))
+            return out
+
+    torch.manual_seed(6)
+    ref = Face().eval()
+    sd = _flat_sd(ref)
+    params = face_params_from_torch(sd)
+    img = np.random.default_rng(6).uniform(-0.5, 0.5, (1, 16, 16, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    got = face_forward(params, img)
+    assert got.shape == (1, 2, 2, 71)
+    np.testing.assert_allclose(np.asarray(got),
+                               want.numpy().transpose(0, 2, 3, 1), atol=3e-5)
+
+
+def test_face_detect_boxes_from_body():
+    from goal_force_tpu.extensions.openpose import face_detect
+
+    # nose + left eye -> box width 2 * 3 * max(|dx|, |dy|)
+    candidate = np.array([[60, 60, 0.9, 0], [66, 55, 0.9, 1]], np.float32)
+    person = -1 * np.ones(20, np.float32)
+    person[0], person[14] = 0, 1  # nose (part 1), left eye (part 15)
+    boxes = face_detect(candidate, np.array([person]), (200, 200))
+    assert len(boxes) == 1
+    x, y, size = boxes[0]
+    assert x == 60 - 18 and y == 60 - 18 and size == 36
+    # no nose -> no box
+    person2 = person.copy(); person2[0] = -1
+    assert face_detect(candidate, np.array([person2]), (200, 200)) == []
+
+
+def test_face_estimate_and_draw():
+    from goal_force_tpu.extensions.openpose import (draw_facepose,
+                                                    face_estimate,
+                                                    init_openpose_face)
+
+    params = init_openpose_face(jax.random.PRNGKey(2))
+    img = np.random.default_rng(7).integers(0, 255, (40, 40, 3), np.uint8)
+    peaks = face_estimate(params, img, input_size=48)
+    assert peaks.shape == (70, 2)
+    canvas = draw_facepose(np.zeros((40, 40, 3), np.uint8), peaks)
+    assert canvas.shape == (40, 40, 3)

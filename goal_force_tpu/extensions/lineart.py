@@ -133,6 +133,9 @@ def lineart_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.sigmoid(_refl_conv(params["head"], h, 3))[..., 0]
 
 
+_lineart_forward_jit = jax.jit(lineart_forward)
+
+
 def lineart_annotate(params: Dict, image: np.ndarray,
                      invert: bool = True) -> np.ndarray:
     """uint8 (H, W, 3) -> uint8 (H, W, 3) lineart control image
@@ -143,7 +146,7 @@ def lineart_annotate(params: Dict, image: np.ndarray,
     x = jnp.asarray(image, jnp.float32)[None]
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-    line = np.asarray(lineart_forward(params, x)[0, :h, :w])
+    line = np.asarray(_lineart_forward_jit(params, x)[0, :h, :w])
     line = np.clip(line * 255.0, 0, 255).astype(np.uint8)
     if invert:
         line = 255 - line

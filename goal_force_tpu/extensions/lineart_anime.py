@@ -130,6 +130,9 @@ def lineart_anime_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
     return block(0, image)[..., 0]
 
 
+_lineart_anime_forward_jit = jax.jit(lineart_anime_forward)
+
+
 def lineart_anime_annotate(params: Dict, image: np.ndarray,
                            invert: bool = True) -> np.ndarray:
     """uint8 (H, W, 3) -> uint8 (H, W, 3) anime lineart control image
@@ -142,7 +145,7 @@ def lineart_anime_annotate(params: Dict, image: np.ndarray,
     hn, wn = 256 * ((h + 255) // 256), 256 * ((w + 255) // 256)
     img = cv2.resize(image, (wn, hn), interpolation=cv2.INTER_CUBIC)
     x = jnp.asarray(img, jnp.float32)[None] / 127.5 - 1.0
-    line = np.asarray(lineart_anime_forward(params, x)[0]) * 127.5 + 127.5
+    line = np.asarray(_lineart_anime_forward_jit(params, x)[0]) * 127.5 + 127.5
     line = cv2.resize(line, (w, h), interpolation=cv2.INTER_CUBIC)
     line = np.clip(line, 0, 255).astype(np.uint8)
     if invert:

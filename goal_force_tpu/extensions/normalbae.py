@@ -56,29 +56,12 @@ def _conv(p, x, stride=1, pad="SAME", groups=1):
 
 def _resize_ac(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize with align_corners=True (torch F.interpolate
-    semantics; jax.image.resize is half-pixel, so built explicitly as
-    per-axis interpolation matrices)."""
+    semantics) — the shared DPT helper."""
+    from goal_force_tpu.extensions.depth import _resize_bilinear_ac
 
-    def mat(out_n, in_n):
-        if out_n == 1 or in_n == 1:
-            return np.full((out_n, in_n), 1.0 / in_n, np.float32) \
-                if in_n > 1 else np.ones((out_n, 1), np.float32)
-        pos = np.arange(out_n) * (in_n - 1) / (out_n - 1)
-        lo = np.clip(np.floor(pos).astype(int), 0, in_n - 2)
-        frac = (pos - lo).astype(np.float32)
-        m = np.zeros((out_n, in_n), np.float32)
-        m[np.arange(out_n), lo] = 1.0 - frac
-        m[np.arange(out_n), lo + 1] = frac
-        return m
-
-    b, h, w, c = x.shape
-    oh, ow = size
-    if (oh, ow) == (h, w):
+    if tuple(size) == x.shape[1:3]:
         return x
-    mh = jnp.asarray(mat(oh, h))
-    mw = jnp.asarray(mat(ow, w))
-    x = jnp.einsum("oh,bhwc->bowc", mh, x)
-    return jnp.einsum("ow,bhwc->bhoc", mw, x)
+    return _resize_bilinear_ac(x, size[0], size[1])
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +254,8 @@ def encoder_features(enc: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
 
 def _norm_normalize(out):
     n = out[..., :3]
-    kappa = jax.nn.elu(out[..., 3:]) + 1.0
+    # elu + 1 + min_kappa (the reference norm_normalize's min_kappa = 0.01)
+    kappa = jax.nn.elu(out[..., 3:]) + 1.0 + 0.01
     n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-10)
     return jnp.concatenate([n, kappa], axis=-1)
 
@@ -312,6 +296,9 @@ def normalbae_forward(params: Dict, image: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+_normalbae_forward_jit = jax.jit(normalbae_forward)
+
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
@@ -327,5 +314,5 @@ def normalbae_annotate(params: Dict, image: np.ndarray) -> np.ndarray:
     x = x[None]
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-    n = np.asarray(normalbae_forward(params, x)[0, :h, :w, :3])
+    n = np.asarray(_normalbae_forward_jit(params, x)[0, :h, :w, :3])
     return (np.clip((n + 1.0) * 0.5, 0, 1) * 255.0).astype(np.uint8)

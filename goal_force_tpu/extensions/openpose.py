@@ -12,8 +12,9 @@ This is the TPU-native port: the network as a param pytree + strict
 converter and an NHWC JAX forward (stride-8 maps), plus the standard
 host-side decode — multi-scale inference, Gaussian-smoothed peak NMS,
 PAF line-integral limb scoring, greedy bipartite assembly into per-person
-keypoint subsets — and the canonical 18-point skeleton rendering. Hand and
-face branches are not ported; ``include_hand``/``include_face`` raise.
+keypoint subsets — and the canonical 18-point skeleton rendering. The hand
+(``hand_pose_model.pth``) and face (``facenet.pth``) CPM branches are ported
+too, with the body-keypoint-derived hand/face boxes and their renderings.
 """
 
 from __future__ import annotations
@@ -509,7 +510,7 @@ def hand_estimate(params: Dict, image: np.ndarray,
         binary = smoothed > thre
         if not binary.any():
             continue
-        labels, n = label(binary)
+        labels, n = label(binary, structure=np.ones((3, 3), bool))
         sums = [raw[labels == i].sum() for i in range(1, n + 1)]
         keep = int(np.argmax(sums)) + 1
         masked = np.where(labels == keep, raw, 0.0)
@@ -521,13 +522,16 @@ def hand_detect(candidate: np.ndarray, subset: np.ndarray,
                 shape: Tuple[int, int]) -> List[Tuple[int, int, int, bool]]:
     """Derive square hand boxes (x, y, width, is_left) from body keypoints:
     the box is centered past the wrist along the elbow->wrist direction
-    (ratio 0.33), sized 1.5*max(|wrist-elbow|, 0.9*|elbow-shoulder|)."""
+    (ratio 0.33), sized 1.5*max(|wrist-elbow|, 0.9*|elbow-shoulder|).
+    Indices are 0-based subset columns: left arm 5/6/7 (LShoulder/LElbow/
+    LWrist), right arm 2/3/4 — the reference handDetect's person[[5,6,7]]
+    and person[[2,3,4]]."""
     h, w = shape
     out = []
     for person in subset:
         for shoulder, elbow, wrist, is_left in ((5, 6, 7, True),
                                                 (2, 3, 4, False)):
-            ids = person[[shoulder - 1, elbow - 1, wrist - 1]]
+            ids = person[[shoulder, elbow, wrist]]
             if -1 in ids:
                 continue
             (x1, y1), (x2, y2), (x3, y3) = candidate[ids.astype(int), 0:2]
@@ -556,8 +560,10 @@ def face_estimate(params: Dict, image: np.ndarray, input_size=384,
         else cv2.INTER_LANCZOS4
     scaled = cv2.resize(image, (input_size, input_size), interpolation=interp)
     x = jnp.asarray(scaled, jnp.float32)[None] / 256.0 - 0.5
-    heat = np.asarray(_face_forward_jit(params, x))[0]
-    heat = cv2.resize(heat, (ori_w, ori_h), interpolation=cv2.INTER_CUBIC)
+    heat = _face_forward_jit(params, x)
+    from goal_force_tpu.extensions.depth import _resize_bilinear_ac
+
+    heat = np.asarray(_resize_bilinear_ac(heat, ori_h, ori_w))[0]
 
     peaks = np.full((70, 2), -1, np.int64)
     for part in range(70):

@@ -162,7 +162,7 @@ class _UpSampleBN(nn.Module):
 def _norm_normalize(out):
     n, kappa = out[:, :3], out[:, 3:]
     n = n / (n.norm(dim=1, keepdim=True) + 1e-10)
-    return torch.cat([n, F.elu(kappa) + 1.0], dim=1)
+    return torch.cat([n, F.elu(kappa) + 1.0 + 0.01], dim=1)
 
 
 def _mlp(cin):

@@ -226,11 +226,12 @@ def test_openpose_hand_golden_parity():
 def test_hand_detect_boxes_from_body():
     from goal_force_tpu.extensions.openpose import hand_detect
 
-    # one person with full right arm (parts 2, 3, 4) and no left arm
+    # one person with a full right arm (0-based columns 2/3/4 =
+    # RShoulder/RElbow/RWrist, the reference person[[2,3,4]]) and no left arm
     candidate = np.array([[40, 10, 0.9, 0], [40, 30, 0.9, 1],
                           [60, 50, 0.9, 2]], np.float32)
     person = -1 * np.ones(20, np.float32)
-    person[[1, 2, 3]] = [0, 1, 2]  # shoulder=2, elbow=3, wrist=4 (1-based)
+    person[[2, 3, 4]] = [0, 1, 2]
     boxes = hand_detect(candidate, np.array([person]), (128, 128))
     assert len(boxes) == 1
     x, y, w, is_left = boxes[0]

@@ -127,7 +127,8 @@ def main():
 
     def measure_fused_loop(depth, cn_layers, k):
         """k denoise steps + Euler updates in ONE jit (lax.scan over steps) —
-        the production generate path within one expert phase; amortizes the
+        exactly the production generate path within one expert phase
+        (GoalForcePipeline._denoise_phase); amortizes the
         per-dispatch host/tunnel overhead of the single-step measurement."""
         dit_cfg, cn_cfg, dit, cn, latents, y, cl, ctx = build(depth, cn_layers)
         ts_arr = jnp.linspace(999.0, 900.0, k).astype(jnp.bfloat16)

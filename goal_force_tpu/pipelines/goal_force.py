@@ -399,6 +399,104 @@ class GoalForcePipeline:
         return fn
 
     @functools.cached_property
+    def _denoise_phase(self):
+        """Fused multi-step Euler loop over one expert phase (merged CFG):
+        lax.scan over the phase's (timestep, sigma, sigma_next) triples runs
+        the whole phase as ONE XLA computation — no per-step dispatch or host
+        sync, and XLA overlaps the Euler update with the next step's first
+        matmuls (bench.py's fused-loop measurement). Used by _generate when
+        neither TeaCache nor sliding windows need host-side control flow."""
+        dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
+        attn_impl = self.attn_impl
+        pp_micro = self.pp_microbatches
+        ek = self._extra_kwargs
+
+        @functools.partial(jax.jit, static_argnames=("use_cn", "vace_layers"),
+                           donate_argnums=(2,))
+        def fn(dit_params, cn_params, latents, tsteps, sigmas, sigma_nexts,
+               context2, y2, control_latents2, cfg_scale, use_cn, extra=None,
+               vace_layers=()):
+            """tsteps/sigmas/sigma_nexts: (K,) stacked per-step values."""
+            b = latents.shape[0]
+
+            def body(x, step):
+                tval, sig, sig_n = step
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.broadcast_to(tval.astype(x.dtype), (2 * b,))
+                v = denoise_forward(
+                    dit_params, dit_cfg, x2, t2, context2, y=y2,
+                    controlnet_params=cn_params if use_cn else None,
+                    controlnet_cfg=cn_cfg,
+                    control_latents=control_latents2 if use_cn else None,
+                    attn_impl=attn_impl, pp_microbatches=pp_micro,
+                    **ek(extra, vace_layers),
+                )
+                v = v[b:] + cfg_scale * (v[:b] - v[b:])
+                return fm.euler_step(x, v.astype(x.dtype), sig, sig_n), None
+
+            out, _ = jax.lax.scan(body, latents, (tsteps, sigmas, sigma_nexts))
+            return out
+
+        return fn
+
+    @functools.cached_property
+    def _denoise_phase_nocfg(self):
+        """Fused multi-step loop, cfg_scale == 1 (single forward per step)."""
+        dit_cfg, cn_cfg = self.dit_cfg, self.cn_cfg
+        attn_impl = self.attn_impl
+        pp_micro = self.pp_microbatches
+        ek = self._extra_kwargs
+
+        @functools.partial(jax.jit, static_argnames=("use_cn", "vace_layers"),
+                           donate_argnums=(2,))
+        def fn(dit_params, cn_params, latents, tsteps, sigmas, sigma_nexts,
+               context, y, control_latents, use_cn, extra=None, vace_layers=()):
+            b = latents.shape[0]
+
+            def body(x, step):
+                tval, sig, sig_n = step
+                v = denoise_forward(
+                    dit_params, dit_cfg, x,
+                    jnp.broadcast_to(tval.astype(x.dtype), (b,)), context, y=y,
+                    controlnet_params=cn_params if use_cn else None,
+                    controlnet_cfg=cn_cfg,
+                    control_latents=control_latents if use_cn else None,
+                    attn_impl=attn_impl, pp_microbatches=pp_micro,
+                    **ek(extra, vace_layers),
+                )
+                return fm.euler_step(x, v.astype(x.dtype), sig, sig_n), None
+
+            out, _ = jax.lax.scan(body, latents, (tsteps, sigmas, sigma_nexts))
+            return out
+
+        return fn
+
+    def _run_fused_phases(self, latents, schedule, switch_t, use_cn, step_fn):
+        """Split the schedule at the expert boundary and run step_fn once per
+        contiguous phase with stacked (timesteps, sigmas, sigma_nexts).
+        Returns the final latents, or None when the schedule's expert
+        assignment is not two contiguous phases (e.g. inverse timesteps) —
+        callers then fall back to the per-step loop."""
+        t_np = np.asarray(schedule.timesteps, np.float64)
+        low_np = t_np < switch_t
+        if not np.all(np.diff(low_np.astype(int)) >= 0):
+            return None
+        sig_np = np.asarray(schedule.sigmas, np.float64)
+        sign_np = np.asarray([schedule.sigma_next(i)
+                              for i in range(len(schedule))], np.float64)
+        for phase_low in (False, True):
+            idx = np.nonzero(low_np == phase_low)[0]
+            if idx.size == 0:
+                continue
+            dit_p, cn_p = self._expert(low_noise=phase_low)
+            cn_p = cn_p if use_cn else None
+            latents = step_fn(dit_p, cn_p, latents,
+                              jnp.asarray(t_np[idx], jnp.float32),
+                              jnp.asarray(sig_np[idx], jnp.float32),
+                              jnp.asarray(sign_np[idx], jnp.float32))
+        return latents
+
+    @functools.cached_property
     def _t_mod(self):
         dit_cfg = self.dit_cfg
 
@@ -874,6 +972,31 @@ class GoalForcePipeline:
             tea_cache = TeaCache(steps, tea_cache_l1_thresh, tea_cache_model_id)
 
         switch_t = boundary * schedule.num_train_timesteps
+
+        if sliding_window_size is None and tea_cache is None and not progress:
+            # Fused production path: one lax.scan per expert phase (high-noise
+            # steps, then low-noise) — the whole phase is a single XLA
+            # computation, so per-step dispatch/host-sync overhead drops out
+            # (bench.py's fused-loop saving). TeaCache and sliding windows
+            # need host-side per-step control flow and keep the loop below;
+            # progress=True also keeps it for per-step tqdm feedback.
+            if cfg_scale != 1.0:
+                step_fn = lambda dit_p, cn_p, lat, t, s, sn: self._denoise_phase(
+                    dit_p, cn_p, lat, t, s, sn, ctx, y2, cl2, cfg_scale, use_cn,
+                    extra2, vace_layers=self.vace_layers)
+            else:
+                step_fn = lambda dit_p, cn_p, lat, t, s, sn: self._denoise_phase_nocfg(
+                    dit_p, cn_p, lat, t, s, sn, ctx[:1], y, control_latents,
+                    use_cn, extra, vace_layers=self.vace_layers)
+            fused = self._run_fused_phases(latents, schedule, switch_t, use_cn,
+                                           step_fn)
+            if fused is not None:
+                latents = fused
+                if vace_ref:
+                    latents = latents[:, 1:]  # drop the VACE reference frame
+                video = self._vae_decode_full(latents.astype(jnp.float32))
+                return np.asarray((video[0] + 1.0) / 2.0, np.float32)
+
         it = range(len(schedule))
         if progress:
             import tqdm
@@ -988,19 +1111,28 @@ class GoalForcePipeline:
         cl2 = jnp.concatenate([cl, cl], axis=0) if use_cn else None
 
         switch_t = pc.switch_dit_boundary * schedule.num_train_timesteps
-        it = range(len(schedule))
-        if progress:
-            import tqdm
+        fused = None
+        if not progress:
+            fused = self._run_fused_phases(
+                latents, schedule, switch_t, use_cn,
+                lambda dit_p, cn_p, lat, t, s, sn: self._denoise_phase(
+                    dit_p, cn_p, lat, t, s, sn, ctx2, y2, cl2, cfg_scale, use_cn))
+        if fused is not None:
+            latents = fused
+        else:
+            it = range(len(schedule))
+            if progress:
+                import tqdm
 
-            it = tqdm.tqdm(it)
-        for i in it:
-            t_val = float(schedule.timesteps[i])
-            dit_p, cn_p = self._expert(low_noise=t_val < switch_t)
-            cn_p = cn_p if use_cn else None
-            tstep = jnp.full((bsz,), t_val, self.dtype)
-            latents = self._denoise_step(
-                dit_p, cn_p, latents, tstep, schedule.sigmas[i], schedule.sigma_next(i),
-                ctx2, y2, cl2, cfg_scale, use_cn,
-            )
+                it = tqdm.tqdm(it)
+            for i in it:
+                t_val = float(schedule.timesteps[i])
+                dit_p, cn_p = self._expert(low_noise=t_val < switch_t)
+                cn_p = cn_p if use_cn else None
+                tstep = jnp.full((bsz,), t_val, self.dtype)
+                latents = self._denoise_step(
+                    dit_p, cn_p, latents, tstep, schedule.sigmas[i],
+                    schedule.sigma_next(i), ctx2, y2, cl2, cfg_scale, use_cn,
+                )
         video = self._vae_decode_full(latents.astype(jnp.float32))
         return np.asarray((video + 1.0) / 2.0, np.float32)

@@ -86,14 +86,16 @@ def cond_layer_apply(p: Dict, image: jnp.ndarray) -> jnp.ndarray:
     return conv2d(convs[-1], x)
 
 
-def _run_controlnet_plan(params, plan, x, temb, text_emb, groups):
+def _run_controlnet_plan(params, plan, x, temb, text_emb, groups,
+                         tile_ctx=None):
     stack: List[jnp.ndarray] = [x]
     for spec, p in zip(plan, params["blocks"]):
         kind = spec[0]
         if kind == "res":
             x = _resnet(p, x, temb, groups)
         elif kind == "attn":
-            x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups)
+            x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups,
+                            tile_ctx=tile_ctx)
         elif kind == "push":
             stack.append(x)
         elif kind == "down":
@@ -112,6 +114,7 @@ def sd_controlnet_apply(
     plan: Sequence[BlockSpec] = SD_CONTROLNET_PLAN,
     groups: int = 32,
     global_pool: bool = False,
+    tile_ctx=None,
 ) -> List[jnp.ndarray]:
     """Returns the 13 zero-conv residuals (reference SDControlNet.forward :96-141)."""
     temb = timestep_embedding(jnp.reshape(timestep, (-1,)),
@@ -253,6 +256,7 @@ def sdxl_controlnet_apply(
     plan: Sequence[BlockSpec] = SDXL_CONTROLNET_PLAN,
     groups: int = 32,
     global_pool: bool = False,
+    tile_ctx=None,
 ) -> List[jnp.ndarray]:
     """SDXLControlNetUnion.forward (:151-219). Returns 10 zero-conv residuals."""
     b = sample.shape[0]
@@ -284,7 +288,8 @@ def sdxl_controlnet_apply(
     alpha = tokens[:, 0] @ params["spatial_w"].T + params["spatial_b"]
     x = x + (cond + alpha[:, None, None, :])
 
-    stack = _run_controlnet_plan(params, plan, x, temb, text_emb, groups)
+    stack = _run_controlnet_plan(params, plan, x, temb, text_emb, groups,
+                                 tile_ctx=tile_ctx)
     out = [conv2d(p, s) for p, s in zip(params["controlnet_blocks"], stack)]
     if global_pool:
         out = [o.mean(axis=(1, 2), keepdims=True) for o in out]

@@ -178,22 +178,40 @@ def _resnet(p: Dict, x: jnp.ndarray, temb, groups: int = 32,
 
 def _attn_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray, num_heads: int,
                 groups: int = 32, eps: float = 1e-6, ip=None,
-                cross_frame: bool = False) -> jnp.ndarray:
+                cross_frame: bool = False,
+                tile_ctx: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """cross_frame: flatten all frames into ONE sequence so self-attention
     spans the whole video, with the batch-mean text context (reference
-    sd_unet.py:164-166,198-199)."""
+    sd_unet.py:164-166,198-199).
+
+    tile_ctx: (tile_size, tile_stride) enables the reference's per-transformer-
+    block spatial tiling (sd_unet.py:172-190): each transformer block runs over
+    overlapping (ts, ts) tiles of the spatial grid, blended with the ramp mask;
+    tile_size clamps to min(h, w) per resolution. IP-Adapter kwargs are ignored
+    on the tiled path, as in the reference."""
     b, h, w, c = x.shape
     res = x
     t = group_norm(p["norm"], x, groups, eps=eps).reshape(b, h * w, c)
     t = t @ p["proj_in_w"] + p["proj_in_b"]
-    if cross_frame:
-        t = t.reshape(1, b * h * w, c)
-        ctx = ctx.mean(axis=0, keepdims=True)
-    for di, tp in enumerate(p["transformer_blocks"]):
-        t = _transformer_block(tp, t, ctx, num_heads,
-                               ip=None if ip is None else ip.get(di))
-    if cross_frame:
-        t = t.reshape(b, h * w, c)
+    if tile_ctx is not None:
+        from goal_force_tpu.models.tiler import tiled_forward_2d
+
+        ts = min(tile_ctx[0], h, w)
+        for tp in p["transformer_blocks"]:
+            fn = lambda xt: _transformer_block(
+                tp, xt.reshape(xt.shape[0], -1, c), ctx, num_heads,
+            ).reshape(xt.shape)
+            t = tiled_forward_2d(fn, t.reshape(b, h, w, c), ts, tile_ctx[1]
+                                 ).astype(t.dtype).reshape(b, h * w, c)
+    else:
+        if cross_frame:
+            t = t.reshape(1, b * h * w, c)
+            ctx = ctx.mean(axis=0, keepdims=True)
+        for di, tp in enumerate(p["transformer_blocks"]):
+            t = _transformer_block(tp, t, ctx, num_heads,
+                                   ip=None if ip is None else ip.get(di))
+        if cross_frame:
+            t = t.reshape(b, h * w, c)
     t = t @ p["proj_out_w"] + p["proj_out_b"]
     return t.reshape(b, h, w, c) + res
 
@@ -205,7 +223,8 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
                   motion: Optional[Dict] = None,
                   video_batch: int = 1,
                   ipadapter: Optional[Dict] = None,
-                  cross_frame_attention: bool = False) -> jnp.ndarray:
+                  cross_frame_attention: bool = False,
+                  tile_ctx: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """sample (B, H, W, 4) NHWC latents + (B,) timestep + (B, 77, ctx) text
     embeddings -> predicted noise (B, H, W, 4)
     (reference: sd_unet.py:325-345 SDUNet.forward).
@@ -237,7 +256,8 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
         elif kind == "attn":
             x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups,
                             ip=None if ipadapter is None else ipadapter.get(i),
-                            cross_frame=cross_frame_attention)
+                            cross_frame=cross_frame_attention,
+                            tile_ctx=tile_ctx)
         elif kind == "push":
             stack.append(x)
         elif kind == "pop":

@@ -95,11 +95,17 @@ class CogVideoPipeline:
         if vae_decoder_path is not None:
             dec = to_dev(cv.cog_vae_decoder_params_from_torch(
                 load_weights(vae_decoder_path), vcfg))
-            decode_video = lambda z: cv.cog_vae_decode(dec, z, vcfg)
+            decode_video = lambda z, **tk: (
+                cv.cog_vae_decode_tiled(dec, z, vcfg, tk["tile_size"],
+                                        tk["tile_stride"])
+                if tk.get("tiled") else cv.cog_vae_decode(dec, z, vcfg))
         if vae_encoder_path is not None:
             enc = to_dev(cv.cog_vae_encoder_params_from_torch(
                 load_weights(vae_encoder_path), vcfg))
-            encode_video = lambda v: cv.cog_vae_encode(enc, v, vcfg)
+            encode_video = lambda v, **tk: (
+                cv.cog_vae_encode_tiled(enc, v, vcfg, tk["tile_size"],
+                                        tk["tile_stride"])
+                if tk.get("tiled") else cv.cog_vae_encode(enc, v, vcfg))
 
         tok = tokenizer
         if tokenizer == "vendored":
@@ -159,7 +165,16 @@ class CogVideoPipeline:
         num_inference_steps: int = 20,
         seed: int = 0,
         progress: bool = False,
+        tiled: bool = False,
+        tile_size=(60, 90),
+        tile_stride=(30, 45),
     ) -> np.ndarray:
+        # tiled: spatial VAE tiling in latent units (reference cog_video.py
+        # :73-83 tiler_kwargs -> cog_vae.py TileWorker2Dto3D paths). Only
+        # callables wired by from_pretrained accept the tiling kwargs;
+        # user-injected encode/decode see plain calls when tiled=False.
+        tk = dict(tiled=tiled, tile_size=tuple(tile_size),
+                  tile_stride=tuple(tile_stride)) if tiled else {}
         schedule = make_ddim_schedule(num_inference_steps,
                                       prediction_type="v_prediction",
                                       rescale_zero_terminal_snr=True,
@@ -175,7 +190,7 @@ class CogVideoPipeline:
         if denoising_strength == 1.0 or input_video is None:
             latents = noise
         else:
-            z = self.encode_video(input_video).astype(self.dtype)
+            z = self.encode_video(input_video, **tk).astype(self.dtype)
             latents = ddim_add_noise(schedule, z, noise,
                                      int(schedule.timesteps[0]))
 
@@ -189,5 +204,5 @@ class CogVideoPipeline:
             v = self._model_cfg(self.dit, latents, ts, emb, cfg_scale)
             latents = ddim_step(schedule, v.astype(latents.dtype), i, latents)
         if self.decode_video is not None:
-            return self.decode_video(latents)
+            return self.decode_video(latents, **tk)
         return np.asarray(latents, np.float32)

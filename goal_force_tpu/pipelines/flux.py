@@ -207,13 +207,37 @@ class FluxPipeline:
         cfg = self.dit_cfg
         attn_impl = self.attn_impl
 
-        @functools.partial(jax.jit, static_argnames=("use_cfg",), donate_argnums=(1,))
+        @functools.partial(jax.jit, static_argnames=("use_cfg", "tile_ctx"),
+                           donate_argnums=(1,))
         def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
                guidance, cfg_scale, use_cfg, cn_res=None, cn_single_res=None,
-               kontext=None, flex=None, ip=None, rope_override=None):
+               kontext=None, flex=None, ip=None, rope_override=None,
+               tile_ctx=None):
             b = latents.shape[0]
             model_in = latents if flex is None else \
                 jnp.concatenate([latents, flex.astype(latents.dtype)], axis=-1)
+            if tile_ctx is not None:
+                # reference flux_dit.py:324-341: whole-DiT per latent tile
+                # (global RoPE prevents layer-wise tiling); extras are dropped
+                # on the tiled path there — the pipeline guards them off here.
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                x = jnp.concatenate([model_in, model_in], axis=0) if use_cfg \
+                    else model_in
+                t = jnp.concatenate([timestep, timestep], axis=0) if use_cfg \
+                    else timestep
+                g = jnp.concatenate([guidance, guidance], axis=0) if use_cfg \
+                    else guidance
+                pe = prompt_emb if use_cfg else prompt_emb[:b]
+                po = pooled if use_cfg else pooled[:b]
+                v = tiled_forward_2d(
+                    lambda xt: flux_dit_forward(dit, cfg, xt, t, pe, po, g,
+                                                attn_impl=attn_impl),
+                    x, tile_ctx[0], tile_ctx[1]).astype(x.dtype)
+                if use_cfg:
+                    v = v[b:] + cfg_scale * (v[:b] - v[b:])
+                return fm.euler_step(latents, v.astype(latents.dtype), sigma,
+                                     sigma_next)
             if use_cfg:
                 x = jnp.concatenate([model_in, model_in], axis=0)
                 t = jnp.concatenate([timestep, timestep], axis=0)
@@ -330,6 +354,9 @@ class FluxPipeline:
         ipadapter_scale: float = 1.0,
         rope_tables_override=None,                 # (cos, sin), e.g. NexusGen
         # editing spatial text ids (flux_image_new.py:815-835)
+        tiled: bool = False,                       # reference flux_image_new
+        tile_size: int = 128,                      # :492-494 defaults; DiT runs
+        tile_stride: int = 64,                     # whole-model-per-latent-tile
     ) -> np.ndarray:
         """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
 
@@ -354,12 +381,30 @@ class FluxPipeline:
             prompt_emb = jnp.broadcast_to(ov, (prompt_emb.shape[0],)
                                           + ov.shape[1:])
 
+        if tiled and (controlnet is not None or kontext_image is not None
+                      or step1x is not None or ipadapter is not None
+                      or flex_condition is not None
+                      or eligen_entity_prompts is not None
+                      or rope_tables_override is not None
+                      or tea_cache_thresh > 0):
+            # the reference's tiled_forward silently drops these residual/token
+            # injections (flux_dit.py:324-341); refuse instead
+            raise NotImplementedError(
+                "tiled=True composes with the base/CFG path only")
+
         h, w = height // self.vae_factor, width // self.vae_factor
         latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 16),
                                     jnp.float32).astype(self.dtype)
         if input_image is not None:
             img = jnp.asarray(input_image, jnp.float32)[None] * 2.0 - 1.0
-            z = self._encode(self.vae_encoder, img).astype(self.dtype)
+            if tiled:
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                z = tiled_forward_2d(
+                    lambda c: self._encode(self.vae_encoder, c),
+                    img, tile_size, tile_stride).astype(self.dtype)
+            else:
+                z = self._encode(self.vae_encoder, img).astype(self.dtype)
             latents = fm.add_noise(z, latents, schedule.sigmas[0])
 
         guidance = jnp.full((1,), embedded_guidance, self.dtype)
@@ -567,8 +612,16 @@ class FluxPipeline:
                 cn_res, cn_single_res, kontext, flex, ip,
                 None if rope_tables_override is None else
                 tuple(jnp.asarray(t) for t in rope_tables_override),
+                tile_ctx=(tile_size, tile_stride) if tiled else None,
             )
-        img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
+        if tiled:
+            from goal_force_tpu.models.tiler import tiled_forward_2d
+
+            img = tiled_forward_2d(
+                lambda z: self._decode(self.vae_decoder, z),
+                latents.astype(jnp.float32), tile_size, tile_stride)
+        else:
+            img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)
 
 

@@ -30,6 +30,8 @@ class HunyuanImagePipeline:
     dit: Dict
     vae_decoder: Dict
     cfg: HunyuanDiTConfig
+    vae_encoder: Optional[Dict] = None
+    vae_enc_plan: Tuple = ()
     vae_dec_plan: Tuple = ()
     vae_groups: int = 32
     vae_scaling: float = 0.13025       # SDXL VAE (reference fetches sdxl vae)
@@ -120,29 +122,40 @@ class HunyuanImagePipeline:
                                num_layers_up=2, text_dim=12, t5_dim=16,
                                text_len=8, t5_len=6)
         dit = init_hunyuan_dit(ks[0], cfg, dtype=dtype)
-        _, vae_d, _, dec_plan = _init_tiny_vae(ks[1], dtype)
-        return cls(dit=dit, vae_decoder=vae_d, cfg=cfg, vae_dec_plan=dec_plan,
-                   vae_groups=4, dtype=dtype)
+        vae_e, vae_d, enc_plan, dec_plan = _init_tiny_vae(ks[1], dtype)
+        return cls(dit=dit, vae_decoder=vae_d, cfg=cfg,
+                   vae_encoder=vae_e, vae_enc_plan=enc_plan,
+                   vae_dec_plan=dec_plan, vae_groups=4, dtype=dtype)
 
     @functools.cached_property
     def _denoise_cfg(self):
         cfg = self.cfg
 
         @jax.jit
-        def fn(dit, latents, t, clip2, cm2, t52, t5m2, size_emb, cfg_scale):
+        def fn(dit, latents, t, clip2, cm2, t52, t5m2, size_emb, cfg_scale,
+               local_w=None):
+            # prompt rows: [posi, nega, local_1..L] in one merged batch (the
+            # reference runs 2+L sequential passes, hunyuan_image.py:260-277)
             b = latents.shape[0]
-            x2 = jnp.concatenate([latents, latents], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
+            n = clip2.shape[0] // b
+            x2 = jnp.concatenate([latents] * n, axis=0)
+            t2 = jnp.concatenate([t] * n, axis=0)
             pred = hunyuan_dit_forward(dit, cfg, x2, clip2, t52, cm2, t5m2,
                                        t2, size_emb)
-            return pred[b:] + cfg_scale * (pred[:b] - pred[b:])
+            p_pos, p_neg = pred[:b], pred[b:2 * b]
+            if local_w is not None:
+                from goal_force_tpu.pipelines.regional import (
+                    blend_local_predictions,
+                )
+
+                p_pos = blend_local_predictions(p_pos, pred[2 * b:], local_w)
+            return p_neg + cfg_scale * (p_pos - p_neg)
 
         return fn
 
-    def _embeds(self, prompt, negative_prompt):
+    def _embeds(self, prompts):
         if self.encode_prompt is not None:
-            cp, cmp, tp, tmp_ = self.encode_prompt(prompt)
-            cn, cmn, tn, tmn = self.encode_prompt(negative_prompt)
+            encs = [self.encode_prompt(p) for p in prompts]
         else:
             from goal_force_tpu.pipelines.flux import _hash_ids
 
@@ -151,15 +164,13 @@ class HunyuanImagePipeline:
                 k = jax.random.PRNGKey(int(ids.sum()))
                 return jax.random.normal(k, (1, length, dim), jnp.float32)
 
-            cp = emb(prompt, self.cfg.text_dim, self.cfg.text_len)
-            cn = emb(negative_prompt, self.cfg.text_dim, self.cfg.text_len)
-            tp = emb(prompt, self.cfg.t5_dim, self.cfg.t5_len)
-            tn = emb(negative_prompt, self.cfg.t5_dim, self.cfg.t5_len)
-            cmp = cmn = jnp.ones((1, self.cfg.text_len))
-            tmp_ = tmn = jnp.ones((1, self.cfg.t5_len))
-        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
-        return (cat(cp, cn).astype(self.dtype), cat(cmp, cmn),
-                cat(tp, tn).astype(self.dtype), cat(tmp_, tmn))
+            encs = [(emb(p, self.cfg.text_dim, self.cfg.text_len),
+                     jnp.ones((1, self.cfg.text_len)),
+                     emb(p, self.cfg.t5_dim, self.cfg.t5_len),
+                     jnp.ones((1, self.cfg.t5_len))) for p in prompts]
+        cat = lambda i: jnp.concatenate([e[i] for e in encs], axis=0)
+        return (cat(0).astype(self.dtype), cat(1),
+                cat(2).astype(self.dtype), cat(3))
 
     def __call__(
         self,
@@ -170,32 +181,86 @@ class HunyuanImagePipeline:
         width: int = 1024,
         num_inference_steps: int = 30,
         seed: int = 0,
+        input_image: Optional[np.ndarray] = None,    # (H, W, 3) in [0, 1]
+        denoising_strength: float = 1.0,
+        local_prompts=None,
+        masks=None,
+        mask_scales=None,
+        local_blur_kernel_size: int = 33,
+        local_blur_sigma: float = 10.0,
+        tiled: bool = False,
+        tile_size: int = 64,
+        tile_stride: int = 32,
         return_latents: bool = False,
     ) -> np.ndarray:
-        from goal_force_tpu.models.sd_vae import sd_vae_decode
+        # tiled: spatially tiled VAE decode, latent-unit tile_size (reference
+        # hunyuan_image.py:171-172 decode_image -> sd_vae_decoder tiled path)
+        # local_prompts/masks/mask_scales: regional prompting
+        # (hunyuan_image.py:223,246,265 via control_noise_via_local_prompts);
+        # input_image + denoising_strength: i2i (hunyuan_image.py:233-239)
+        from goal_force_tpu.models.sd_vae import sd_vae_decode, sd_vae_encode
+        from goal_force_tpu.schedulers.ddim import ddim_add_noise
 
         schedule = make_ddim_schedule(num_inference_steps,
                                       beta_start=0.00085, beta_end=0.03,
-                                      prediction_type="v_prediction")
-        clip2, cm2, t52, t5m2 = self._embeds(prompt, negative_prompt)
+                                      prediction_type="v_prediction",
+                                      denoising_strength=denoising_strength
+                                      if input_image is not None else 1.0)
+        local_prompts = list(local_prompts or [])
+        clip2, cm2, t52, t5m2 = self._embeds(
+            [prompt, negative_prompt] + local_prompts)
         # width FIRST (reference prepare_extra_input :197:
         # [width, height, width, height, 0, 0])
         size_emb = jnp.tile(
             jnp.asarray([[width, height, width, height, 0, 0]], jnp.float32),
-            (2, 1))
+            (2 + len(local_prompts), 1))
 
         h, w = height // self.vae_factor, width // self.vae_factor
-        latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
-                                    jnp.float32).astype(self.dtype)
+        local_w = None
+        if local_prompts:
+            from goal_force_tpu.pipelines.regional import local_prompt_weights
+
+            local_w = jnp.asarray(local_prompt_weights(
+                masks, mask_scales, h, w,
+                local_blur_kernel_size, local_blur_sigma))
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
+                                  jnp.float32).astype(self.dtype)
+        if input_image is not None:
+            img = jnp.asarray(np.asarray(input_image, np.float32) * 2.0 - 1.0,
+                              jnp.float32)[None]
+            enc = jax.jit(lambda c: sd_vae_encode(
+                self.vae_encoder, c, self.vae_enc_plan,
+                groups=self.vae_groups, scaling=self.vae_scaling))
+            if tiled:
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                z = tiled_forward_2d(enc, img, tile_size * self.vae_factor,
+                                     tile_stride * self.vae_factor)
+            else:
+                z = enc(img)
+            latents = ddim_add_noise(schedule, z.astype(self.dtype), noise,
+                                     int(schedule.timesteps[0])) \
+                .astype(self.dtype)
+        else:
+            latents = noise
         for i in range(len(schedule)):
             t = jnp.full((1,), float(schedule.timesteps[i]), self.dtype)
             pred = self._denoise_cfg(self.dit, latents, t, clip2, cm2, t52,
-                                     t5m2, size_emb, float(cfg_scale))
+                                     t5m2, size_emb, float(cfg_scale),
+                                     local_w=local_w)
             latents = ddim_step(schedule, pred.astype(latents.dtype), i,
                                 latents)
         if return_latents:
             return np.asarray(latents, np.float32)
-        img = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
-                            self.vae_dec_plan, groups=self.vae_groups,
-                            scaling=self.vae_scaling)
+        dec = lambda z: sd_vae_decode(self.vae_decoder, z, self.vae_dec_plan,
+                                      groups=self.vae_groups,
+                                      scaling=self.vae_scaling)
+        if tiled:
+            from goal_force_tpu.models.tiler import tiled_forward_2d
+
+            img = tiled_forward_2d(jax.jit(dec),
+                                   latents.astype(jnp.float32),
+                                   min(tile_size, h, w), tile_stride)
+        else:
+            img = dec(latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

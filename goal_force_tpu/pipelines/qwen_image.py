@@ -158,7 +158,8 @@ class QwenImagePipeline:
         text = _init_tiny_qwen_text(ks[1], txt_cfg, dtype)
         vae_cfg = VAEConfig(dim=8, z_dim=dit_cfg.in_dim // 4, dim_mult=(1, 2),
                             num_res_blocks=1,
-                            temporal_downsample=(False,))
+                            temporal_downsample=(False,),
+                            upsampling_factor=2)
         vae = init_vae(ks[2], vae_cfg, dtype)
         return cls(dit=dit, text_encoder=text, vae_encoder=vae,
                    vae_decoder=vae, dit_cfg=dit_cfg, text_cfg=txt_cfg,
@@ -271,9 +272,24 @@ class QwenImagePipeline:
         eligen_entity_masks=None,                    # (M, H, W) float [0,1]
         eligen_enable_on_negative: bool = False,
         exponential_shift_mu: Optional[float] = None,
+        tiled: bool = False,
+        tile_size: int = 128,
+        tile_stride: int = 64,
         return_latents: bool = False,
     ) -> np.ndarray:
-        from goal_force_tpu.models.vae import decode_video, encode_video
+        # tiled: spatially tiled VAE encode/decode. The reference pipeline
+        # forwards tiled/tile_size/tile_stride (qwen_image.py:392-394,444) to a
+        # VAE whose **kwargs silently DROP them (qwen_image_vae.py:707-724);
+        # here they are honored via the Wan-VAE tiled coders, with the
+        # pixel-unit tile_size mapped to latent units (//vae_factor).
+        from goal_force_tpu.models.vae import (
+            decode_video,
+            decode_video_tiled,
+            encode_video,
+            encode_video_tiled,
+        )
+
+        lt = lambda v: (max(v // self.vae_factor, 1),) * 2
 
         schedule = flow_match.make_schedule(
             num_inference_steps, sigma_min=0.0, sigma_max=1.0,
@@ -301,6 +317,10 @@ class QwenImagePipeline:
 
         def enc(img01):
             x = jnp.asarray(img01, jnp.float32)[None] * 2.0 - 1.0
+            if tiled:
+                return encode_video_tiled(
+                    self.vae_encoder, self.vae_cfg, x[:, None],
+                    lt(tile_size), lt(tile_stride))[:, 0].astype(self.dtype)
             return encode_video(self.vae_encoder, self.vae_cfg,
                                 x[:, None])[:, 0].astype(self.dtype)
 
@@ -368,8 +388,13 @@ class QwenImagePipeline:
                                             schedule.sigma_next(i))
         if return_latents:
             return np.asarray(latents, np.float32)
-        img = decode_video(self.vae_decoder, self.vae_cfg,
-                           latents.astype(jnp.float32)[:, None])[:, 0]
+        if tiled:
+            img = decode_video_tiled(self.vae_decoder, self.vae_cfg,
+                                     latents.astype(jnp.float32)[:, None],
+                                     lt(tile_size), lt(tile_stride))[:, 0]
+        else:
+            img = decode_video(self.vae_decoder, self.vae_cfg,
+                               latents.astype(jnp.float32)[:, None])[:, 0]
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)
 
 

@@ -58,25 +58,53 @@ class SDPipeline:
     dtype: jnp.dtype = jnp.float32
 
     def __post_init__(self):
-        self._step = jax.jit(self._denoise_cfg)
+        self._step = jax.jit(self._denoise_cfg,
+                             static_argnames=("tile_ctx", "cn_plan"))
         self._decode = jax.jit(
             lambda p, z: sd_vae_decode(p, z, self.vae_dec_plan,
                                        groups=self.vae_groups))
+        self._encode_img = jax.jit(
+            lambda p, img: sd_vae_encode(p, img, self.vae_enc_plan,
+                                         groups=self.vae_groups))
         self._encode_text = jax.jit(
             lambda p, ids, skip: sd_text_encode(p, ids, self.text_cfg,
                                                 clip_skip=skip),
             static_argnums=2)
 
-    # one CFG step: merged (posi, nega) batch, epsilon blended on host weights
+    # one CFG step: merged (posi, nega, local_1..L) batch — ONE XLA call per
+    # step vs the reference's 2+L sequential model invocations — with epsilon
+    # blended on host weights
     def _denoise_cfg(self, unet, latents, t, ctx_pos, ctx_neg, cfg_scale,
-                     w_x, w_e, ipadapter=None):
+                     w_x, w_e, ipadapter=None, tile_ctx=None,
+                     ctx_locals=None, local_w=None, cn=None, cn_cond=None,
+                     cn_plan=None):
         b = latents.shape[0]
-        ctx = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
-        x2 = jnp.concatenate([latents, latents], axis=0)
+        rows = [ctx_pos, ctx_neg]
+        if ctx_locals is not None:
+            rows.append(ctx_locals)
+        ctx = jnp.concatenate(rows, axis=0)
+        n = ctx.shape[0] // b
+        x2 = jnp.concatenate([latents] * n, axis=0)
+        tfull = jnp.full((n * b,), t, latents.dtype)
+        cn_res = None
+        if cn is not None:
+            from goal_force_tpu.models.sd_controlnet import sd_controlnet_apply
+
+            cond = jnp.concatenate([cn_cond] * n, axis=0)
+            cn_kwargs = {} if cn_plan is None else {"plan": cn_plan}
+            cn_res = sd_controlnet_apply(cn, x2, tfull, ctx, cond,
+                                         groups=self.groups, **cn_kwargs)
         eps = sd_unet_apply(self.unet if unet is None else unet, self.plan,
-                            x2, jnp.full((2 * b,), t, latents.dtype), ctx,
-                            groups=self.groups, ipadapter=ipadapter)
-        eps_pos, eps_neg = eps[:b], eps[b:]
+                            x2, tfull, ctx,
+                            groups=self.groups, ipadapter=ipadapter,
+                            controlnet_res=cn_res, tile_ctx=tile_ctx)
+        eps_pos, eps_neg = eps[:b], eps[b:2 * b]
+        if ctx_locals is not None:
+            from goal_force_tpu.pipelines.regional import (
+                blend_local_predictions,
+            )
+
+            eps_pos = blend_local_predictions(eps_pos, eps[2 * b:], local_w)
         eps = eps_neg + cfg_scale * (eps_pos - eps_neg)
         return latents * w_x + eps * w_e
 
@@ -104,13 +132,41 @@ class SDPipeline:
                  ipadapter: Optional[Dict] = None,
                  ipadapter_image_emb: Optional[np.ndarray] = None,
                  ipadapter_scale: float = 1.0,
+                 local_prompts: Optional[Sequence[str]] = None,
+                 masks: Optional[Sequence[np.ndarray]] = None,
+                 mask_scales: Optional[Sequence[float]] = None,
+                 local_blur_kernel_size: int = 33,
+                 local_blur_sigma: float = 10.0,
+                 controlnet: Optional[Dict] = None,     # {"params", ...}
+                 controlnet_image: Optional[np.ndarray] = None,  # (H, W, 3) [0,1]
+                 tiled: bool = False,
+                 tile_size: int = 64,
+                 tile_stride: int = 32,
                  return_latents: bool = False) -> np.ndarray:
         """-> (H, W, 3) float image in [0, 1].
 
         ipadapter: SD IP-Adapter params (models/ipadapter.py) driven by the
         CLIP image embedding ipadapter_image_emb (B, clip_dim); the image K/V
-        are injected into every mapped cross-attention unit."""
+        are injected into every mapped cross-attention unit.
+
+        local_prompts/masks/mask_scales: regional prompting (reference
+        sd_image.py:94,137,170 via base.py control_noise_via_local_prompts):
+        each local prompt denoises the same latents and the positive epsilon is
+        mask-blended before CFG; masks are (H, W[, C]) floats in [0, 1]. The
+        blur defaults (33, 10) match the reference; shrink for tiny latents.
+
+        controlnet + controlnet_image: SD ControlNet residuals added to the
+        UNet skip stack each step for every prompt row (reference
+        sd_image.py:149-157, lets_dance controlnet path).
+
+        tiled: the reference's spatial tiling (sd_image.py:108-118): the VAE
+        encode/decode run per overlapping tile and every UNet transformer block
+        attends within (tile_size, tile_size) tiles of its resolution, blended
+        with the border-ramp mask. tile_size is in PIXELS for the VAE encode and
+        in LATENT units for the UNet/decode, as in the reference."""
         import math
+
+        from goal_force_tpu.models.tiler import tiled_forward_2d
 
         sched = make_ddim_schedule(num_inference_steps,
                                    denoising_strength=denoising_strength
@@ -121,8 +177,12 @@ class SDPipeline:
         if input_image is not None:
             img = jnp.asarray(np.asarray(input_image, np.float32) / 127.5 - 1.0,
                               self.dtype)[None]
-            z = sd_vae_encode(self.vae_encoder, img, self.vae_enc_plan,
-                              groups=self.vae_groups)
+            if tiled:
+                z = tiled_forward_2d(
+                    lambda crop: self._encode_img(self.vae_encoder, crop),
+                    img, tile_size, tile_stride).astype(self.dtype)
+            else:
+                z = self._encode_img(self.vae_encoder, img)
             latents = ddim_add_noise(sched, z, noise, int(sched.timesteps[0]))
             latents = latents.astype(self.dtype)
         else:
@@ -133,6 +193,24 @@ class SDPipeline:
         ctx_neg = self._encode_text(self.text_encoder,
                                     self._ids(negative_prompt),
                                     1).astype(self.dtype)
+        ctx_locals = local_w = None
+        if local_prompts:
+            from goal_force_tpu.pipelines.regional import local_prompt_weights
+
+            ctx_locals = jnp.concatenate([
+                self._encode_text(self.text_encoder, self._ids(p), clip_skip)
+                for p in local_prompts], axis=0).astype(self.dtype)
+            local_w = jnp.asarray(local_prompt_weights(
+                masks, mask_scales, h8, w8,
+                local_blur_kernel_size, local_blur_sigma))
+
+        cn_params = cn_cond = cn_plan = None
+        if controlnet is not None and controlnet_image is not None:
+            cn_params = controlnet["params"]
+            cn_plan = controlnet.get("plan")
+            cn_plan = None if cn_plan is None else tuple(map(tuple, cn_plan))
+            cn_cond = jnp.asarray(controlnet_image, jnp.float32)[None] \
+                .astype(self.dtype)
 
         ip_kwargs = None
         if ipadapter is not None and ipadapter_image_emb is not None:
@@ -154,10 +232,20 @@ class SDPipeline:
             w_x = math.sqrt(a_prev / a_t)
             latents = self._step(self.unet, latents, float(t), ctx_pos,
                                  ctx_neg, float(cfg_scale), w_x, w_e,
-                                 ip_kwargs)
+                                 ip_kwargs,
+                                 tile_ctx=(tile_size, tile_stride)
+                                 if tiled else None,
+                                 ctx_locals=ctx_locals, local_w=local_w,
+                                 cn=cn_params, cn_cond=cn_cond,
+                                 cn_plan=cn_plan)
         if return_latents:
             return np.asarray(latents, np.float32)
-        image = self._decode(self.vae_decoder, latents)
+        if tiled:
+            image = tiled_forward_2d(
+                lambda z: self._decode(self.vae_decoder, z),
+                latents, tile_size, tile_stride)
+        else:
+            image = self._decode(self.vae_decoder, latents)
         return np.clip((np.asarray(image[0], np.float32) + 1.0) / 2.0, 0.0, 1.0)
 
     @classmethod

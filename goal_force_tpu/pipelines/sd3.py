@@ -217,15 +217,36 @@ class SD3Pipeline:
         cfg = self.dit_cfg
         attn_impl = self.attn_impl
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("tile_ctx",))
         def fn(dit, latents, timestep, sigma, sigma_next, prompt_emb, pooled,
-               cfg_scale):
+               cfg_scale, tile_ctx=None, local_w=None):
+            # prompt_emb/pooled rows: [posi, nega, local_1..L] — one merged
+            # XLA call per step (the reference runs 2+L sequential passes)
             b = latents.shape[0]
-            x = jnp.concatenate([latents, latents], axis=0)
-            t = jnp.concatenate([timestep, timestep], axis=0)
-            v = sd3_dit_forward(dit, cfg, x, t, prompt_emb, pooled,
-                                attn_impl=attn_impl)
-            v = v[b:] + cfg_scale * (v[:b] - v[b:])
+            n = prompt_emb.shape[0] // b
+            x = jnp.concatenate([latents] * n, axis=0)
+            t = jnp.concatenate([timestep] * n, axis=0)
+            if tile_ctx is not None:
+                # reference sd3_dit.py:355-369: the WHOLE DiT runs per latent
+                # tile (per-tile cropped pos-embed), blended by the ramp mask
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                v = tiled_forward_2d(
+                    lambda xt: sd3_dit_forward(dit, cfg, xt, t, prompt_emb,
+                                               pooled, attn_impl=attn_impl),
+                    x, tile_ctx[0], tile_ctx[1]).astype(x.dtype)
+            else:
+                v = sd3_dit_forward(dit, cfg, x, t, prompt_emb, pooled,
+                                    attn_impl=attn_impl)
+            v_pos, v_neg = v[:b], v[b:2 * b]
+            if local_w is not None:
+                from goal_force_tpu.pipelines.regional import (
+                    blend_local_predictions,
+                )
+
+                v_pos = blend_local_predictions(v_pos, v[2 * b:], local_w)
+            v = v_neg + cfg_scale * (v_pos - v_neg)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
         return fn
@@ -261,15 +282,34 @@ class SD3Pipeline:
         num_inference_steps: int = 28,
         sigma_shift: Optional[float] = None,
         seed: int = 0,
+        input_image: Optional[np.ndarray] = None,    # (H, W, 3) in [0, 1]
+        denoising_strength: float = 1.0,
+        local_prompts=None,
+        masks=None,
+        mask_scales=None,
+        local_blur_kernel_size: int = 33,
+        local_blur_sigma: float = 10.0,
         progress: bool = False,
+        tiled: bool = False,
+        tile_size: int = 128,
+        tile_stride: int = 64,
         return_latents: bool = False,
     ) -> np.ndarray:
+        # tiled: reference sd3_image.py:88-98 defaults (128/64); the DiT runs
+        # whole-model-per-latent-tile and the VAE decode is tiled.
+        # local_prompts/masks/mask_scales: regional prompting (sd3_image.py
+        # :94,130,160 via base.py control_noise_via_local_prompts); input_image
+        # + denoising_strength: i2i (sd3_image.py:117-125).
         schedule = fm.make_schedule(
             num_steps=num_inference_steps,
             shift=3.0 if sigma_shift is None else sigma_shift,
             sigma_min=0.003 / 1.002, extra_one_step=False,
+            denoising_strength=denoising_strength
+            if input_image is not None else 1.0,
         )
-        clip_ids, clip2_ids, t5_ids = self._ids([prompt, negative_prompt])
+        local_prompts = list(local_prompts or [])
+        clip_ids, clip2_ids, t5_ids = self._ids(
+            [prompt, negative_prompt] + local_prompts)
         prompt_emb, pooled = self._encode_text(
             self.clip1, self.clip2, self.t5, clip_ids, clip2_ids, t5_ids,
             self.t5 is not None)
@@ -277,8 +317,33 @@ class SD3Pipeline:
         pooled = pooled.astype(self.dtype)
 
         h, w = height // self.vae_factor, width // self.vae_factor
-        latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 16),
-                                    jnp.float32).astype(self.dtype)
+        local_w = None
+        if local_prompts:
+            from goal_force_tpu.pipelines.regional import local_prompt_weights
+
+            local_w = jnp.asarray(local_prompt_weights(
+                masks, mask_scales, h, w,
+                local_blur_kernel_size, local_blur_sigma))
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 16),
+                                  jnp.float32).astype(self.dtype)
+        if input_image is not None:
+            img = jnp.asarray(np.asarray(input_image, np.float32) * 2.0 - 1.0,
+                              jnp.float32)[None]
+            enc = lambda c: sd3_vae_encode(self.vae_encoder, c,
+                                           self.vae_scaling,
+                                           self.vae_enc_plan, self.vae_groups)
+            if tiled:
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                z = tiled_forward_2d(jax.jit(enc), img,
+                                     tile_size * self.vae_factor,
+                                     tile_stride * self.vae_factor)
+            else:
+                z = jax.jit(enc)(img)
+            latents = fm.add_noise(z.astype(self.dtype), noise,
+                                   schedule.sigmas[0]).astype(self.dtype)
+        else:
+            latents = noise
         it = range(len(schedule))
         if progress:
             import tqdm
@@ -288,8 +353,17 @@ class SD3Pipeline:
             tstep = jnp.full((1,), float(schedule.timesteps[i]), self.dtype)
             latents = self._denoise_step(
                 self.dit, latents, tstep, schedule.sigmas[i],
-                schedule.sigma_next(i), prompt_emb, pooled, cfg_scale)
+                schedule.sigma_next(i), prompt_emb, pooled, cfg_scale,
+                tile_ctx=(tile_size, tile_stride) if tiled else None,
+                local_w=local_w)
         if return_latents:
             return np.asarray(latents, np.float32)
-        img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
+        if tiled:
+            from goal_force_tpu.models.tiler import tiled_forward_2d
+
+            img = tiled_forward_2d(
+                lambda z: self._decode(self.vae_decoder, z),
+                latents.astype(jnp.float32), tile_size, tile_stride)
+        else:
+            img = self._decode(self.vae_decoder, latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

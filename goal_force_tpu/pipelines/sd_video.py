@@ -160,11 +160,17 @@ class SDVideoPipeline:
         cross_frame_attention: bool = False,
         controlnet: Optional[Dict] = None,      # {"params", "plan"(opt)}
         controlnet_frames: Optional[np.ndarray] = None,  # (F, 8h, 8w, 3) [0,1]
+        tiled: bool = False,
+        tile_size: int = 64,
+        tile_stride: int = 32,
         return_latents: bool = False,
     ) -> np.ndarray:
         """dancer.py parity: per-frame ControlNet residual stacks injected into
         the UNet skip stack each step (reference dancer.py:33-60,104-110) and
-        optional cross-frame self-attention over the whole clip (:88)."""
+        optional cross-frame self-attention over the whole clip (:88).
+
+        tiled: spatially tiled VAE decode, latent-unit tile_size (reference
+        sd_video.py:125-131 decode_video -> sd_vae_decoder.py tiled_forward)."""
         from goal_force_tpu.models.sd_vae import sd_vae_decode
 
         schedule = make_ddim_schedule(
@@ -207,6 +213,14 @@ class SDVideoPipeline:
             latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
         if return_latents:
             return np.asarray(latents, np.float32)
-        video = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
-                              self.vae_dec_plan, groups=self.vae_groups)
+        dec = lambda z: sd_vae_decode(self.vae_decoder, z, self.vae_dec_plan,
+                                      groups=self.vae_groups)
+        if tiled:
+            from goal_force_tpu.models.tiler import tiled_forward_2d
+
+            video = tiled_forward_2d(jax.jit(dec),
+                                     latents.astype(jnp.float32),
+                                     min(tile_size, h, w), tile_stride)
+        else:
+            video = dec(latents.astype(jnp.float32))
         return np.asarray((video + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

@@ -31,6 +31,7 @@ from goal_force_tpu.models.sd_vae import (
     SD_VAE_ENCODER_PLAN,
     SDXL_SCALING_FACTOR,
     sd_vae_decode,
+    sd_vae_encode,
 )
 from goal_force_tpu.models.sdxl_unet import (
     SDXL_PLAN,
@@ -47,6 +48,8 @@ class SDXLPipeline:
     text_encoder: Dict
     text_encoder_2: Dict
     vae_decoder: Dict
+    vae_encoder: Optional[Dict] = None
+    vae_enc_plan: Tuple = SD_VAE_ENCODER_PLAN
     plan: Tuple = SDXL_PLAN
     text_cfg: CLIPConfig = SDXL_TEXT_CONFIG
     text2_cfg: CLIPConfig = SDXL_TEXT2_CONFIG
@@ -61,9 +64,14 @@ class SDXLPipeline:
     dtype: jnp.dtype = jnp.float32
 
     def __post_init__(self):
-        self._step = jax.jit(self._denoise_cfg)
+        self._step = jax.jit(self._denoise_cfg,
+                             static_argnames=("tile_ctx", "cn_plan",
+                                              "cn_task", "cn_nhead"))
         self._decode = jax.jit(lambda p, z: sd_vae_decode(
             p, z, self.vae_dec_plan, groups=self.vae_groups,
+            scaling=self.vae_scaling))
+        self._encode_img = jax.jit(lambda p, img: sd_vae_encode(
+            p, img, self.vae_enc_plan, groups=self.vae_groups,
             scaling=self.vae_scaling))
         self._encode = jax.jit(self._encode_prompt, static_argnums=(4, 5))
 
@@ -73,17 +81,52 @@ class SDXLPipeline:
                                        clip_skip=clip_skip_2)
         return jnp.concatenate([h1, h2], axis=-1), pooled
 
+    # merged (posi, nega, local_1..L) batch: one XLA call per step (the
+    # reference runs 2+L sequential lets_dance_xl invocations)
     def _denoise_cfg(self, unet, latents, t, ctx_pos, ctx_neg, pool_pos,
-                     pool_neg, add_ids, cfg_scale, w_x, w_e):
+                     pool_neg, add_ids, cfg_scale, w_x, w_e, tile_ctx=None,
+                     ipadapter=None, ctx_locals=None, pool_locals=None,
+                     local_w=None, cn=None, cn_cond=None, cn_plan=None,
+                     cn_task=3, cn_nhead=8):
         b = latents.shape[0]
-        x2 = jnp.concatenate([latents, latents], axis=0)
-        ctx = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
-        pool = jnp.concatenate([pool_pos, pool_neg], axis=0)
-        eps = sdxl_unet_apply(unet, self.plan, x2,
-                              jnp.full((2 * b,), t, latents.dtype), ctx,
-                              jnp.tile(add_ids, 2 * b), pool,
-                              groups=self.groups)
-        eps = eps[b:] + cfg_scale * (eps[:b] - eps[b:])
+        ctx_rows = [ctx_pos, ctx_neg]
+        pool_rows = [pool_pos, pool_neg]
+        if ctx_locals is not None:
+            ctx_rows.append(ctx_locals)
+            pool_rows.append(pool_locals)
+        ctx = jnp.concatenate(ctx_rows, axis=0)
+        pool = jnp.concatenate(pool_rows, axis=0)
+        n = ctx.shape[0] // b
+        x2 = jnp.concatenate([latents] * n, axis=0)
+        tfull = jnp.full((n * b,), t, latents.dtype)
+        cn_res = None
+        if cn is not None:
+            from goal_force_tpu.models.sd_controlnet import (
+                sdxl_controlnet_apply,
+            )
+
+            cn_kwargs = {} if cn_plan is None else {"plan": cn_plan}
+            # n_head is a STATIC int hoisted out of the params pytree in
+            # __call__ (a traced int would fail the reshape in the
+            # cn_transformer); reinsert it here
+            cn = {**cn, "cn_transformer": {**cn["cn_transformer"],
+                                           "n_head": cn_nhead}}
+            cn_res = sdxl_controlnet_apply(
+                cn, x2, tfull, ctx, jnp.concatenate([cn_cond] * n, axis=0),
+                jnp.tile(add_ids, n * b), pool, task_id=cn_task,
+                groups=self.groups, **cn_kwargs)
+        eps = sdxl_unet_apply(unet, self.plan, x2, tfull, ctx,
+                              jnp.tile(add_ids, n * b), pool,
+                              groups=self.groups, controlnet_res=cn_res,
+                              ipadapter=ipadapter, tile_ctx=tile_ctx)
+        eps_pos, eps_neg = eps[:b], eps[b:2 * b]
+        if ctx_locals is not None:
+            from goal_force_tpu.pipelines.regional import (
+                blend_local_predictions,
+            )
+
+            eps_pos = blend_local_predictions(eps_pos, eps[2 * b:], local_w)
+        eps = eps_neg + cfg_scale * (eps_pos - eps_neg)
         return latents * w_x + eps * w_e
 
     def _ids(self, prompt: str) -> jnp.ndarray:
@@ -105,12 +148,50 @@ class SDXLPipeline:
                  height: int = 1024, width: int = 1024,
                  num_inference_steps: int = 20, cfg_scale: float = 7.5,
                  clip_skip: int = 1, clip_skip_2: int = 2, seed: int = 0,
+                 input_image: Optional[np.ndarray] = None,   # (H, W, 3) [0,1]
+                 denoising_strength: float = 1.0,
+                 ipadapter: Optional[Dict] = None,
+                 ipadapter_image_emb: Optional[np.ndarray] = None,
+                 ipadapter_scale: float = 1.0,
+                 local_prompts=None, masks=None, mask_scales=None,
+                 local_blur_kernel_size: int = 33,
+                 local_blur_sigma: float = 10.0,
+                 controlnet: Optional[Dict] = None,
+                 controlnet_image: Optional[np.ndarray] = None,
+                 tiled: bool = False, tile_size: int = 64,
+                 tile_stride: int = 32,
                  return_latents: bool = False) -> np.ndarray:
         # clip_skip defaults 1 (CLIP-L) / 2 (CLIP-G) as in the reference
         # (sdxl_image.py:120-121, sdxl_prompter.py:36-49).
-        sched = make_ddim_schedule(num_inference_steps)
-        latents = jax.random.normal(jax.random.PRNGKey(seed),
-                                    (1, height // 8, width // 8, 4), self.dtype)
+        # tiled: reference sdxl_image.py:131-141 — per-transformer-block UNet
+        # tiling + tiled VAE decode (see pipelines/sd.py docstring).
+        # local_prompts/masks/mask_scales: regional prompting (sdxl_image.py
+        # :94,168,215 via base.py control_noise_via_local_prompts); controlnet:
+        # union ControlNet residuals each step ({"params","plan"?,"task_id"?} +
+        # (H, W, 3) [0,1] image, sdxl_image.py:186-194); input_image +
+        # denoising_strength: i2i (sdxl_image.py:139-146).
+        from goal_force_tpu.schedulers.ddim import ddim_add_noise
+
+        sched = make_ddim_schedule(num_inference_steps,
+                                   denoising_strength=denoising_strength
+                                   if input_image is not None else 1.0)
+        noise = jax.random.normal(jax.random.PRNGKey(seed),
+                                  (1, height // 8, width // 8, 4), self.dtype)
+        if input_image is not None:
+            img = jnp.asarray(np.asarray(input_image, np.float32) * 2.0 - 1.0,
+                              self.dtype)[None]
+            if tiled:
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                z = tiled_forward_2d(
+                    lambda crop: self._encode_img(self.vae_encoder, crop),
+                    img, tile_size * 8, tile_stride * 8).astype(self.dtype)
+            else:
+                z = self._encode_img(self.vae_encoder, img)
+            latents = ddim_add_noise(sched, z, noise,
+                                     int(sched.timesteps[0])).astype(self.dtype)
+        else:
+            latents = noise
         ctx_p, pool_p = self._encode(self.text_encoder, self.text_encoder_2,
                                      self._ids(prompt), self._ids2(prompt),
                                      clip_skip, clip_skip_2)
@@ -118,6 +199,41 @@ class SDXLPipeline:
                                      self._ids(negative_prompt),
                                      self._ids2(negative_prompt), clip_skip,
                                      clip_skip_2)
+        ctx_l = pool_l = local_w = None
+        if local_prompts:
+            from goal_force_tpu.pipelines.regional import local_prompt_weights
+
+            encs = [self._encode(self.text_encoder, self.text_encoder_2,
+                                 self._ids(p), self._ids2(p), clip_skip,
+                                 clip_skip_2) for p in local_prompts]
+            ctx_l = jnp.concatenate([e[0] for e in encs], axis=0) \
+                .astype(self.dtype)
+            pool_l = jnp.concatenate([e[1] for e in encs], axis=0) \
+                .astype(self.dtype)
+            local_w = jnp.asarray(local_prompt_weights(
+                masks, mask_scales, height // 8, width // 8,
+                local_blur_kernel_size, local_blur_sigma))
+        ip_kwargs = None
+        if ipadapter is not None and ipadapter_image_emb is not None:
+            from goal_force_tpu.models.ipadapter import (
+                ipadapter_kwargs_for_plan,
+            )
+
+            ip_kwargs = ipadapter_kwargs_for_plan(
+                self.plan, ipadapter, jnp.asarray(ipadapter_image_emb),
+                scale=ipadapter_scale)
+        cn_params = cn_cond = cn_plan = None
+        cn_task, cn_nhead = 3, 8
+        if controlnet is not None and controlnet_image is not None:
+            cn_params = dict(controlnet["params"])
+            ct = dict(cn_params["cn_transformer"])
+            cn_nhead = ct.pop("n_head")
+            cn_params["cn_transformer"] = ct
+            cn_plan = controlnet.get("plan")
+            cn_plan = None if cn_plan is None else tuple(map(tuple, cn_plan))
+            cn_task = controlnet.get("task_id", 3)
+            cn_cond = jnp.asarray(controlnet_image, jnp.float32)[None] \
+                .astype(self.dtype)
         add_ids = jnp.asarray(
             np.array([height, width, 0, 0, height, width], np.float32))
         acp = sched.alphas_cumprod
@@ -133,10 +249,24 @@ class SDXLPipeline:
                                  ctx_n.astype(self.dtype),
                                  pool_p.astype(self.dtype),
                                  pool_n.astype(self.dtype),
-                                 add_ids, float(cfg_scale), w_x, w_e)
+                                 add_ids, float(cfg_scale), w_x, w_e,
+                                 tile_ctx=(tile_size, tile_stride)
+                                 if tiled else None,
+                                 ipadapter=ip_kwargs,
+                                 ctx_locals=ctx_l, pool_locals=pool_l,
+                                 local_w=local_w, cn=cn_params,
+                                 cn_cond=cn_cond, cn_plan=cn_plan,
+                                 cn_task=cn_task, cn_nhead=cn_nhead)
         if return_latents:
             return np.asarray(latents, np.float32)
-        image = self._decode(self.vae_decoder, latents)
+        if tiled:
+            from goal_force_tpu.models.tiler import tiled_forward_2d
+
+            image = tiled_forward_2d(
+                lambda z: self._decode(self.vae_decoder, z),
+                latents, tile_size, tile_stride)
+        else:
+            image = self._decode(self.vae_decoder, latents)
         return np.clip((np.asarray(image[0], np.float32) + 1.0) / 2.0, 0.0, 1.0)
 
     @classmethod

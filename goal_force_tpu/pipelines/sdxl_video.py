@@ -139,11 +139,17 @@ class SDXLVideoPipeline:
         cross_frame_attention: bool = False,
         controlnet: Optional[Dict] = None,      # {"params", "plan"(opt), "task_id"(opt)}
         controlnet_frames: Optional[np.ndarray] = None,  # (F, 8h, 8w, 3) [0,1]
+        tiled: bool = False,
+        tile_size: int = 64,
+        tile_stride: int = 32,
         return_latents: bool = False,
     ) -> np.ndarray:
         """lets_dance_xl parity (reference dancer.py:119-245): per-frame
         ControlNet residuals injected into the skip stack each step, optional
-        cross-frame self-attention over the whole clip."""
+        cross-frame self-attention over the whole clip.
+
+        tiled: spatially tiled VAE decode, latent-unit tile_size (reference
+        sdxl_video.py:78-84 decode_video -> sd_vae_decoder tiled_forward)."""
         from goal_force_tpu.models.sd_vae import (SDXL_SCALING_FACTOR,
                                                   sd_vae_decode)
 
@@ -193,7 +199,15 @@ class SDXLVideoPipeline:
             latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
         if return_latents:
             return np.asarray(latents, np.float32)
-        video = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
-                              self.vae_dec_plan, groups=self.vae_groups,
-                              scaling=SDXL_SCALING_FACTOR)
+        dec = lambda z: sd_vae_decode(self.vae_decoder, z, self.vae_dec_plan,
+                                      groups=self.vae_groups,
+                                      scaling=SDXL_SCALING_FACTOR)
+        if tiled:
+            from goal_force_tpu.models.tiler import tiled_forward_2d
+
+            video = tiled_forward_2d(
+                jax.jit(dec), latents.astype(jnp.float32),
+                min(tile_size, height // 8, width // 8), tile_stride)
+        else:
+            video = dec(latents.astype(jnp.float32))
         return np.asarray((video + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

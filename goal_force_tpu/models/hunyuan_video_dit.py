@@ -138,6 +138,19 @@ def _mod(p, vec, n):
     return jnp.split(e, n, axis=-1)
 
 
+def _tok(m, m_tr, tr_mask):
+    """Per-token modulation select for HunyuanVideo-I2V token replace
+    (reference hunyuan_video_dit.py:285-291,394-398): the first-frame image
+    tokens take the t=0 modulation m_tr, everything else the normal m."""
+    if m_tr is None:
+        return m[:, None]
+    return jnp.where(tr_mask, m_tr[:, None], m[:, None])
+
+
+def _tr_mask(s: int, tr_token: int):
+    return (jnp.arange(s) < tr_token)[None, :, None]
+
+
 def _qkv_norm_rope(p, x, cfg, cos=None, sin=None):
     b, s, _ = x.shape
     n = cfg.num_heads
@@ -179,20 +192,28 @@ def _joint_attention(q_img, k_img, v_img, q_txt, k_txt, v_txt, cfg, attn_impl,
 
 
 def double_block(p, img, txt, vec, cos, sin, cfg, attn_impl="auto",
-                 kv_valid=None):
-    """MMDoubleStreamBlock.forward (:462-475)."""
+                 kv_valid=None, vec_tr=None, tr_token=None):
+    """MMDoubleStreamBlock.forward (:462-475); vec_tr/tr_token: I2V token
+    replace on the image stream only (:423-452)."""
     sa1, sc1, g1a, sa2, sc2, g2a = _mod(p["a"]["mod"], vec, 6)
     sb1, scb1, g1b, sb2, scb2, g2b = _mod(p["b"]["mod"], vec, 6)
-    h_img = layer_norm(img, cfg.eps) * (1 + sc1[:, None]) + sa1[:, None]
+    if vec_tr is not None:
+        ta1, tc1, tg1, ta2, tc2, tg2 = _mod(p["a"]["mod"], vec_tr, 6)
+        mk = _tr_mask(img.shape[1], tr_token)
+    else:
+        ta1 = tc1 = tg1 = ta2 = tc2 = tg2 = None
+        mk = None
+    h_img = layer_norm(img, cfg.eps) * (1 + _tok(sc1, tc1, mk)) \
+        + _tok(sa1, ta1, mk)
     h_txt = layer_norm(txt, cfg.eps) * (1 + scb1[:, None]) + sb1[:, None]
     qi, ki, vi = _qkv_norm_rope(p["a"], h_img, cfg, cos, sin)
     qt, kt, vt = _qkv_norm_rope(p["b"], h_txt, cfg)
     att_img, att_txt = _joint_attention(qi, ki, vi, qt, kt, vt, cfg, attn_impl,
                                         kv_valid)
 
-    img = img + linear(p["a"]["out"], att_img) * g1a[:, None]
-    h = layer_norm(img, cfg.eps) * (1 + sc2[:, None]) + sa2[:, None]
-    img = img + _mlp_gelu(p["a"]["ff"], h) * g2a[:, None]
+    img = img + linear(p["a"]["out"], att_img) * _tok(g1a, tg1, mk)
+    h = layer_norm(img, cfg.eps) * (1 + _tok(sc2, tc2, mk)) + _tok(sa2, ta2, mk)
+    img = img + _mlp_gelu(p["a"]["ff"], h) * _tok(g2a, tg2, mk)
 
     txt = txt + linear(p["b"]["out"], att_txt) * g1b[:, None]
     h = layer_norm(txt, cfg.eps) * (1 + scb2[:, None]) + sb2[:, None]
@@ -204,12 +225,22 @@ def _mlp_gelu(p, x):
     return linear(p["fc2"], gelu_tanh(linear(p["fc0"], x)))
 
 
-def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto", kv_valid=None):
+def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto", kv_valid=None,
+                 vec_tr=None, tr_token=None):
     """MMSingleStreamBlock.forward (:537-570): parallel attention + MLP on the
     same modulated input; rope on the image segment only; varlen joint
-    attention (see _joint_attention)."""
+    attention (see _joint_attention). vec_tr/tr_token: I2V token replace on
+    the first-frame image tokens (:537-569)."""
     shift, scale, gate = _mod(p["mod"], vec, 3)
-    h = layer_norm(x, cfg.eps) * (1 + scale[:, None]) + shift[:, None]
+    if vec_tr is not None:
+        tsh, tsc, tga = _mod(p["mod"], vec_tr, 3)
+        mk = _tr_mask(x.shape[1], tr_token)
+        shift = _tok(shift, tsh, mk)
+        scale = _tok(scale, tsc, mk)
+        gate = _tok(gate, tga, mk)
+    else:
+        shift, scale, gate = shift[:, None], scale[:, None], gate[:, None]
+    h = layer_norm(x, cfg.eps) * (1 + scale) + shift
     b, s, _ = x.shape
     n = cfg.num_heads
     tl = cfg.txt_len
@@ -225,9 +256,9 @@ def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto", kv_valid=None):
     out = attention(q, k, v, impl=attn_impl, kv_len=kv_valid, bounded=True)
     att = constrain(out, "dp", None, "sp", "tp").reshape(b, s, cfg.dim)
 
-    x = x + linear(p["out"], att) * gate[:, None]
+    x = x + linear(p["out"], att) * gate
     ff = gelu_tanh(linear(p["ff_fc0"], h)) @ p["ff_fc2"]["w"]  # bias-free (:534)
-    return x + ff * gate[:, None]
+    return x + ff * gate
 
 
 # ---------------------------------------------------------------------------
@@ -255,16 +286,43 @@ def hunyuan_video_dit_forward(
     guidance: Optional[jnp.ndarray] = None,
     remat: bool = False,
     attn_impl: str = "auto",
+    token_replace: bool = False,
 ) -> jnp.ndarray:
-    """HunyuanVideoDiT.forward (:631-676). Returns (B, T, H, W, 16)."""
+    """HunyuanVideoDiT.forward (:631-676). Returns (B, T, H, W, 16).
+
+    token_replace: HunyuanVideo-I2V — the first latent frame holds the clean
+    conditioning image, so its tokens are modulated with the t=0 conditioning
+    vector (reference lets_dance_hunyuan_video_i2v, hunyuan_video.py:343-396:
+    token_replace_vec = time_in(0) + vector_in(pooled), tr_token = gh*gw)."""
+    pre = hunyuan_video_prelude(params, cfg, latents, timestep, prompt_emb,
+                                text_mask, pooled_prompt_emb, guidance,
+                                token_replace=token_replace)
+    img = hunyuan_video_trunk(params, cfg, pre, remat=remat,
+                              attn_impl=attn_impl)
+    return hunyuan_video_head(params, cfg, img, pre["vec"],
+                              latents.shape)
+
+
+def hunyuan_video_prelude(params, cfg, latents, timestep, prompt_emb,
+                          text_mask, pooled_prompt_emb, guidance=None,
+                          token_replace: bool = False) -> Dict:
+    """Everything before the block stacks (embeds, token streams, rope):
+    cheap enough to run every step even when TeaCache skips the trunk."""
     from goal_force_tpu.models.sd_unet import timestep_embedding
 
     b, t, h, w, _ = latents.shape
     gh, gw = h // 2, w // 2
     dtype = params["final"]["linear"]["w"].dtype
-    vec = _mlp(params["time_in"],
-               timestep_embedding(timestep, cfg.freq_dim).astype(dtype))
-    vec = vec + _mlp(params["vector_in"], pooled_prompt_emb.astype(dtype))
+    t_vec = _mlp(params["time_in"],
+                 timestep_embedding(timestep, cfg.freq_dim).astype(dtype))
+    p_vec = _mlp(params["vector_in"], pooled_prompt_emb.astype(dtype))
+    vec = t_vec + p_vec
+    vec_tr, tr_token = None, None
+    if token_replace:
+        vec_tr = _mlp(params["time_in"],
+                      timestep_embedding(jnp.zeros_like(timestep),
+                                         cfg.freq_dim).astype(dtype)) + p_vec
+        tr_token = gh * gw
     if cfg.guidance_embed and guidance is not None:
         vec = vec + _mlp(params["guidance_in"],
                          timestep_embedding(guidance * 1000.0,
@@ -279,27 +337,44 @@ def hunyuan_video_dit_forward(
     # valid-key count for the varlen joint attention: image tokens + the VALID
     # text prefix (lets_dance_hunyuan_video's split_token=text_mask.sum())
     kv_valid = img.shape[1] + jnp.sum(text_mask.astype(jnp.int32), axis=1)
+    return {"vec": vec, "vec_tr": vec_tr, "tr_token": tr_token, "img": img,
+            "txt": txt, "cos": cos, "sin": sin, "kv_valid": kv_valid}
+
+
+def hunyuan_video_trunk(params, cfg, pre: Dict, remat: bool = False,
+                        attn_impl: str = "auto") -> jnp.ndarray:
+    """The double+single block stacks: img tokens in, img tokens out."""
+    vec, vec_tr, tr_token = pre["vec"], pre["vec_tr"], pre["tr_token"]
+    cos, sin, kv_valid = pre["cos"], pre["sin"], pre["kv_valid"]
 
     def dbody(carry, p):
         i, x = carry
         i = constrain(i, "dp", "sp", None)
         return double_block(p, i, x, vec, cos, sin, cfg, attn_impl,
-                            kv_valid=kv_valid), None
+                            kv_valid=kv_valid, vec_tr=vec_tr,
+                            tr_token=tr_token), None
 
     def sbody(carry, p):
         carry = constrain(carry, "dp", "sp", None)
         return single_block(p, carry, vec, cos, sin, cfg, attn_impl,
-                            kv_valid=kv_valid), None
+                            kv_valid=kv_valid, vec_tr=vec_tr,
+                            tr_token=tr_token), None
 
     if remat:
         dbody = jax.checkpoint(dbody, prevent_cse=False)
         sbody = jax.checkpoint(sbody, prevent_cse=False)
 
-    (img, txt), _ = jax.lax.scan(dbody, (img, txt), params["double_blocks"])
+    (img, txt), _ = jax.lax.scan(dbody, (pre["img"], pre["txt"]),
+                                 params["double_blocks"])
     x = jnp.concatenate([img, txt], axis=1)
     x, _ = jax.lax.scan(sbody, x, params["single_blocks"])
-    img = x[:, :-cfg.txt_len]
+    return x[:, :-cfg.txt_len]
 
+
+def hunyuan_video_head(params, cfg, img, vec, out_shape) -> jnp.ndarray:
+    """Final adaLN + linear + unpatchify (:640-642)."""
+    b, t, h, w, _ = out_shape
+    gh, gw = h // 2, w // 2
     shift, scale = _mod(params["final"]["ada"], vec, 2)
     img = layer_norm(img, cfg.eps) * (1 + scale[:, None]) + shift[:, None]
     img = linear(params["final"]["linear"], img)
@@ -308,6 +383,15 @@ def hunyuan_video_dit_forward(
     img = img.reshape(b, t // pt, gh, gw, cfg.in_channels, pt, ph, pw)
     img = img.transpose(0, 1, 5, 2, 6, 3, 7, 4)
     return img.reshape(b, t, h, w, cfg.in_channels)
+
+
+def hunyuan_video_teacache_signal(params, cfg, img, vec) -> jnp.ndarray:
+    """The TeaCache drift signal: double_blocks[0].component_a's first
+    modulated input (reference hunyuan_video.py TeaCache.check :261-266)."""
+    block0 = jax.tree_util.tree_map(lambda a: a[0],
+                                    params["double_blocks"])
+    sa1, sc1 = _mod(block0["a"]["mod"], vec, 6)[:2]
+    return layer_norm(img, cfg.eps) * (1 + sc1[:, None]) + sa1[:, None]
 
 
 # ---------------------------------------------------------------------------

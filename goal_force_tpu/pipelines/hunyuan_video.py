@@ -42,6 +42,7 @@ class HunyuanVideoPipeline:
     dit_cfg: HunyuanVideoDiTConfig
     encode_prompt: Optional[Callable] = None   # str -> (emb, mask, pooled)
     decode_video: Optional[Callable] = None    # latents -> (T, H, W, 3) [0,1]
+    encode_video: Optional[Callable] = None    # (B,T,H,W,3)[-1,1] -> latents
     dtype: object = jnp.bfloat16
     attn_impl: str = "auto"
 
@@ -97,19 +98,28 @@ class HunyuanVideoPipeline:
                 llama, llama_cfg, clip, clip_cfg, txt_len,
                 tokenize_llama=tok_llama, tokenize_clip=tok_clip)
 
-        decode_video = None
+        decode_video = encode_video = None
         if vae_decoder_path is not None:
             from goal_force_tpu.models import hunyuan_video_vae as hv
 
             r = load_model(vae_decoder_path, vae_cfg=vae_cfg)
             dec, vcfg = to_dev(r["params"]), r["config"]
+            enc = dec.get("encoder")
             if "decoder" in dec:
                 dec = dec["decoder"]
-            decode_video = lambda z: hv.hunyuan_vae_decode(dec, z, vcfg)
+            decode_video = lambda z, **tk: (
+                hv.hunyuan_vae_decode_tiled(dec, z, vcfg, tk["tile_size"],
+                                            tk["tile_stride"])
+                if tk.get("tiled") else hv.hunyuan_vae_decode(dec, z, vcfg))
+            if enc is not None:
+                encode_video = lambda v, **tk: (
+                    hv.hunyuan_vae_encode_tiled(enc, v, vcfg, tk["tile_size"],
+                                                tk["tile_stride"])
+                    if tk.get("tiled") else hv.hunyuan_vae_encode(enc, v, vcfg))
 
         return cls(dit=to_dev(dit["params"]), dit_cfg=dit["config"],
                    encode_prompt=encode_prompt, decode_video=decode_video,
-                   dtype=dtype)
+                   encode_video=encode_video, dtype=dtype)
 
     @classmethod
     def init_random(cls, key=None, dit_cfg=None, dtype=jnp.float32):
@@ -137,20 +147,101 @@ class HunyuanVideoPipeline:
         cfg = self.dit_cfg
         attn_impl = self.attn_impl
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def fn(dit, latents, timestep, sigma, sigma_next, emb, mask, pooled,
-               guidance):
+        @functools.partial(jax.jit,
+                           static_argnames=("use_cfg", "token_replace"))
+        def vel(dit, latents, timestep, emb, mask, pooled, guidance,
+                cfg_scale=1.0, image_latents=None, use_cfg=False,
+                token_replace=False):
+            # rows of emb/mask/pooled: [posi(, nega)]; merged into one call
+            if token_replace:
+                # i2v: the first latent frame is the clean conditioning image
+                # every step (reference hunyuan_video.py:205-208)
+                latents = jnp.concatenate(
+                    [image_latents.astype(latents.dtype), latents[:, 1:]],
+                    axis=1)
+            b = latents.shape[0]
+            n = 2 if use_cfg else 1
+            x = jnp.concatenate([latents] * n, axis=0)
+            t = jnp.concatenate([timestep] * n, axis=0)
+            g = jnp.concatenate([guidance] * n, axis=0)
             v = hunyuan_video_dit_forward(
-                dit, cfg, latents, timestep, emb, mask, pooled, guidance,
-                attn_impl=attn_impl)
+                dit, cfg, x, t, emb, mask, pooled, g,
+                attn_impl=attn_impl, token_replace=token_replace)
+            if use_cfg:
+                v = v[b:] + cfg_scale * (v[:b] - v[b:])
+            return latents, v.astype(latents.dtype)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("use_cfg", "token_replace"))
+        def fn(dit, latents, timestep, sigma, sigma_next, emb, mask, pooled,
+               guidance, cfg_scale=1.0, image_latents=None, use_cfg=False,
+               token_replace=False):
+            latents, v = vel(dit, latents, timestep, emb, mask, pooled,
+                             guidance, cfg_scale, image_latents,
+                             use_cfg=use_cfg, token_replace=token_replace)
+            return fm.euler_step(latents, v, sigma, sigma_next)
+
+        return fn, vel
+
+    @functools.cached_property
+    def _teacache_fns(self):
+        """Three jitted pieces for the TeaCache path (positive stream only, as
+        in the reference where only the posi forward carries tea_cache,
+        hunyuan_video.py:317-321): signal, full trunk (returns residual), and
+        skip (replay residual through the head)."""
+        from goal_force_tpu.models.hunyuan_video_dit import (
+            hunyuan_video_head,
+            hunyuan_video_prelude,
+            hunyuan_video_teacache_signal,
+            hunyuan_video_trunk,
+        )
+
+        cfg = self.dit_cfg
+        attn_impl = self.attn_impl
+
+        @functools.partial(jax.jit, static_argnames=("token_replace",))
+        def signal(dit, latents, timestep, emb, mask, pooled, guidance,
+                   token_replace=False):
+            pre = hunyuan_video_prelude(dit, cfg, latents, timestep, emb,
+                                        mask, pooled, guidance,
+                                        token_replace=token_replace)
+            return hunyuan_video_teacache_signal(dit, cfg, pre["img"],
+                                                 pre["vec"])
+
+        @functools.partial(jax.jit, static_argnames=("token_replace",))
+        def full(dit, latents, timestep, sigma, sigma_next, emb, mask, pooled,
+                 guidance, token_replace=False):
+            pre = hunyuan_video_prelude(dit, cfg, latents, timestep, emb,
+                                        mask, pooled, guidance,
+                                        token_replace=token_replace)
+            img = hunyuan_video_trunk(dit, cfg, pre, attn_impl=attn_impl)
+            residual = img - pre["img"]
+            v = hunyuan_video_head(dit, cfg, img, pre["vec"], latents.shape)
+            return fm.euler_step(latents, v.astype(latents.dtype), sigma,
+                                 sigma_next), residual
+
+        @functools.partial(jax.jit, static_argnames=("token_replace",))
+        def skip(dit, latents, timestep, sigma, sigma_next, emb, mask, pooled,
+                 guidance, residual, token_replace=False):
+            pre = hunyuan_video_prelude(dit, cfg, latents, timestep, emb,
+                                        mask, pooled, guidance,
+                                        token_replace=token_replace)
+            v = hunyuan_video_head(dit, cfg, pre["img"] + residual,
+                                   pre["vec"], latents.shape)
             return fm.euler_step(latents, v.astype(latents.dtype), sigma,
                                  sigma_next)
 
-        return fn
+        return signal, full, skip
 
     def __call__(
         self,
         prompt: str,
+        negative_prompt: str = "",
+        cfg_scale: float = 1.0,
+        input_video: Optional[np.ndarray] = None,    # (T, H, W, 3) [0, 1]
+        input_images: Optional[np.ndarray] = None,   # (H, W, 3) [0, 1] (i2v)
+        i2v_stability: bool = True,
+        denoising_strength: float = 1.0,
         height: int = 720,
         width: int = 1280,
         num_frames: int = 129,
@@ -158,39 +249,143 @@ class HunyuanVideoPipeline:
         embedded_guidance: float = 6.0,
         sigma_shift: Optional[float] = None,
         seed: int = 0,
+        tea_cache_l1_thresh: Optional[float] = None,
+        tiled: bool = False,
+        tile_size=(17, 30, 30),
+        tile_stride=(12, 20, 20),
+        step_processor: Optional[Callable] = None,
         progress: bool = False,
     ) -> np.ndarray:
-        """Returns latents (1, T, h, w, 16) (or decoded frames when decode_video
-        is supplied). Reference defaults :150-180."""
+        """Returns latents (1, T, h, w, 16) (or decoded frames when
+        decode_video is supplied). Reference __call__ :133-230.
+
+        cfg_scale != 1 runs true CFG with negative_prompt as one merged batch.
+        input_video + denoising_strength: v2v (encode, add noise, shortened
+        schedule, :173-178). input_images: HunyuanVideo-I2V — i2v_stability
+        blends image latents into the init noise (:179-184) and each step
+        clamps the first latent frame to the image and runs the token-replace
+        forward (:205-208 + lets_dance_hunyuan_video_i2v). Unlike the
+        reference, the conditioning image is NOT woven into the text encoding
+        here unless your injected encode_prompt does so. step_processor:
+        frames -> frames applied to the rendered x0 every step (:214-224).
+        tea_cache_l1_thresh: TeaCache on the positive stream."""
         cfg = self.dit_cfg
         schedule = fm.make_schedule(
             num_steps=num_inference_steps,
             shift=7.0 if sigma_shift is None else sigma_shift,
             sigma_min=0.0, extra_one_step=True,
+            denoising_strength=denoising_strength
+            if input_video is not None else 1.0,
         )
+        use_cfg = cfg_scale != 1.0
         emb, mask, pooled = self._embed(prompt, seed)
+        if use_cfg:
+            emb_n, mask_n, pooled_n = self._embed(negative_prompt, seed)
+            emb = jnp.concatenate([emb, emb_n], axis=0)
+            mask = jnp.concatenate([mask, mask_n], axis=0)
+            pooled = jnp.concatenate([pooled, pooled_n], axis=0)
         emb = emb.astype(self.dtype)
         pooled = pooled.astype(self.dtype)
+        tk = dict(tiled=tiled, tile_size=tuple(tile_size),
+                  tile_stride=tuple(tile_stride)) if tiled else {}
 
         lt = (num_frames - 1) // 4 + 1
-        latents = jax.random.normal(
+        noise = jax.random.normal(
             jax.random.PRNGKey(seed),
             (1, lt, height // 8, width // 8, cfg.in_channels),
             jnp.float32).astype(self.dtype)
+        image_latents = None
+        if input_images is not None:
+            if self.encode_video is None:
+                raise ValueError("input_images requires encode_video")
+            img = jnp.asarray(np.asarray(input_images, np.float32)
+                              * 2.0 - 1.0)[None, None]
+            image_latents = self.encode_video(img).astype(self.dtype)
+        if input_video is not None:
+            if self.encode_video is None:
+                raise ValueError("input_video requires encode_video")
+            vid = jnp.asarray(np.asarray(input_video, np.float32)
+                              * 2.0 - 1.0)[None]
+            z = self.encode_video(vid, **tk).astype(self.dtype)
+            latents = fm.add_noise(z, noise, schedule.sigmas[0])
+        elif image_latents is not None and i2v_stability:
+            # reference :179-184: latents = noise*0.999 + image*0.001 tiled
+            t999 = 0.999
+            latents = noise * t999 + jnp.broadcast_to(
+                image_latents, noise.shape).astype(noise.dtype) * (1 - t999)
+        else:
+            latents = noise
         guidance = jnp.full((1,), embedded_guidance, self.dtype)
+        token_replace = image_latents is not None
+
+        tea = None
+        if tea_cache_l1_thresh is not None:
+            from goal_force_tpu.pipelines.teacache import TeaCache
+
+            tea = TeaCache(num_inference_steps, tea_cache_l1_thresh,
+                           "HunyuanVideo")
+            tc_signal, tc_full, tc_skip = self._teacache_fns
 
         it = range(len(schedule))
         if progress:
             import tqdm
 
             it = tqdm.tqdm(it)
+        step_fn, vel_fn = self._denoise_step
         for i in it:
             ts = jnp.full((1,), float(schedule.timesteps[i]), self.dtype)
-            latents = self._denoise_step(
-                self.dit, latents, ts, schedule.sigmas[i], schedule.sigma_next(i),
-                emb, mask, pooled, guidance)
+            if step_processor is not None:
+                # reference :214-224: render x0 (to_final), post-process the
+                # frames on host, and step toward the processed video via
+                # return_to_timestep's velocity
+                if self.decode_video is None or self.encode_video is None:
+                    raise ValueError("step_processor requires encode_video "
+                                     "and decode_video")
+                lat_in, v = vel_fn(self.dit, latents, ts, emb, mask, pooled,
+                                   guidance, float(cfg_scale), image_latents,
+                                   use_cfg=use_cfg,
+                                   token_replace=token_replace)
+                sigma = float(schedule.sigmas[i])
+                x0 = lat_in - sigma * v                       # to_final
+                frames = self.decode_video(x0.astype(jnp.float32), **tk)
+                frames01 = np.asarray(
+                    (np.asarray(frames[0], np.float32) + 1.0) / 2.0
+                ).clip(0.0, 1.0)
+                processed = step_processor(frames01)
+                target = self.encode_video(
+                    jnp.asarray(np.asarray(processed, np.float32)
+                                * 2.0 - 1.0)[None], **tk).astype(lat_in.dtype)
+                v2 = (lat_in - target) / sigma                # return_to_ts
+                latents = fm.euler_step(lat_in, v2, schedule.sigmas[i],
+                                        schedule.sigma_next(i))
+            elif tea is not None and not use_cfg:
+                lat_in = latents
+                if token_replace:
+                    lat_in = jnp.concatenate(
+                        [image_latents.astype(latents.dtype),
+                         latents[:, 1:]], axis=1)
+                sig = tc_signal(self.dit, lat_in, ts, emb, mask, pooled,
+                                guidance, token_replace=token_replace)
+                if tea.should_skip(sig):
+                    latents = tc_skip(self.dit, lat_in, ts,
+                                      schedule.sigmas[i],
+                                      schedule.sigma_next(i), emb, mask,
+                                      pooled, guidance, tea.residual,
+                                      token_replace=token_replace)
+                else:
+                    latents, residual = tc_full(
+                        self.dit, lat_in, ts, schedule.sigmas[i],
+                        schedule.sigma_next(i), emb, mask, pooled, guidance,
+                        token_replace=token_replace)
+                    tea.residual = residual
+            else:
+                latents = step_fn(
+                    self.dit, latents, ts, schedule.sigmas[i],
+                    schedule.sigma_next(i), emb, mask, pooled, guidance,
+                    float(cfg_scale), image_latents, use_cfg=use_cfg,
+                    token_replace=token_replace)
         if self.decode_video is not None:
-            return self.decode_video(latents)
+            return self.decode_video(latents, **tk)
         return np.asarray(latents, np.float32)
 
 

@@ -21,6 +21,8 @@ TEACACHE_COEFFICIENTS = {
     "Wan2.1-I2V-14B-720P": [8.10705460e03, 2.13393892e03, -3.72934672e02, 1.66203073e01, -4.17769401e-02],
     # Flux.1-dev rescale polynomial (reference flux_image_new.py:1083)
     "FLUX.1-dev": [4.98651651e02, -2.83781631e02, 5.58554382e01, -3.82021401e00, 2.64230861e-01],
+    # HunyuanVideo rescale polynomial (reference hunyuan_video.py:271)
+    "HunyuanVideo": [7.33226126e02, -4.01131952e02, 6.75869174e01, -3.14987800e00, 9.61237896e-02],
 }
 
 

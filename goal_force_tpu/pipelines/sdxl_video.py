@@ -31,6 +31,8 @@ class SDXLVideoPipeline:
     plan: Tuple
     text_cfg: object
     text2_cfg: object
+    vae_encoder: Optional[Dict] = None
+    vae_enc_plan: Tuple = ()
     groups: int = 32
     vae_dec_plan: Tuple = ()
     vae_groups: int = 32
@@ -61,6 +63,8 @@ class SDXLVideoPipeline:
                    text_encoder_2=base.text_encoder_2,
                    vae_decoder=base.vae_decoder, plan=base.plan,
                    text_cfg=base.text_cfg, text2_cfg=base.text2_cfg,
+                   vae_encoder=base.vae_encoder,
+                   vae_enc_plan=base.vae_enc_plan,
                    groups=base.groups, vae_dec_plan=base.vae_dec_plan,
                    vae_groups=base.vae_groups, dtype=dtype,
                    tokenize=base.tokenize, tokenize_2=base.tokenize_2)
@@ -75,11 +79,15 @@ class SDXLVideoPipeline:
         channels = [base.plan[pi][3] for pi in attn_ids]
         motion = init_motion_modules(jax.random.PRNGKey(7), channels, call,
                                      heads=2, dtype=dtype)
+        from goal_force_tpu.pipelines.sd import _init_tiny_vae
+
+        enc, _, enc_plan, _ = _init_tiny_vae(jax.random.PRNGKey(9), dtype)
         return cls(unet=base.unet, motion=motion,
                    text_encoder=base.text_encoder,
                    text_encoder_2=base.text_encoder_2,
                    vae_decoder=base.vae_decoder, plan=base.plan,
                    text_cfg=base.text_cfg, text2_cfg=base.text2_cfg,
+                   vae_encoder=enc, vae_enc_plan=enc_plan,
                    groups=base.groups, vae_dec_plan=base.vae_dec_plan,
                    vae_groups=base.vae_groups, dtype=dtype)
 
@@ -90,14 +98,14 @@ class SDXLVideoPipeline:
 
         @functools.partial(jax.jit, static_argnames=("cross_frame",))
         def fn(unet, latents, t, ctx, add_time_id, pooled, cn_res=None,
-               cross_frame=False):
+               cross_frame=False, ip=None):
             f = latents.shape[0]
             return sdxl_unet_apply(
                 unet, plan, latents, jnp.full((f,), t, latents.dtype),
                 jnp.broadcast_to(ctx, (f,) + ctx.shape[1:]),
                 add_time_id,
                 jnp.broadcast_to(pooled, (f,) + pooled.shape[1:]),
-                groups=groups, motion=motion, video_batch=1,
+                groups=groups, motion=motion, video_batch=1, ipadapter=ip,
                 controlnet_res=cn_res, cross_frame_attention=cross_frame)
 
         return fn
@@ -139,6 +147,17 @@ class SDXLVideoPipeline:
         cross_frame_attention: bool = False,
         controlnet: Optional[Dict] = None,      # {"params", "plan"(opt), "task_id"(opt)}
         controlnet_frames: Optional[np.ndarray] = None,  # (F, 8h, 8w, 3) [0,1]
+        input_frames: Optional[np.ndarray] = None,       # (F, H, W, 3) [0,1]
+        denoising_strength: float = 1.0,
+        ipadapter: Optional[Dict] = None,
+        ipadapter_image_emb: Optional[np.ndarray] = None,
+        ipadapter_scale: float = 1.0,
+        animatediff_batch_size: int = 16,
+        animatediff_stride: int = 8,
+        unet_batch_size: int = 1,               # accepted for API parity;
+        controlnet_batch_size: int = 1,         # XLA batches on device
+        smoother=None,
+        smoother_progress_ids=(),
         tiled: bool = False,
         tile_size: int = 64,
         tile_stride: int = 32,
@@ -149,22 +168,56 @@ class SDXLVideoPipeline:
         cross-frame self-attention over the whole clip.
 
         tiled: spatially tiled VAE decode, latent-unit tile_size (reference
-        sdxl_video.py:78-84 decode_video -> sd_vae_decoder tiled_forward)."""
+        sdxl_video.py:78-84 decode_video -> sd_vae_decoder tiled_forward).
+        input_frames + denoising_strength: v2v; sliding-window/smoother
+        semantics as pipelines/sd_video.py (reference sdxl_video.py shares the
+        sd_video loop structure :150-260)."""
         from goal_force_tpu.models.sd_vae import (SDXL_SCALING_FACTOR,
-                                                  sd_vae_decode)
+                                                  sd_vae_decode,
+                                                  sd_vae_encode)
+        from goal_force_tpu.schedulers.ddim import (
+            ddim_add_noise,
+            ddim_return_to_timestep,
+        )
 
         schedule = make_ddim_schedule(num_inference_steps,
-                                      beta_schedule="linear")
+                                      beta_schedule="linear",
+                                      denoising_strength=denoising_strength
+                                      if input_frames is not None else 1.0)
         ctx_p, pool_p = self._encode(prompt)
         ctx_n, pool_n = self._encode(negative_prompt)
-        add_id = jnp.tile(jnp.asarray(
-            [height, width, 0, 0, height, width], jnp.float32), num_frames)
+        add_one = jnp.asarray([height, width, 0, 0, height, width],
+                              jnp.float32)
 
-        latents = jax.random.normal(jax.random.PRNGKey(seed),
-                                    (num_frames, height // 8, width // 8, 4),
-                                    jnp.float32).astype(self.dtype)
+        h, w = height // 8, width // 8
+        noise = jax.random.normal(jax.random.PRNGKey(seed),
+                                  (num_frames, h, w, 4),
+                                  jnp.float32).astype(self.dtype)
+        enc = lambda f01: sd_vae_encode(
+            self.vae_encoder,
+            jnp.asarray(np.asarray(f01, np.float32) * 2.0 - 1.0, self.dtype),
+            self.vae_enc_plan, groups=self.vae_groups,
+            scaling=SDXL_SCALING_FACTOR)
+        if input_frames is not None:
+            z = enc(input_frames)
+            latents = ddim_add_noise(schedule, z, noise,
+                                     int(schedule.timesteps[0])) \
+                .astype(self.dtype)
+        else:
+            latents = noise
+
+        ip_kwargs = None
+        if ipadapter is not None and ipadapter_image_emb is not None:
+            from goal_force_tpu.models.ipadapter import (
+                ipadapter_kwargs_for_plan,
+            )
+
+            ip_kwargs = ipadapter_kwargs_for_plan(
+                self.plan, ipadapter, jnp.asarray(ipadapter_image_emb),
+                scale=ipadapter_scale)
 
         cn_fn = None
+        cond_all = None
         if controlnet is not None and controlnet_frames is not None:
             from goal_force_tpu.models.sd_controlnet import (
                 sdxl_controlnet_apply,
@@ -174,40 +227,84 @@ class SDXLVideoPipeline:
             task_id = controlnet.get("task_id", 3)
             cn_kwargs = {} if controlnet.get("plan") is None \
                 else {"plan": controlnet["plan"]}
-            cond = jnp.asarray(controlnet_frames, jnp.float32).astype(self.dtype)
+            cond_all = jnp.asarray(controlnet_frames,
+                                   jnp.float32).astype(self.dtype)
 
             @jax.jit
-            def cn_fn(lat, t, ctx, pooled):
+            def cn_fn(lat, t, ctx, pooled, cond):
                 f = lat.shape[0]
                 return sdxl_controlnet_apply(
                     cn_params, lat, jnp.full((f,), t, lat.dtype),
-                    jnp.broadcast_to(ctx, (f,) + ctx.shape[1:]), cond, add_id,
+                    jnp.broadcast_to(ctx, (f,) + ctx.shape[1:]), cond,
+                    jnp.tile(add_one, f),
                     jnp.broadcast_to(pooled, (f,) + pooled.shape[1:]),
                     task_id=task_id, groups=self.groups, **cn_kwargs)
 
-        for i in range(len(schedule)):
-            t = float(schedule.timesteps[i])
-            res_p = cn_fn(latents, t, ctx_p, pool_p) if cn_fn is not None \
-                else None
-            res_n = cn_fn(latents, t, ctx_n, pool_n) if cn_fn is not None \
-                else None
-            e_p = self._denoise(self.unet, latents, t, ctx_p, add_id, pool_p,
-                                res_p, cross_frame=cross_frame_attention)
-            e_n = self._denoise(self.unet, latents, t, ctx_n, add_id, pool_n,
-                                res_n, cross_frame=cross_frame_attention)
-            eps = e_n + cfg_scale * (e_p - e_n)
-            latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
-        if return_latents:
-            return np.asarray(latents, np.float32)
+        def eps_for(lat, t, ctx, pooled):
+            if num_frames <= animatediff_batch_size:
+                res = cn_fn(lat, t, ctx, pooled, cond_all) \
+                    if cn_fn is not None else None
+                return self._denoise(self.unet, lat, t, ctx,
+                                     jnp.tile(add_one, lat.shape[0]),
+                                     pooled, res,
+                                     cross_frame=cross_frame_attention,
+                                     ip=ip_kwargs)
+            value = jnp.zeros(lat.shape, jnp.float32)
+            weight = jnp.zeros((num_frames, 1, 1, 1), jnp.float32)
+            for b0 in range(0, num_frames, animatediff_stride):
+                b1 = min(b0 + animatediff_batch_size, num_frames)
+                lat_s = lat[b0:b1]
+                res = cn_fn(lat_s, t, ctx, pooled, cond_all[:, b0:b1]) \
+                    if cn_fn is not None else None
+                e = self._denoise(self.unet, lat_s, t, ctx,
+                                  jnp.tile(add_one, b1 - b0), pooled, res,
+                                  cross_frame=cross_frame_attention,
+                                  ip=ip_kwargs).astype(jnp.float32)
+                idx = np.arange(b0, b1, dtype=np.float32)
+                bias = np.maximum(
+                    1 - np.abs(idx - (b0 + b1 - 1) / 2)
+                    / ((b1 - b0 - 1 + 1e-2) / 2), 1e-2)
+                bias = jnp.asarray(bias)[:, None, None, None]
+                value = value.at[b0:b1].add(e * bias)
+                weight = weight.at[b0:b1].add(bias)
+                if b1 == num_frames:
+                    break
+            return (value / weight).astype(lat.dtype)
+
         dec = lambda z: sd_vae_decode(self.vae_decoder, z, self.vae_dec_plan,
                                       groups=self.vae_groups,
                                       scaling=SDXL_SCALING_FACTOR)
-        if tiled:
-            from goal_force_tpu.models.tiler import tiled_forward_2d
 
-            video = tiled_forward_2d(
-                jax.jit(dec), latents.astype(jnp.float32),
-                min(tile_size, height // 8, width // 8), tile_stride)
-        else:
-            video = dec(latents.astype(jnp.float32))
-        return np.asarray((video + 1.0) / 2.0, np.float32).clip(0.0, 1.0)
+        def decode(z):
+            if tiled:
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                return tiled_forward_2d(jax.jit(dec), z.astype(jnp.float32),
+                                        min(tile_size, h, w), tile_stride)
+            return dec(z.astype(jnp.float32))
+
+        smoother_progress_ids = list(smoother_progress_ids or ())
+        for i in range(len(schedule)):
+            t = float(schedule.timesteps[i])
+            e_p = eps_for(latents, t, ctx_p, pool_p)
+            e_n = eps_for(latents, t, ctx_n, pool_n)
+            eps = e_n + cfg_scale * (e_p - e_n)
+            if smoother is not None and i in smoother_progress_ids:
+                x0 = ddim_step(schedule, eps.astype(latents.dtype), i,
+                               latents, to_final=True)
+                frames01 = np.asarray((np.asarray(decode(x0), np.float32)
+                                       + 1.0) / 2.0).clip(0.0, 1.0)
+                frames01 = smoother(frames01, original_frames=input_frames)
+                target = enc(frames01)
+                eps = ddim_return_to_timestep(schedule, i, latents,
+                                              target.astype(latents.dtype))
+            latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
+        if return_latents:
+            return np.asarray(latents, np.float32)
+        out = np.asarray((np.asarray(decode(latents), np.float32) + 1.0)
+                         / 2.0).clip(0.0, 1.0)
+        if smoother is not None and (num_inference_steps in
+                                     smoother_progress_ids
+                                     or -1 in smoother_progress_ids):
+            out = smoother(out, original_frames=input_frames)
+        return out

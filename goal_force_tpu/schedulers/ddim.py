@@ -74,6 +74,15 @@ def ddim_step(schedule: DDIMSchedule, model_output, step_id: int, sample, to_fin
     return sample * w_x + model_output * w_e
 
 
+def ddim_return_to_timestep(schedule: DDIMSchedule, step_id: int, sample,
+                            sample_stabilized):
+    """The epsilon that would steer `sample` at step_id toward the clean
+    `sample_stabilized` (reference EnhancedDDIMScheduler.return_to_timestep,
+    ddim.py:81-84). Used by the mid-loop smoother path."""
+    a_t = float(schedule.alphas_cumprod[int(schedule.timesteps[step_id])])
+    return (sample - math.sqrt(a_t) * sample_stabilized) / math.sqrt(1 - a_t)
+
+
 def ddim_add_noise(schedule: DDIMSchedule, x0, noise, timestep: int):
     a = float(schedule.alphas_cumprod[int(timestep)])
     return math.sqrt(a) * x0 + math.sqrt(1 - a) * noise

@@ -47,14 +47,18 @@ class QwenImageDiTConfig:
 
 @lru_cache(maxsize=8)
 def qwen_rope_tables_multi(shapes, txt_len: int, axes_dim: Tuple[int, ...],
-                           theta: float):
+                           theta: float, interpolate: bool = False):
     """((S_img, D/2), (S_txt, D/2)) cos/sin pairs (reference QwenEmbedRope.forward
     with scale_rope=True :124-166) for a LIST of image grids.
 
     shapes: sequence of (gh, gw) token grids — the i-th shape's frame axis sits
     at position i (main latents 0, context/edit images 1, 2, ... :136-141);
     h/w positions are centered (range(-(n - n//2), n//2)); text positions start
-    at max over shapes of max(gh//2, gw//2) on all three axes (:158-163)."""
+    at max over shapes of max(gh//2, gw//2) on all three axes (:158-163).
+
+    interpolate: Qwen-Image-Edit edit_rope_interpolation — extra grids (idx>0)
+    take their spatial rope by linspace-SAMPLING grid 0's positions instead of
+    their own centered range (reference forward_sampling :169-195)."""
     halves = [d // 2 for d in axes_dim]
 
     def axis_angles(pos, d):
@@ -64,8 +68,19 @@ def qwen_rope_tables_multi(shapes, txt_len: int, axes_dim: Tuple[int, ...],
     parts = []
     for idx, (gh, gw) in enumerate(shapes):
         af = axis_angles([idx], axes_dim[0])                 # (1, 8)
-        ah = axis_angles(np.arange(-(gh - gh // 2), gh // 2), axes_dim[1])
-        aw = axis_angles(np.arange(-(gw - gw // 2), gw // 2), axes_dim[2])
+        if interpolate and idx > 0:
+            gh0, gw0 = shapes[0]
+            h_pos0 = np.arange(-(gh0 - gh0 // 2), gh0 // 2)
+            w_pos0 = np.arange(-(gw0 - gw0 // 2), gw0 // 2)
+            ah = axis_angles(
+                h_pos0[np.linspace(0, gh0 - 1, gh).astype(np.int64)],
+                axes_dim[1])
+            aw = axis_angles(
+                w_pos0[np.linspace(0, gw0 - 1, gw).astype(np.int64)],
+                axes_dim[2])
+        else:
+            ah = axis_angles(np.arange(-(gh - gh // 2), gh // 2), axes_dim[1])
+            aw = axis_angles(np.arange(-(gw - gw // 2), gw // 2), axes_dim[2])
         parts.append(np.concatenate([
             np.broadcast_to(af[:, None, None, :], (1, gh, gw, halves[0])),
             np.broadcast_to(ah[None, :, None, :], (1, gh, gw, halves[1])),
@@ -191,6 +206,7 @@ def qwen_image_dit_forward(
     extra_latents=None,            # list of (B, H_i, W_i, 16): context/edit images
     entity_prompt_embs=None,       # list of (B, L_i, text_dim): EliGen locals
     entity_masks: jnp.ndarray = None,      # (B, M, h_lat, w_lat) binary
+    rope_interpolate: bool = False,  # edit_rope_interpolation (:787-790)
 ) -> jnp.ndarray:
     """QwenImageDiT.forward (:502-538). Returns image TOKENS (B, S_main, 64) like
     the reference (the pipeline unpatchifies).
@@ -247,12 +263,14 @@ def qwen_image_dit_forward(
 
     shapes = tuple(shapes)
     (icos, isin), (tcos, tsin) = qwen_rope_tables_multi(
-        shapes, prompt_emb.shape[1], tuple(cfg.axes_dim), cfg.rope_theta)
+        shapes, prompt_emb.shape[1], tuple(cfg.axes_dim), cfg.rope_theta,
+        interpolate=rope_interpolate)
     if entity_prompt_embs:
         # each text segment gets its own rope run from the shared start
         # (reference :441-446) and the block-structured attention bias
         seg_tabs = [qwen_rope_tables_multi(shapes, e.shape[1],
-                                           tuple(cfg.axes_dim), cfg.rope_theta)[1]
+                                           tuple(cfg.axes_dim), cfg.rope_theta,
+                                           interpolate=rope_interpolate)[1]
                     for e in segments]
         tcos = np.concatenate([t[0] for t in seg_tabs], axis=0)
         tsin = np.concatenate([t[1] for t in seg_tabs], axis=0)

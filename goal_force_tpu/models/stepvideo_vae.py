@@ -323,6 +323,55 @@ def stepvideo_vae_decode(params: Dict, latents: jnp.ndarray,
     return x
 
 
+def stepvideo_vae_decode_tiled(params: Dict, latents: jnp.ndarray,
+                               cfg: StepVideoVAEConfig = StepVideoVAEConfig(),
+                               tile_size=(34, 34), tile_stride=(16, 16)
+                               ) -> jnp.ndarray:
+    """Reference StepVideoVAE.tiled_decode (:1052-1101): per latent-chunk
+    (latent_len frames) x spatial tile, border-ramp blend with border width
+    (size - stride) * spatial_factor pixels. Like the reference, the tiled
+    path does not apply the chunk-seam smooth mix."""
+    from goal_force_tpu.models.vae import _blend_mask_1d
+
+    B, T, H, W, _ = latents.shape
+    sh, sw = tile_size
+    rh, rw = tile_stride
+    dec = jax.jit(lambda z: stepvideo_decode_chunk(params["decoder"], z, cfg))
+
+    values = weight = None
+    f = None
+    for t0 in range(0, T, cfg.latent_len):
+        for h0 in range(0, H, rh):
+            if h0 - rh >= 0 and h0 - rh + sh >= H:
+                continue
+            for w0 in range(0, W, rw):
+                if w0 - rw >= 0 and w0 - rw + sw >= W:
+                    continue
+                out = dec(latents[:, t0:t0 + cfg.latent_len,
+                                  h0:min(h0 + sh, H),
+                                  w0:min(w0 + sw, W)]).astype(jnp.float32)
+                if values is None:
+                    f = out.shape[2] // min(sh, H)
+                    oT = T // cfg.latent_len * cfg.frame_len
+                    values = jnp.zeros((B, oT, H * f, W * f, 3), jnp.float32)
+                    weight = jnp.zeros((1, oT, H * f, W * f, 1), jnp.float32)
+                mh = _blend_mask_1d(out.shape[2], h0 == 0, h0 + sh >= H,
+                                    max((sh - rh) * f, 1))
+                mw = _blend_mask_1d(out.shape[3], w0 == 0, w0 + sw >= W,
+                                    max((sw - rw) * f, 1))
+                mask = jnp.asarray(
+                    np.minimum(mh[:, None], mw[None, :])
+                    [None, None, :, :, None])
+                tt, th, tw = t0 // cfg.latent_len * cfg.frame_len, h0 * f, w0 * f
+                values = values.at[:, tt:tt + out.shape[1],
+                                   th:th + out.shape[2],
+                                   tw:tw + out.shape[3]].add(out * mask)
+                weight = weight.at[:, tt:tt + out.shape[1],
+                                   th:th + out.shape[2],
+                                   tw:tw + out.shape[3]].add(mask)
+    return values / weight
+
+
 # ---------------------------------------------------------------------------
 # Init + converter (reference naming, StepVideoVAE state dict :1124-1131)
 # ---------------------------------------------------------------------------

@@ -149,13 +149,23 @@ class KolorsPipeline:
         plan, groups = self.plan, self.groups
 
         @jax.jit
-        def fn(unet, latents, t, ctx2, pooled2, add_time_id, cfg_scale):
+        def fn(unet, latents, t, ctx2, pooled2, add_time_id, cfg_scale,
+               local_w=None):
+            # ctx2/pooled2 rows: [posi, nega, local_1..L] in one merged batch
             b = latents.shape[0]
-            x2 = jnp.concatenate([latents, latents], axis=0)
+            n = ctx2.shape[0] // b
+            x2 = jnp.concatenate([latents] * n, axis=0)
             eps = sdxl_unet_apply(unet, plan, x2,
-                                  jnp.full((2 * b,), t, latents.dtype),
+                                  jnp.full((n * b,), t, latents.dtype),
                                   ctx2, add_time_id, pooled2, groups=groups)
-            return eps[b:] + cfg_scale * (eps[:b] - eps[b:])
+            e_pos, e_neg = eps[:b], eps[b:2 * b]
+            if local_w is not None:
+                from goal_force_tpu.pipelines.regional import (
+                    blend_local_predictions,
+                )
+
+                e_pos = blend_local_predictions(e_pos, eps[2 * b:], local_w)
+            return e_neg + cfg_scale * (e_pos - e_neg)
 
         return fn
 
@@ -176,23 +186,68 @@ class KolorsPipeline:
         width: int = 1024,
         num_inference_steps: int = 20,
         seed: int = 0,
+        input_image: Optional[np.ndarray] = None,    # (H, W, 3) in [0, 1]
+        denoising_strength: float = 1.0,
+        local_prompts=None,
+        masks=None,
+        mask_scales=None,
+        local_blur_kernel_size: int = 33,
+        local_blur_sigma: float = 10.0,
+        tiled: bool = False,
+        tile_size: int = 64,
+        tile_stride: int = 32,
         progress: bool = False,
         return_latents: bool = False,
     ) -> np.ndarray:
-        from goal_force_tpu.models.sd_vae import sd_vae_decode
+        # Kolors rides the reference SDXLImagePipeline, so its full surface
+        # applies: i2i (sdxl_image.py:139-146), regional prompting (:94,168,
+        # 215), tiled VAE (:131-141).
+        from goal_force_tpu.models.sd_vae import sd_vae_decode, sd_vae_encode
+        from goal_force_tpu.schedulers.ddim import ddim_add_noise
 
         schedule = make_ddim_schedule(num_inference_steps, beta_end=0.014,
-                                      num_train_timesteps=1100)
-        ids = self._ids([prompt, negative_prompt])
+                                      num_train_timesteps=1100,
+                                      denoising_strength=denoising_strength
+                                      if input_image is not None else 1.0)
+        local_prompts = list(local_prompts or [])
+        ids = self._ids([prompt, negative_prompt] + local_prompts)
         ctx2, pooled2 = self._encode_text(self.glm, ids)
         ctx2 = ctx2.astype(self.dtype)
         pooled2 = pooled2.astype(self.dtype)
 
         h, w = height // self.vae_factor, width // self.vae_factor
-        latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
-                                    jnp.float32).astype(self.dtype)
+        local_w = None
+        if local_prompts:
+            from goal_force_tpu.pipelines.regional import local_prompt_weights
+
+            local_w = jnp.asarray(local_prompt_weights(
+                masks, mask_scales, h, w,
+                local_blur_kernel_size, local_blur_sigma))
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
+                                  jnp.float32).astype(self.dtype)
+        if input_image is not None:
+            enc = lambda c: sd_vae_encode(self.vae_encoder, c,
+                                          self.vae_enc_plan,
+                                          groups=self.vae_groups,
+                                          scaling=self.vae_scaling)
+            img = jnp.asarray(np.asarray(input_image, np.float32)
+                              * 2.0 - 1.0)[None]
+            if tiled:
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                z = tiled_forward_2d(jax.jit(enc), img,
+                                     tile_size * self.vae_factor,
+                                     tile_stride * self.vae_factor)
+            else:
+                z = enc(img)
+            latents = ddim_add_noise(schedule, z.astype(self.dtype), noise,
+                                     int(schedule.timesteps[0])) \
+                .astype(self.dtype)
+        else:
+            latents = noise
         add_time_id = jnp.tile(
-            jnp.asarray([height, width, 0, 0, height, width], jnp.float32), 2)
+            jnp.asarray([height, width, 0, 0, height, width], jnp.float32),
+            2 + len(local_prompts))
 
         it = range(len(schedule))
         if progress:
@@ -202,11 +257,19 @@ class KolorsPipeline:
         for i in it:
             eps = self._denoise_cfg(self.unet, latents,
                                     float(schedule.timesteps[i]), ctx2, pooled2,
-                                    add_time_id, cfg_scale)
+                                    add_time_id, cfg_scale, local_w=local_w)
             latents = ddim_step(schedule, eps.astype(latents.dtype), i, latents)
         if return_latents:
             return np.asarray(latents, np.float32)
-        img = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
-                            self.vae_dec_plan, groups=self.vae_groups,
-                            scaling=self.vae_scaling)
+        dec = lambda z: sd_vae_decode(self.vae_decoder, z, self.vae_dec_plan,
+                                      groups=self.vae_groups,
+                                      scaling=self.vae_scaling)
+        if tiled:
+            from goal_force_tpu.models.tiler import tiled_forward_2d
+
+            img = tiled_forward_2d(jax.jit(dec),
+                                   latents.astype(jnp.float32),
+                                   min(tile_size, h, w), tile_stride)
+        else:
+            img = dec(latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

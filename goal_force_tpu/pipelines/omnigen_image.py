@@ -133,8 +133,15 @@ class OmniGenImagePipeline:
         width: int = 1024,
         num_inference_steps: int = 20,
         seed: int = 0,
+        input_image: Optional[np.ndarray] = None,    # (H, W, 3) in [-1, 1]
+        denoising_strength: float = 1.0,
+        tiled: bool = False,
+        tile_size: int = 64,
+        tile_stride: int = 32,
         return_latents: bool = False,
     ) -> np.ndarray:
+        # input_image + denoising_strength: i2i (reference omnigen_image.py
+        # :226-233); tiled: spatial VAE tiling (:221 tiler_kwargs)
         from goal_force_tpu.models.sd_vae import sd_vae_decode, sd_vae_encode
 
         # reference ctor (omnigen_image.py:126) leaves extra_one_step at the
@@ -142,11 +149,32 @@ class OmniGenImagePipeline:
         schedule = flow_match.make_schedule(
             num_inference_steps, shift=1.0, sigma_min=0.0, sigma_max=1.0,
             extra_one_step=False, inverse_timesteps=True,
-            num_train_timesteps=1)
+            num_train_timesteps=1,
+            denoising_strength=denoising_strength
+            if input_image is not None else 1.0)
         h, w = height // self.vae_factor, width // self.vae_factor
         n_img = (h // 2) * (w // 2)
-        latents = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
-                                    jnp.float32).astype(self.dtype)
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
+                                  jnp.float32).astype(self.dtype)
+        if input_image is not None:
+            enc = lambda c: sd_vae_encode(self.vae_encoder, c,
+                                          self.vae_enc_plan,
+                                          groups=self.vae_groups,
+                                          scaling=self.vae_scaling)
+            img = jnp.asarray(np.asarray(input_image, np.float32))[None]
+            if tiled:
+                from goal_force_tpu.models.tiler import tiled_forward_2d
+
+                z = tiled_forward_2d(jax.jit(enc), img,
+                                     tile_size * self.vae_factor,
+                                     tile_stride * self.vae_factor)
+            else:
+                z = enc(img)
+            latents = flow_match.add_noise(z.astype(self.dtype), noise,
+                                           schedule.sigmas[0]) \
+                .astype(self.dtype)
+        else:
+            latents = noise
 
         # --- build the conditioning branches (prompter __call__ semantics) ---
         ref_latents, spans, cond_ids = [], [], self._ids(prompt)
@@ -204,7 +232,15 @@ class OmniGenImagePipeline:
                                             schedule.sigma_next(i))
         if return_latents:
             return np.asarray(latents, np.float32)
-        img = sd_vae_decode(self.vae_decoder, latents.astype(jnp.float32),
-                            self.vae_dec_plan, groups=self.vae_groups,
-                            scaling=self.vae_scaling)
+        dec = lambda z: sd_vae_decode(self.vae_decoder, z, self.vae_dec_plan,
+                                      groups=self.vae_groups,
+                                      scaling=self.vae_scaling)
+        if tiled:
+            from goal_force_tpu.models.tiler import tiled_forward_2d
+
+            img = tiled_forward_2d(jax.jit(dec),
+                                   latents.astype(jnp.float32),
+                                   min(tile_size, h, w), tile_stride)
+        else:
+            img = dec(latents.astype(jnp.float32))
         return np.asarray((img[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)

@@ -169,19 +169,22 @@ class QwenImagePipeline:
     def _denoise(self):
         cfg = self.dit_cfg
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames=("rope_interpolate",))
         def fn(dit, latents, t, ctx_p, ctx_n, cfg_scale, cn=None, cn_cond=None,
-               extra_latents=None, ent_p=None, ent_n=None, ent_masks=None):
+               extra_latents=None, ent_p=None, ent_n=None, ent_masks=None,
+               rope_interpolate=False):
             vp = qwen_image_dit_forward(dit, cfg, latents, t, ctx_p,
                                         controlnet=cn, controlnet_cond=cn_cond,
                                         extra_latents=extra_latents,
                                         entity_prompt_embs=ent_p,
-                                        entity_masks=ent_masks if ent_p else None)
+                                        entity_masks=ent_masks if ent_p else None,
+                                        rope_interpolate=rope_interpolate)
             vn = qwen_image_dit_forward(dit, cfg, latents, t, ctx_n,
                                         controlnet=cn, controlnet_cond=cn_cond,
                                         extra_latents=extra_latents,
                                         entity_prompt_embs=ent_n,
-                                        entity_masks=ent_masks if ent_n else None)
+                                        entity_masks=ent_masks if ent_n else None,
+                                        rope_interpolate=rope_interpolate)
             return vn + cfg_scale * (vp - vn)
 
         return fn
@@ -264,6 +267,7 @@ class QwenImagePipeline:
         controlnet_image: Optional[np.ndarray] = None,
         edit_image: Optional[np.ndarray] = None,     # Qwen-Image-Edit (H,W,3)
         edit_image_auto_resize: bool = True,
+        edit_rope_interpolation: bool = False,
         context_image: Optional[np.ndarray] = None,  # in-context control
         inpaint_mask: Optional[np.ndarray] = None,   # (H, W) float [0,1]
         inpaint_blur_size: Optional[int] = None,
@@ -372,7 +376,8 @@ class QwenImagePipeline:
             t = jnp.full((1,), schedule.sigmas[i], self.dtype)
             tok = self._denoise(self.dit, latents, t, ctx_p, ctx_n,
                                 float(cfg_scale), controlnet, cn_cond,
-                                extra_latents, ent_p, ent_n, ent_masks)
+                                extra_latents, ent_p, ent_n, ent_masks,
+                                rope_interpolate=edit_rope_interpolation)
             c = latents.shape[-1]
             gh, gw = h // 2, w // 2
             v = tok.reshape(1, gh, gw, c, 2, 2).transpose(0, 1, 4, 2, 5, 3) \

@@ -157,8 +157,16 @@ class StepVideoPipeline:
         num_inference_steps: int = 30,
         seed: int = 0,
         smooth_scale: float = 0.6,
+        tiled: bool = False,
+        tile_size=(34, 34),
+        tile_stride=(16, 16),
         return_latents: bool = False,
     ) -> np.ndarray:
+        # tiled: spatially tiled VAE decode in latent units (reference
+        # step_video.py:164-172 -> stepvideo_vae.py tiled_decode :1052-1101).
+        # The reference signature also lists input_video/denoising_strength
+        # but its body never consumes them (step_video.py:155-178), so they
+        # are intentionally absent here.
         schedule = flow_match.make_schedule(
             num_inference_steps, shift=13.0, sigma_min=0.0,
             extra_one_step=True, reverse_sigmas=True, num_train_timesteps=1)
@@ -179,8 +187,19 @@ class StepVideoPipeline:
                                             schedule.sigma_next(i))
         if return_latents:
             return np.asarray(latents, np.float32)
-        video = stepvideo_vae_decode(self.vae, latents.astype(jnp.float32),
-                                     self.vae_cfg, smooth_scale=smooth_scale)
+        if tiled:
+            from goal_force_tpu.models.stepvideo_vae import (
+                stepvideo_vae_decode_tiled,
+            )
+
+            video = stepvideo_vae_decode_tiled(
+                self.vae, latents.astype(jnp.float32), self.vae_cfg,
+                tuple(tile_size), tuple(tile_stride))
+        else:
+            video = stepvideo_vae_decode(self.vae,
+                                         latents.astype(jnp.float32),
+                                         self.vae_cfg,
+                                         smooth_scale=smooth_scale)
         return np.asarray((video[0] + 1.0) / 2.0, np.float32).clip(0.0, 1.0)
 
 

@@ -40,6 +40,10 @@ class SVDVideoPipeline:
     encode_image: Optional[Callable] = None
     # encode_image_latent(image) -> (1, h, w, 4) unscaled VAE latents
     encode_image_latent: Optional[Callable] = None
+    # encode_video(frames (F, H, W, 3) in [-1,1]) -> (F, h, w, 4) SCALED
+    # latents (reference encode_video_with_vae, svd_video.py:60-67); needed
+    # for input_video v2v and mask_frames
+    encode_video: Optional[Callable] = None
     clip_dim: int = 1024
     dtype: object = jnp.float32
 
@@ -54,6 +58,7 @@ class SVDVideoPipeline:
         vae_groups: int = 32,
         encode_image=None,                 # ViT-H CLIP tower (pluggable)
         encode_image_latent=None,
+        encode_video=None,                 # VAE video encoder (pluggable)
         clip_dim: int = 1024,
         dtype=jnp.float32,
     ) -> "SVDVideoPipeline":
@@ -82,6 +87,7 @@ class SVDVideoPipeline:
                    plan=plan, vae_dec_plan=dec_plan, groups=groups,
                    vae_groups=vae_groups, encode_image=encode_image,
                    encode_image_latent=encode_image_latent,
+                   encode_video=encode_video,
                    clip_dim=clip_dim, dtype=dtype)
 
     @classmethod
@@ -122,6 +128,10 @@ class SVDVideoPipeline:
     def __call__(
         self,
         input_image: np.ndarray,            # (H, W, 3) in [-1, 1]
+        input_video: Optional[np.ndarray] = None,  # (F, H, W, 3) in [-1, 1]
+        mask_frames: Optional[np.ndarray] = None,  # (M, H, W, 3) in [-1, 1]
+        mask_frame_ids=(),
+        denoising_strength: float = 1.0,
         num_frames: int = 25,
         height: int = 576,
         width: int = 1024,
@@ -135,13 +145,32 @@ class SVDVideoPipeline:
         contrast_enhance_scale: float = 1.2,
         seed: int = 0,
     ) -> np.ndarray:
+        # input_video + denoising_strength < 1: v2v (reference svd_video.py
+        # :140-144). mask_frames/mask_frame_ids: those frames are clamped to
+        # noised encodings of the given frames every step (:147-148,166-168).
         from goal_force_tpu.models.svd_vae import svd_vae_decode
+        from goal_force_tpu.schedulers.continuous_ode import ode_add_noise
 
-        schedule = make_continuous_ode_schedule(num_inference_steps)
+        schedule = make_continuous_ode_schedule(
+            num_inference_steps, denoising_strength=denoising_strength)
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         h8, w8 = height // 8, width // 8
-        latents = jax.random.normal(k1, (num_frames, h8, w8, 4), self.dtype)
+        noise = jax.random.normal(k1, (num_frames, h8, w8, 4), self.dtype)
+        if denoising_strength == 1.0 or input_video is None:
+            latents = noise
+        else:
+            if self.encode_video is None:
+                raise ValueError("input_video requires encode_video")
+            z = jnp.asarray(self.encode_video(input_video), self.dtype)
+            latents = ode_add_noise(schedule, z, noise, 0)
+        mask_latents = None
+        mask_frame_ids = list(mask_frame_ids or ())
+        if mask_frames is not None and len(mask_frame_ids) > 0:
+            if self.encode_video is None:
+                raise ValueError("mask_frames requires encode_video")
+            mask_latents = jnp.asarray(self.encode_video(mask_frames),
+                                       self.dtype)
 
         if self.encode_image is not None:
             clip_emb = jnp.asarray(self.encode_image(input_image))
@@ -162,6 +191,10 @@ class SVDVideoPipeline:
                              jnp.float32)
 
         for i in range(len(schedule)):
+            if mask_latents is not None:
+                ids = jnp.asarray(mask_frame_ids, jnp.int32)
+                latents = latents.at[ids].set(
+                    ode_add_noise(schedule, mask_latents, noise[ids], i))
             t = jnp.asarray(schedule.timesteps[i], self.dtype)
             eps = self._denoise(self.unet, latents, img_lat, clip_emb, t,
                                 add_id, cfg_scales.astype(self.dtype))

@@ -357,6 +357,11 @@ class FluxPipeline:
         tiled: bool = False,                       # reference flux_image_new
         tile_size: int = 128,                      # :492-494 defaults; DiT runs
         tile_stride: int = 64,                     # whole-model-per-latent-tile
+        value_controller=None,                     # list of value-encoder params
+        value_controller_inputs=None,              # list of floats (or None)
+        lora_encoder=None,                         # FluxLoRAEncoder params
+        lora_encoder_inputs=None,                  # list of converted LoRA dicts
+        lora_encoder_scale: float = 1.0,
     ) -> np.ndarray:
         """Returns (H, W, 3) float32 in [0, 1] (reference __call__ :434-560).
 
@@ -380,6 +385,46 @@ class FluxPipeline:
             ov = jnp.asarray(prompt_emb_override).astype(self.dtype)
             prompt_emb = jnp.broadcast_to(ov, (prompt_emb.shape[0],)
                                           + ov.shape[1:])
+
+        # extra conditioning tokens appended to the POSITIVE prompt only
+        # (reference appends with zero text ids: value controller
+        # flux_image_new.py:941-950, LoRA encoder :1005-1062)
+        extra_tokens = []
+        if value_controller is not None and value_controller_inputs is not None:
+            from goal_force_tpu.models.flux_adapters import (
+                multi_value_embedding,
+            )
+
+            vals = value_controller_inputs
+            vals = vals if isinstance(vals, (list, tuple)) else [vals]
+            extra_tokens.append(
+                multi_value_embedding(value_controller, vals)[None])
+        if lora_encoder is not None and lora_encoder_inputs is not None:
+            from goal_force_tpu.models.flux_adapters import flux_lora_encode
+
+            le_params, le_kw = lora_encoder, {}
+            if isinstance(lora_encoder, dict) and "params" in lora_encoder:
+                le_params = lora_encoder["params"]
+                le_kw = {k: v for k, v in lora_encoder.items()
+                         if k in ("patterns", "heads", "head_dim",
+                                  "num_special")}
+            loras = lora_encoder_inputs
+            loras = loras if isinstance(loras, (list, tuple)) else [loras]
+            le = jnp.concatenate(
+                [flux_lora_encode(le_params, l, **le_kw) for l in loras],
+                axis=1)
+            extra_tokens.append(le * lora_encoder_scale)
+        if extra_tokens:
+            if use_cfg:
+                # the reference appends to the positive branch only; the
+                # merged-CFG batch here needs equal lengths per row
+                raise NotImplementedError(
+                    "value_controller/lora_encoder tokens compose with the "
+                    "embedded-guidance path (cfg_scale == 1) only")
+            prompt_emb = jnp.concatenate(
+                [prompt_emb]
+                + [jnp.asarray(t, prompt_emb.dtype) for t in extra_tokens],
+                axis=1)
 
         if tiled and (controlnet is not None or kontext_image is not None
                       or step1x is not None or ipadapter is not None

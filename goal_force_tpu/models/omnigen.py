@@ -150,7 +150,12 @@ def _apply_rope_halves(x, cos, sin):
     return x * c + _rotate_half(x) * s
 
 
-def _phi3_block(p, x, mask_bias, cos, sin, cfg: OmniGenConfig):
+def _phi3_block(p, x, mask_bias, cos, sin, cfg: OmniGenConfig,
+                past_kv=None, keep_prefix: int = 0):
+    """past_kv: (k, v) of the cached CONDITION prefix, (B, S_past, nk, hd)
+    post-rope — new keys are appended behind it (reference OmniGenCache
+    semantics, omnigen_image.py:17-110). keep_prefix > 0 returns this
+    block's own prefix K/V for caching."""
     b, s, _ = x.shape
     n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -160,6 +165,10 @@ def _phi3_block(p, x, mask_bias, cos, sin, cfg: OmniGenConfig):
     q = _apply_rope_halves(q.reshape(b, s, n, hd), cos, sin)
     k = _apply_rope_halves(k.reshape(b, s, nk, hd), cos, sin)
     v = v.reshape(b, s, nk, hd)
+    prefix = (k[:, :keep_prefix], v[:, :keep_prefix]) if keep_prefix else None
+    if past_kv is not None:
+        k = jnp.concatenate([past_kv[0].astype(k.dtype), k], axis=1)
+        v = jnp.concatenate([past_kv[1].astype(v.dtype), v], axis=1)
     if nk != n:
         k = jnp.repeat(k, n // nk, axis=2)
         v = jnp.repeat(v, n // nk, axis=2)
@@ -173,24 +182,35 @@ def _phi3_block(p, x, mask_bias, cos, sin, cfg: OmniGenConfig):
     gu = h @ p["gate_up"]["w"]
     gate, up = jnp.split(gu, 2, axis=-1)
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return x + h @ p["down"]["w"]
+    return x + h @ p["down"]["w"], prefix
 
 
-def phi3_run(params, cfg: OmniGenConfig, embeds, attn_mask, position_ids=None):
-    """Decoder stack over precomputed input embeddings with a (B, S, S)
-    0/1 mask (reference Phi3Transformer.forward :56-188)."""
+def phi3_run(params, cfg: OmniGenConfig, embeds, attn_mask, position_ids=None,
+             past_kv=None, keep_prefix: int = 0):
+    """Decoder stack over precomputed input embeddings with a (B, S_q, S_kv)
+    0/1 mask (reference Phi3Transformer.forward :56-188).
+
+    past_kv: per-layer [(k, v), ...] condition-prefix cache; embeds then
+    holds only the suffix tokens and position_ids must carry their absolute
+    positions. keep_prefix: collect each layer's first keep_prefix K/V."""
     b, s, _ = embeds.shape
-    cos_np, sin_np = _su_rope_tables(cfg, s)
+    s_total = s + (past_kv[0][0].shape[1] if past_kv is not None else 0)
+    cos_np, sin_np = _su_rope_tables(cfg, s_total)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
     if position_ids is not None:
         cos = cos[position_ids[0]]
         sin = sin[position_ids[0]]
     mask_bias = (1.0 - attn_mask.astype(jnp.float32)) * jnp.finfo(jnp.float32).min
     x = embeds
+    prefixes = []
     for i in range(cfg.num_layers):
         p = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
-        x = _phi3_block(p, x, mask_bias, cos, sin, cfg)
-    return _rms(x, params["final_norm"]["w"], cfg.eps)
+        x, pre = _phi3_block(p, x, mask_bias, cos, sin, cfg,
+                             past_kv=None if past_kv is None else past_kv[i],
+                             keep_prefix=keep_prefix)
+        prefixes.append(pre)
+    out = _rms(x, params["final_norm"]["w"], cfg.eps)
+    return (out, prefixes) if keep_prefix else out
 
 
 # ---------------------------------------------------------------------------
@@ -225,10 +245,18 @@ def omnigen_forward(
     input_img_latents: Sequence[jnp.ndarray] = (),   # [(1, h, w, 4), ...]
     image_slices: Sequence[Tuple[int, int, int]] = (),  # (batch, start, end)
     position_ids: Optional[jnp.ndarray] = None,
+    past_kv=None,
+    return_past_kv: bool = False,
 ) -> jnp.ndarray:
     """Reference OmniGenTransformer.forward (:717-756). input_img_latents are
     patch-embedded with input_x_embedder and spliced into the text embedding at
-    image_slices; sequence = [cond, time_token, image]."""
+    image_slices; sequence = [cond, time_token, image].
+
+    KV cache (reference OmniGenCache, omnigen_image.py:17-110): the CONDITION
+    prefix (everything except time_token + image tokens) is timestep-invariant,
+    so return_past_kv=True returns its per-layer K/V from a full forward, and
+    past_kv replays them on subsequent steps — the model then consumes only
+    [time_token, image] with a row-cropped mask and suffix position_ids."""
     b, hgt, wdt, _ = latents.shape
     dtype = params["x_embedder"]["w"].dtype
     x = _patch_embed(params["x_embedder"], latents.astype(dtype), cfg.patch_size)
@@ -237,7 +265,9 @@ def omnigen_forward(
     time_token = _time_mlp(params["time_token"], timestep, cfg.hidden_size,
                            dtype)[:, None]
 
-    if input_ids is not None:
+    if past_kv is not None:
+        seq = jnp.concatenate([time_token, x], axis=1)
+    elif input_ids is not None:
         cond = jnp.asarray(params["wte"])[input_ids].astype(dtype)
         for (bi, s0, s1), lat in zip(image_slices, input_img_latents):
             emb = _patch_embed(params["input_x_embedder"], lat.astype(dtype),
@@ -249,7 +279,11 @@ def omnigen_forward(
     else:
         seq = jnp.concatenate([time_token, x], axis=1)
 
-    out = phi3_run(params, cfg, seq, attn_mask, position_ids)
+    keep = seq.shape[1] - (num_tokens + 1) if return_past_kv else 0
+    out = phi3_run(params, cfg, seq, attn_mask, position_ids,
+                   past_kv=past_kv, keep_prefix=keep)
+    if return_past_kv:
+        out, prefix_kv = out
     img = out[:, -num_tokens:]
     temb = _time_mlp(params["t_embedder"], timestep, cfg.hidden_size, dtype)
     e = jax.nn.silu(temb.astype(jnp.float32)).astype(dtype)
@@ -261,7 +295,8 @@ def omnigen_forward(
         .astype(dtype)
     h = normed * (1 + scale[:, None]) + shift[:, None]
     h = h @ params["final_linear"]["w"] + params["final_linear"]["b"]
-    return omnigen_unpatchify(h, hgt, wdt, cfg.patch_size, cfg.in_channels)
+    res = omnigen_unpatchify(h, hgt, wdt, cfg.patch_size, cfg.in_channels)
+    return (res, prefix_kv) if return_past_kv else res
 
 
 # ---------------------------------------------------------------------------

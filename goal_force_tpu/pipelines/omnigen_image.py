@@ -135,6 +135,7 @@ class OmniGenImagePipeline:
         seed: int = 0,
         input_image: Optional[np.ndarray] = None,    # (H, W, 3) in [-1, 1]
         denoising_strength: float = 1.0,
+        use_kv_cache: bool = True,                   # cache condition K/V
         tiled: bool = False,
         tile_size: int = 64,
         tile_stride: int = 32,
@@ -204,22 +205,42 @@ class OmniGenImagePipeline:
 
         branch_fns = []
         for ids, refs, sp in branches:
-            mask = jnp.asarray(omnigen_attention_mask(len(ids), n_img, sp))
+            mask_np = omnigen_attention_mask(len(ids), n_img, sp)
+            mask = jnp.asarray(mask_np)
+            # cache replay: only [time_token, image] rows query; columns stay
+            # full (reference crop_attention_mask_for_cache :191-194)
+            mask_crop = jnp.asarray(mask_np[:, -(n_img + 1):, :])
             id_arr = jnp.asarray(np.asarray(ids)[None], jnp.int32)
             pos = jnp.asarray(np.arange(len(ids) + 1 + n_img)[None])
+            pos_crop = pos[:, -(n_img + 1):]
             slices = [(0, s0, s1) for (s0, s1) in sp]
 
             def fn(tf, lat, t, _ids=id_arr, _m=mask, _p=pos, _r=tuple(refs),
                    _s=tuple(slices)):
                 return omnigen_forward(tf, self.cfg, lat, t, _ids, _m,
                                        input_img_latents=list(_r),
-                                       image_slices=list(_s), position_ids=_p)
+                                       image_slices=list(_s), position_ids=_p,
+                                       return_past_kv=use_kv_cache)
 
-            branch_fns.append(jax.jit(fn))
+            def cached_fn(tf, lat, t, kv, _m=mask_crop, _p=pos_crop):
+                return omnigen_forward(tf, self.cfg, lat, t, None, _m,
+                                       position_ids=_p, past_kv=kv)
+
+            branch_fns.append((jax.jit(fn), jax.jit(cached_fn)))
+        caches = [None] * len(branch_fns)
 
         for i in range(len(schedule)):
             t = jnp.full((1,), schedule.timesteps[i], self.dtype)
-            outs = [fn(self.transformer, latents, t) for fn in branch_fns]
+            outs = []
+            for j, (full_fn, cached_fn) in enumerate(branch_fns):
+                if use_kv_cache and caches[j] is not None:
+                    outs.append(cached_fn(self.transformer, latents, t,
+                                          caches[j]))
+                elif use_kv_cache:
+                    o, caches[j] = full_fn(self.transformer, latents, t)
+                    outs.append(o)
+                else:
+                    outs.append(full_fn(self.transformer, latents, t))
             if len(outs) == 3:
                 cond, uncond, img_cond = outs
                 v = uncond + image_cfg_scale * (img_cond - uncond) \

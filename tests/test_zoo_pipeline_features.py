@@ -71,6 +71,27 @@ def test_omnigen_i2i():
     assert np.abs(i2i - base).max() > 1e-6
 
 
+def test_omnigen_kv_cache_equivalence():
+    """The condition-prefix KV cache must reproduce the full forward exactly
+    (the prefix is timestep-invariant; reference OmniGenCache
+    omnigen_image.py:17-110, crop :182-194)."""
+    from goal_force_tpu.pipelines.omnigen_image import OmniGenImagePipeline
+
+    pipe = OmniGenImagePipeline.init_random(jax.random.PRNGKey(0))
+    kw = dict(height=32, width=32, num_inference_steps=3, seed=3)
+    base = pipe("a bird", use_kv_cache=False, **kw)
+    cached = pipe("a bird", use_kv_cache=True, **kw)
+    np.testing.assert_allclose(cached, base, rtol=2e-4, atol=2e-4)
+
+    ref = np.random.default_rng(1).uniform(-1, 1, (16, 16, 3)) \
+        .astype(np.float32)
+    b2 = pipe("a bird like this", reference_images=[ref],
+              use_kv_cache=False, **kw)
+    c2 = pipe("a bird like this", reference_images=[ref],
+              use_kv_cache=True, **kw)
+    np.testing.assert_allclose(c2, b2, rtol=2e-4, atol=2e-4)
+
+
 def test_kolors_i2i_and_local_prompts():
     from goal_force_tpu.pipelines.kolors import KolorsPipeline
 

@@ -35,11 +35,12 @@ layer-offload path. value > 1.0 means faster than that A100 estimate per step.
 Round-3 accounting correction: round 2 reported per_block 558 ms / 0.03513
 steps/s off a depth series whose shallow (2,1) anchor carried first-call
 tunnel noise (fit residual 62 ms). Min-of-3 timing at depths >= 4 fits with
-~0.05 ms residual; this bench supersedes the round-2 number the same way
-round 2 superseded round 1's double-counted FLOPs. With the max-free flash
-kernel (static dispatch for the qk-RMS-normed DiT) the measured round-3
-figures are ~529 ms/block, 0.0375 steps/s, 80.5% MFU, and the ControlNet
-block sits ~0.3 ms above its zero-conv MXU floor. Remaining headroom is
+~1 ms residual (1.22 ms in the recorded round-3 run); this bench supersedes
+the round-2 number the same way round 2 superseded round 1's double-counted
+FLOPs. With the max-free flash kernel (static dispatch for the qk-RMS-normed
+DiT) the measured round-3 figures are ~529 ms/block, 0.0375 steps/s, 80.5%
+MFU, and the ControlNet block sits AT its zero-conv MXU floor (measured
+-0.18 ms, within timing noise). Remaining headroom is
 algorithmic (TeaCache skip path — measured, reported) and multi-chip
 scaling (MULTICHIP dryrun), not the raw bf16 block stack.
 """

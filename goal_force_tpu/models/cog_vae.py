@@ -217,14 +217,14 @@ def cog_vae_decode_tiled(params: Dict, latents: jnp.ndarray,
                          tile_stride: Tuple[int, int] = (30, 45)) -> jnp.ndarray:
     """Spatially tiled decode: latent-unit tiles over (H, W), full temporal
     extent per tile (reference CogVAEDecoder.decode_video :238-251 via
-    TileWorker2Dto3D with scales (3/16, (T//2*8+T%2)/T, 8, 8))."""
+    TileWorker2Dto3D with scales (3/latent_dim, (T//2*8+T%2)/T, 8, 8))."""
     from goal_force_tpu.models.tiler import tiled_forward_2d_to_3d
 
     T = latents.shape[1]
     return tiled_forward_2d_to_3d(
         jax.jit(lambda z: cog_vae_decode(params, z, cfg)),
         latents, tile_size, tile_stride,
-        scales=(3 / 16, (T // 2 * 8 + T % 2) / T, 8.0, 8.0))
+        scales=(3 / cfg.latent_dim, (T // 2 * 8 + T % 2) / T, 8.0, 8.0))
 
 
 def cog_vae_encode_tiled(params: Dict, video: jnp.ndarray,
@@ -233,7 +233,7 @@ def cog_vae_encode_tiled(params: Dict, video: jnp.ndarray,
                          tile_stride: Tuple[int, int] = (30, 45)) -> jnp.ndarray:
     """Spatially tiled encode: latent-unit tile sizes (x8 in pixel space), as
     in reference CogVAEEncoder.encode_video :323-336 with scales
-    (16/3, (T//4+T%2)/T, 1/8, 1/8)."""
+    (latent_dim/3, (T//4+T%2)/T, 1/8, 1/8)."""
     from goal_force_tpu.models.tiler import tiled_forward_2d_to_3d
 
     T = video.shape[1]
@@ -241,7 +241,7 @@ def cog_vae_encode_tiled(params: Dict, video: jnp.ndarray,
         jax.jit(lambda v: cog_vae_encode(params, v, cfg)),
         video, tuple(i * 8 for i in tile_size),
         tuple(i * 8 for i in tile_stride),
-        scales=(16 / 3, (T // 4 + T % 2) / T, 1 / 8, 1 / 8))
+        scales=(cfg.latent_dim / 3, (T // 4 + T % 2) / T, 1 / 8, 1 / 8))
 
 
 # ---------------------------------------------------------------------------

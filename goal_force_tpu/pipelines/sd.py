@@ -118,6 +118,28 @@ class SDPipeline:
         ids = np.asarray(self.tokenize(prompt)).reshape(1, -1)
         return jnp.asarray(ids.astype(np.int32))
 
+    def _long_ids(self, prompts: Sequence[str]) -> list:
+        """Tokenize each prompt into (num_sentence, 77) chunks with a SHARED
+        sentence count (reference sd_prompter.py:69 via tokenize_long_prompt;
+        the shared count is ours — the merged-CFG batch needs equal context
+        lengths where the reference runs posi/nega as separate calls)."""
+        from goal_force_tpu.prompters import tokenize_long_prompt
+
+        if self.tokenize is None or not hasattr(self.tokenize, "encode"):
+            return [self._ids(p) for p in prompts]
+        chunked = [tokenize_long_prompt(self.tokenize, p) for p in prompts]
+        ns = max(c.shape[0] for c in chunked)
+        if ns > 1:
+            chunked = [tokenize_long_prompt(self.tokenize, p, num_sentences=ns)
+                       for p in prompts]
+        return [jnp.asarray(c) for c in chunked]
+
+    def _ctx(self, ids: jnp.ndarray, clip_skip: int) -> jnp.ndarray:
+        """(num_sentence, 77) ids -> (1, num_sentence*77, dim) context
+        (reference sd_prompter.py:70-72: per-sentence encode then flatten)."""
+        h = self._encode_text(self.text_encoder, ids, clip_skip)
+        return h.reshape(1, -1, h.shape[-1])
+
     def __call__(self,
                  prompt: str,
                  negative_prompt: str = "",
@@ -188,18 +210,17 @@ class SDPipeline:
         else:
             latents = noise
 
-        ctx_pos = self._encode_text(self.text_encoder, self._ids(prompt),
-                                    clip_skip).astype(self.dtype)
-        ctx_neg = self._encode_text(self.text_encoder,
-                                    self._ids(negative_prompt),
-                                    1).astype(self.dtype)
+        all_ids = self._long_ids([prompt, negative_prompt,
+                                  *(local_prompts or [])])
+        ctx_pos = self._ctx(all_ids[0], clip_skip).astype(self.dtype)
+        ctx_neg = self._ctx(all_ids[1], 1).astype(self.dtype)
         ctx_locals = local_w = None
         if local_prompts:
             from goal_force_tpu.pipelines.regional import local_prompt_weights
 
             ctx_locals = jnp.concatenate([
-                self._encode_text(self.text_encoder, self._ids(p), clip_skip)
-                for p in local_prompts], axis=0).astype(self.dtype)
+                self._ctx(ids, clip_skip)
+                for ids in all_ids[2:]], axis=0).astype(self.dtype)
             local_w = jnp.asarray(local_prompt_weights(
                 masks, mask_scales, h8, w8,
                 local_blur_kernel_size, local_blur_sigma))

@@ -76,10 +76,15 @@ class SDXLPipeline:
         self._encode = jax.jit(self._encode_prompt, static_argnums=(4, 5))
 
     def _encode_prompt(self, te1, te2, ids, ids2, clip_skip, clip_skip_2):
+        # ids/ids2 are (num_sentence, 77) long-prompt chunks (reference
+        # sdxl_prompter.py:44-61): encode each sentence as a batch row,
+        # flatten to (1, num_sentence*77, 2048); pooled add_text_embeds come
+        # from the FIRST sentence only (sdxl_prompter.py:60).
         h1 = sdxl_text_encode(te1, ids, self.text_cfg, clip_skip=clip_skip)
         pooled, h2 = sdxl_text2_encode(te2, ids2, self.text2_cfg,
                                        clip_skip=clip_skip_2)
-        return jnp.concatenate([h1, h2], axis=-1), pooled
+        ctx = jnp.concatenate([h1, h2], axis=-1)
+        return ctx.reshape(1, -1, ctx.shape[-1]), pooled[0:1]
 
     # merged (posi, nega, local_1..L) batch: one XLA call per step (the
     # reference runs 2+L sequential lets_dance_xl invocations)
@@ -144,6 +149,29 @@ class SDXLPipeline:
         return jnp.asarray(np.asarray(self.tokenize_2(prompt))
                            .reshape(1, -1).astype(np.int32))
 
+    def _long_ids(self, prompts):
+        """[(ids1, ids2), ...] — both tokenizers chunked per
+        tokenize_long_prompt (reference sdxl_prompter.py:44-48) with ONE
+        sentence count shared across tokenizers and prompts (the reference
+        trims the two encoders' outputs to the min batch before concat,
+        sdxl_prompter.py:52-56; equal counts make that trim a no-op, and the
+        merged-CFG batch needs posi/nega context lengths equal)."""
+        from goal_force_tpu.prompters import tokenize_long_prompt
+
+        if (self.tokenize is None or not hasattr(self.tokenize, "encode")
+                or self.tokenize_2 is None
+                or not hasattr(self.tokenize_2, "encode")):
+            return [(self._ids(p), self._ids2(p)) for p in prompts]
+        c1 = [tokenize_long_prompt(self.tokenize, p) for p in prompts]
+        c2 = [tokenize_long_prompt(self.tokenize_2, p) for p in prompts]
+        ns = max(c.shape[0] for c in c1 + c2)
+        if ns > 1:
+            c1 = [tokenize_long_prompt(self.tokenize, p, num_sentences=ns)
+                  for p in prompts]
+            c2 = [tokenize_long_prompt(self.tokenize_2, p, num_sentences=ns)
+                  for p in prompts]
+        return [(jnp.asarray(a), jnp.asarray(b)) for a, b in zip(c1, c2)]
+
     def __call__(self, prompt: str, negative_prompt: str = "",
                  height: int = 1024, width: int = 1024,
                  num_inference_steps: int = 20, cfg_scale: float = 7.5,
@@ -192,20 +220,21 @@ class SDXLPipeline:
                                      int(sched.timesteps[0])).astype(self.dtype)
         else:
             latents = noise
+        all_ids = self._long_ids([prompt, negative_prompt,
+                                  *(local_prompts or [])])
         ctx_p, pool_p = self._encode(self.text_encoder, self.text_encoder_2,
-                                     self._ids(prompt), self._ids2(prompt),
+                                     all_ids[0][0], all_ids[0][1],
                                      clip_skip, clip_skip_2)
         ctx_n, pool_n = self._encode(self.text_encoder, self.text_encoder_2,
-                                     self._ids(negative_prompt),
-                                     self._ids2(negative_prompt), clip_skip,
+                                     all_ids[1][0], all_ids[1][1], clip_skip,
                                      clip_skip_2)
         ctx_l = pool_l = local_w = None
         if local_prompts:
             from goal_force_tpu.pipelines.regional import local_prompt_weights
 
             encs = [self._encode(self.text_encoder, self.text_encoder_2,
-                                 self._ids(p), self._ids2(p), clip_skip,
-                                 clip_skip_2) for p in local_prompts]
+                                 i1, i2, clip_skip,
+                                 clip_skip_2) for i1, i2 in all_ids[2:]]
             ctx_l = jnp.concatenate([e[0] for e in encs], axis=0) \
                 .astype(self.dtype)
             pool_l = jnp.concatenate([e[1] for e in encs], axis=0) \

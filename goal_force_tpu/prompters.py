@@ -23,6 +23,7 @@ padding (reference kolors_prompter.py:192-194,274).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -61,6 +62,10 @@ class TextTokenizer:
     def __call__(self, text: str) -> np.ndarray:
         ids = self.encode(text)
         if len(ids) > self.length:
+            warnings.warn(
+                f"prompt of {len(ids)} tokens truncated to {self.length}; "
+                "families with chunked encoding (SD/SDXL) should go through "
+                "tokenize_long_prompt instead", stacklevel=2)
             ids = ids[:self.length]
             if self.force_last is not None:
                 ids[-1] = self.force_last
@@ -71,6 +76,34 @@ class TextTokenizer:
     def with_length(self, length: int) -> "TextTokenizer":
         return TextTokenizer(self._encode, length, self.pad_id, self.pad_side,
                              self.force_last)
+
+
+def tokenize_long_prompt(tok: TextTokenizer, text: str,
+                         num_sentences: Optional[int] = None) -> np.ndarray:
+    """Chunked >max_length tokenization -> (num_sentence, tok.length) int32.
+
+    Reproduces the reference's ``tokenize_long_prompt``
+    (diffsynth/prompters/base_prompter.py:6-36, used by sd_prompter.py:69 and
+    sdxl_prompter.py:44-48): tokenize the FULL prompt once (special tokens
+    around the whole sequence, not per chunk), right-pad with the tokenizer's
+    pad id to a multiple of the model context length, and reshape into
+    "sentences" that the text encoder processes as a batch.
+
+    `num_sentences` forces an exact sentence count (used by the merged-CFG
+    pipelines so the positive/negative rows share one context length — the
+    reference runs them as separate model calls and never needs this);
+    padding sentences are all-pad rows.
+    """
+    ids = tok.encode(text)
+    length = tok.length
+    ns = max(1, -(-len(ids) // length))
+    if num_sentences is not None:
+        if ns > num_sentences:
+            raise ValueError(
+                f"prompt needs {ns} sentences > requested {num_sentences}")
+        ns = num_sentences
+    ids = ids + [tok.pad_id] * (ns * length - len(ids))
+    return np.asarray(ids, np.int32).reshape(ns, length)
 
 
 def load_text_tokenizer(path: str, length: int = 77,
@@ -227,6 +260,7 @@ def wan_umt5_tokenizer(path: str, length: int = 512) -> TextTokenizer:
 
 __all__ = [
     "ASSET_ROOT", "asset_path", "TextTokenizer", "load_text_tokenizer",
+    "tokenize_long_prompt",
     "sd_clip_tokenizer", "sdxl_tokenizers", "sd3_tokenizers",
     "flux_tokenizers", "cog_tokenizer", "hunyuan_dit_tokenizers",
     "hunyuan_video_clip_tokenizer", "kolors_tokenizer", "wan_umt5_tokenizer",

@@ -1,0 +1,217 @@
+"""Long-prompt chunked encoding (VERDICT round-3 #4 / Missing #2).
+
+The reference splits >77-token prompts into 77-token "sentences", encodes each
+as a batch row, and flattens to one long context
+(diffsynth/prompters/base_prompter.py:6-36, sd_prompter.py:69-72,
+sdxl_prompter.py:44-61). These tests drive the SAME HF tokenizer procedure and
+the reference's own torch text encoders against our tokenize_long_prompt +
+pipeline encode paths.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import reference_available
+
+from goal_force_tpu import prompters as P
+from goal_force_tpu.prompters import tokenize_long_prompt
+
+LONG = ("A sprawling, hyper-detailed panorama of a floating market at dawn, "
+        "wooden boats laden with dragonfruit, rambutan and lotus flowers, "
+        "mist curling over the jade-green river, paper lanterns still glowing "
+        "amber against the pale violet sky, an elderly vendor in an indigo "
+        "headscarf pouring tea, reflections shimmering like hammered bronze, "
+        "egrets skimming the water, distant stilt houses, volumetric light, "
+        "35mm film grain, award-winning cinematic composition, ultra realistic")
+SHORT = "a cat on a windowsill"
+
+
+def _ref_tokenize_long(tokenizer, prompt, max_length=None):
+    """The reference's procedure verbatim (base_prompter.py:6-36)."""
+    length = tokenizer.model_max_length if max_length is None else max_length
+    tokenizer.model_max_length = 99999999
+    input_ids = tokenizer(prompt, return_tensors="np").input_ids
+    max_length = (input_ids.shape[1] + length - 1) // length * length
+    tokenizer.model_max_length = length
+    input_ids = tokenizer(prompt, return_tensors="np",
+                          padding="max_length", max_length=max_length,
+                          truncation=True).input_ids
+    num_sentence = input_ids.shape[1] // length
+    return input_ids.reshape((num_sentence, length))
+
+
+def test_tokenize_long_prompt_matches_reference_procedure():
+    from transformers import CLIPTokenizer
+
+    hf = CLIPTokenizer.from_pretrained(
+        P.asset_path("stable_diffusion", "tokenizer"))
+    ours = P.sd_clip_tokenizer()
+    for text in [SHORT, LONG, "", LONG + " " + LONG]:
+        ref = _ref_tokenize_long(hf, text)
+        got = tokenize_long_prompt(ours, text)
+        assert got.shape == ref.shape, text
+        np.testing.assert_array_equal(got, ref.astype(np.int32))
+
+
+def test_tokenize_long_prompt_sdxl_tokenizer2_zero_pad():
+    # CLIP-G pads with '!' = 0 (vendored tokenizer_2 config) — the pad rows of
+    # the chunked form must use the same pad id as the single-sentence form.
+    _, tok2 = P.sdxl_tokenizers()
+    ids = tokenize_long_prompt(tok2, SHORT, num_sentences=2)
+    assert ids.shape == (2, 77)
+    assert (ids[1] == 0).all()
+
+
+def test_tokenize_long_prompt_num_sentences_too_small():
+    tok = P.sd_clip_tokenizer()
+    with pytest.raises(ValueError):
+        tokenize_long_prompt(tok, LONG, num_sentences=1)
+
+
+def test_short_prompt_truncation_warns():
+    tok = P.sd_clip_tokenizer(length=8)
+    with pytest.warns(UserWarning, match="truncated"):
+        tok(LONG)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_sd_long_prompt_context_golden():
+    """Chunked SD context == reference SDTextEncoder over reference-chunked ids,
+    flattened per sd_prompter.py:70-72."""
+    import torch
+
+    import zoo_ckpts as Z
+    from goal_force_tpu.models.clip import CLIPConfig
+    from goal_force_tpu.models.sd_text_encoder import sd_text_params_from_torch
+    from goal_force_tpu.pipelines.sd import SDPipeline
+
+    ref_te_mod = Z.refmodels("sd_text_encoder")
+    torch.manual_seed(3)
+    te = ref_te_mod.SDTextEncoder(
+        embed_dim=48, vocab_size=49408, max_position_embeddings=77,
+        num_encoder_layers=2, encoder_intermediate_size=96)
+    te.encoders = torch.nn.ModuleList(
+        [ref_te_mod.CLIPEncoderLayer(48, 96, num_heads=4, head_dim=12)
+         for _ in range(2)])
+    te = Z._seed(te, 0.05, 3).eval().float()
+
+    te_cfg = CLIPConfig(vocab_size=49408, text_dim=48, text_heads=4,
+                        text_layers=2, max_positions=77,
+                        hidden_act="quick_gelu")
+    tok = P.sd_clip_tokenizer()
+    pipe = SDPipeline(unet=None, text_encoder=jax.tree_util.tree_map(
+        jnp.asarray, sd_text_params_from_torch(Z.sd_of(te), te_cfg)),
+        vae_encoder=None, vae_decoder=None, text_cfg=te_cfg,
+        tokenize=tok)
+
+    from transformers import CLIPTokenizer
+
+    hf = CLIPTokenizer.from_pretrained(
+        P.asset_path("stable_diffusion", "tokenizer"))
+    for text, clip_skip in [(LONG, 1), (SHORT, 2)]:
+        ref_ids = _ref_tokenize_long(hf, text)
+        with torch.no_grad():
+            ref_emb = te(torch.from_numpy(ref_ids.astype(np.int64)),
+                         clip_skip=clip_skip)
+        ref_ctx = ref_emb.reshape(1, ref_emb.shape[0] * ref_emb.shape[1],
+                                  -1).numpy()
+        (ids,) = pipe._long_ids([text])
+        got = np.asarray(pipe._ctx(ids, clip_skip), np.float32)
+        assert got.shape == ref_ctx.shape
+        np.testing.assert_allclose(got, ref_ctx, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_sdxl_long_prompt_context_golden():
+    """Chunked SDXL context (concat CLIP-L + CLIP-G per sentence, flattened)
+    and first-sentence add_text_embeds match sdxl_prompter.py:44-61."""
+    import torch
+
+    import zoo_ckpts as Z
+    from goal_force_tpu.models.clip import CLIPConfig
+    from goal_force_tpu.models.sd_text_encoder import (
+        sdxl_text_params_from_torch,
+    )
+    from goal_force_tpu.pipelines.sdxl import SDXLPipeline
+
+    ref_te = Z.refmodels("sdxl_text_encoder")
+    torch.manual_seed(0)
+    m1 = ref_te.SDXLTextEncoder(embed_dim=48, vocab_size=49408,
+                                max_position_embeddings=77,
+                                num_encoder_layers=2,
+                                encoder_intermediate_size=96)
+    m1.encoders = torch.nn.ModuleList(
+        [ref_te.CLIPEncoderLayer(48, 96, num_heads=4, head_dim=12)
+         for _ in range(2)])
+    m1 = Z._seed(m1, 0.05, 1).eval().float()
+    m2 = ref_te.SDXLTextEncoder2(embed_dim=40, vocab_size=49408,
+                                 max_position_embeddings=77,
+                                 num_encoder_layers=2,
+                                 encoder_intermediate_size=80)
+    m2.encoders = torch.nn.ModuleList(
+        [ref_te.CLIPEncoderLayer(40, 80, num_heads=4, head_dim=10,
+                                 use_quick_gelu=False) for _ in range(2)])
+    m2 = Z._seed(m2, 0.05, 2).eval().float()
+
+    cfg1 = CLIPConfig(vocab_size=49408, text_dim=48, text_heads=4,
+                      text_layers=2, max_positions=77, hidden_act="quick_gelu")
+    cfg2 = CLIPConfig(vocab_size=49408, text_dim=40, text_heads=4,
+                      text_layers=2, max_positions=77, hidden_act="gelu",
+                      text_pooling="argmax")
+    tok1, tok2 = P.sdxl_tokenizers()
+    pipe = SDXLPipeline(
+        unet=None,
+        text_encoder=jax.tree_util.tree_map(
+            jnp.asarray, sdxl_text_params_from_torch(Z.sd_of(m1), cfg1)),
+        text_encoder_2=jax.tree_util.tree_map(
+            jnp.asarray, sdxl_text_params_from_torch(Z.sd_of(m2), cfg2,
+                                                     with_projection=True)),
+        vae_encoder=None, vae_decoder=None,
+        text_cfg=cfg1, text2_cfg=cfg2, tokenize=tok1, tokenize_2=tok2)
+
+    from transformers import CLIPTokenizer
+
+    hf1 = CLIPTokenizer.from_pretrained(
+        P.asset_path("stable_diffusion", "tokenizer"))
+    hf2 = CLIPTokenizer.from_pretrained(
+        P.asset_path("stable_diffusion_xl", "tokenizer_2"))
+    ref_ids1 = _ref_tokenize_long(hf1, LONG).astype(np.int64)
+    ref_ids2 = _ref_tokenize_long(hf2, LONG).astype(np.int64)
+    with torch.no_grad():
+        e1 = m1(torch.from_numpy(ref_ids1), clip_skip=1)
+        add_text, e2 = m2(torch.from_numpy(ref_ids2), clip_skip=2)
+    assert e1.shape[0] == e2.shape[0]
+    ref_ctx = torch.cat([e1, e2], dim=-1)
+    ref_ctx = ref_ctx.reshape(1, ref_ctx.shape[0] * ref_ctx.shape[1],
+                              -1).numpy()
+    ref_pool = add_text[0:1].numpy()
+
+    ((ids1, ids2),) = pipe._long_ids([LONG])
+    ctx, pool = pipe._encode(pipe.text_encoder, pipe.text_encoder_2,
+                             ids1, ids2, 1, 2)
+    np.testing.assert_allclose(np.asarray(ctx, np.float32), ref_ctx,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pool, np.float32), ref_pool,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sd_pipeline_long_prompt_end_to_end():
+    """A >77-token prompt produces a longer context than the negative and the
+    merged-CFG denoise still runs (the pipeline pads the negative to the same
+    sentence count)."""
+    from goal_force_tpu.pipelines.sd import SDPipeline
+
+    pipe = SDPipeline.init_random(tiny=True)
+    # tiny text encoder has max_positions=12 — chunk at 12 so the LONG prompt
+    # exercises the multi-sentence path with in-range position embeddings
+    pipe.tokenize = P.sd_clip_tokenizer(length=pipe.text_cfg.max_positions)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")   # must NOT hit the truncation warning
+        img = pipe(LONG, "blurry", height=32, width=32,
+                   num_inference_steps=2, seed=0)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()

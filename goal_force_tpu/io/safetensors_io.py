@@ -117,6 +117,65 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Full training-state checkpoints (params + optimizer state + step)
+# ---------------------------------------------------------------------------
+
+def train_state_path(ckpt_dir: str, step: int) -> str:
+    return os.path.join(ckpt_dir, f"state-{step}.safetensors")
+
+
+def save_train_state(state, path: str) -> None:
+    """Serialize a FULL TrainState — trainable params, optimizer state (Adam
+    moments, clip/accum counters), and the step — into one safetensors file
+    keyed by jax tree key-paths.
+
+    This EXCEEDS the reference, which checkpoints trainable weights only and
+    silently reinitializes Adam moments on resume
+    (/root/reference/src/goal_force/utils.py:786-790 — SURVEY.md §5). Leaf
+    dtypes are preserved (training state is fp32/int32; bf16 leaves would
+    need the torch safetensors backend and fail loudly here)."""
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    tensors = {jax.tree_util.keystr(kp): np.ascontiguousarray(np.asarray(leaf))
+               for kp, leaf in flat}
+    save_safetensors(tensors, path)
+
+
+def load_train_state(path: str, template):
+    """Inverse of save_train_state: rebuild a TrainState with the TEMPLATE's
+    tree structure (params init + optimizer.init + step) and the file's
+    leaves. Key-path and shape mismatches fail loudly — a changed optimizer
+    or model config cannot silently load a stale state."""
+    import jax
+    import jax.numpy as jnp
+
+    sd = load_safetensors(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    if len(sd) != len(flat):
+        raise ValueError(
+            f"{path}: {len(sd)} tensors vs {len(flat)} state leaves — "
+            "optimizer/model config changed since this state was saved")
+    leaves = []
+    for kp, leaf in flat:
+        key = jax.tree_util.keystr(kp)
+        if key not in sd:
+            raise KeyError(f"{path}: missing state leaf {key}")
+        arr = sd[key]
+        want = tuple(np.shape(leaf))
+        if tuple(arr.shape) != want:
+            # safetensors stores 0-d scalars back as (1,) — accept shapes
+            # that differ only in size-1 dims, reject anything else
+            if tuple(s for s in arr.shape if s != 1) == \
+                    tuple(s for s in want if s != 1):
+                arr = arr.reshape(want)
+            else:
+                raise ValueError(f"{path}: {key} shape {arr.shape} != {want}")
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     """step-K.safetensors with the largest K (resume semantics of
     /root/reference/scripts/train/resume_training_goal_force.sh)."""

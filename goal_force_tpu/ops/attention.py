@@ -56,8 +56,15 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None,
         scale = q.shape[-1] ** -0.5
     if bias is not None:
         return _xla_attention(q, k, v, scale, bias, kv_len)
-    if impl == "auto":
-        impl = _default_impl(q)
+    if impl == "ring":
+        from goal_force_tpu.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+        sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+        if (sp > 1 and kv_len is None and q.shape[1] % sp == 0
+                and k.shape[1] % sp == 0):
+            return _ring_sharded(q, k, v, scale, mesh)
+        impl = "auto"      # ring of 1 (or indivisible) == plain attention
     if impl in ("pallas", "pallas_int8"):
         from goal_force_tpu.parallel.mesh import current_mesh
 
@@ -75,6 +82,35 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None,
         if kv_len is None:
             return _pallas8(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale, kv_len=kv_len)
+
+
+def _ring_sharded(q, k, v, scale, mesh):
+    """impl="ring": tokens STAY sequence-sharded over "sp" and KV blocks rotate
+    the ring via ppermute (parallel/ring_attention.py) — the alternative the
+    reference plumbs but never enables (ring_degree hardcoded to 1 at
+    /root/reference/src/goal_force/wan_video_new.py:460-463). Unlike the
+    Ulysses layout this never reshards tokens<->heads, so it also serves
+    meshes where sp exceeds the head count's divisibility. Heads additionally
+    split over "tp" when divisible; batch over "dp". Point-to-point ppermute
+    traffic rides neighbor ICI links instead of all-to-alls."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from goal_force_tpu.parallel.ring_attention import ring_attention
+
+    b, _, n, _ = q.shape
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    bspec = "dp" if dp > 1 and b % dp == 0 else None
+    hspec = "tp" if tp > 1 and n % tp == 0 else None
+    spec = P(bspec, "sp", hspec, None)
+    sp = mesh.shape["sp"]
+
+    def local(q, k, v):
+        return ring_attention(q, k, v, scale, "sp", sp)
+
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)
 
 
 def _pallas_sharded(q, k, v, scale, mesh, impl, bounded=False, kv_len=None):

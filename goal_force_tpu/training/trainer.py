@@ -25,7 +25,10 @@ from goal_force_tpu.io.safetensors_io import (
     export_goalforce_controlnet,
     find_latest_checkpoint,
     load_goalforce_controlnet,
+    load_train_state,
     save_safetensors,
+    save_train_state,
+    train_state_path,
 )
 from goal_force_tpu.training.train_step import TrainState, make_optimizer, make_train_step
 
@@ -120,11 +123,20 @@ def train(
 
     start_step = 0
     resume_lora = None
+    full_state_file = None
     if resume:
         latest = find_latest_checkpoint(cfg.output_dir)
         if latest is not None:
             print(f"resuming from {latest}")
-            if cfg.train_lora:
+            start_step = checkpoint_step(latest)
+            # prefer the FULL state-K file (params + Adam moments + step) —
+            # resume is then bit-identical to an uninterrupted run; the
+            # reference-format step-K file alone loses optimizer state, as
+            # the reference itself does (utils.py:786-790)
+            cand = train_state_path(cfg.output_dir, start_step)
+            if os.path.exists(cand):
+                full_state_file = cand
+            elif cfg.train_lora:
                 from goal_force_tpu.io.safetensors_io import load_safetensors
                 from goal_force_tpu.lora import lora_from_peft
 
@@ -133,7 +145,6 @@ def train(
             else:
                 cn_params = load_goalforce_controlnet(latest, cn_cfg)
                 cn_params = jax.tree_util.tree_map(jnp.asarray, cn_params)
-            start_step = checkpoint_step(latest)
 
     if cfg.train_lora:
         from goal_force_tpu.lora import init_lora
@@ -143,20 +154,30 @@ def train(
             rank=cfg.lora_rank)
         trainable = {"lora": lora0}
         if cn_cfg is not None and cn_params is not None:
-            trainable["controlnet"] = jax.tree_util.tree_map(jnp.asarray,
-                                                             cn_params)
+            trainable["controlnet"] = cn_params
     else:
-        trainable = jax.tree_util.tree_map(jnp.asarray, cn_params)
+        trainable = cn_params
+    # COPY, don't alias: the train step donates its TrainState, and a donated
+    # alias of the caller's init params would delete the caller's buffers
+    trainable = jax.tree_util.tree_map(lambda a: jnp.asarray(a).copy(),
+                                       trainable)
     state = TrainState(
         trainable,
         optimizer.init(trainable),
         jnp.asarray(start_step, jnp.int32),
     )
+    if full_state_file is not None:
+        state = load_train_state(full_state_file, state)
     logger = MetricsLogger(cfg.output_dir, cfg.log_every, cfg.use_wandb,
                            cfg.wandb_project, cfg.run_name, dataclasses.asdict(cfg))
 
     rng = jax.random.PRNGKey(cfg.seed)
-    step = start_step
+    # Replay the data order + rng splits of the already-trained steps so a
+    # resumed run continues EXACTLY where the interrupted one left off (the
+    # reference restarts its dataloader from scratch on resume). Replay is
+    # host-only: no tokenization, no device work.
+    replay = start_step if full_state_file is not None else 0
+    step = 0 if full_state_file is not None else start_step
     ctx = use_mesh(mesh) if mesh is not None else _nullcontext()
     with ctx:
         for epoch in range(cfg.num_epochs):
@@ -165,6 +186,10 @@ def train(
                 sample = dataset[int(i)]
                 if should_skip(sample, cfg.num_frames, cfg.height, cfg.width):
                     continue
+                rng, sub = jax.random.split(rng)
+                step += 1
+                if step <= replay:
+                    continue
                 ids, mask = tokenizer([sample["prompt"]])
                 batch = {
                     "video": jnp.asarray(sample["video"] * 2.0 - 1.0)[None],
@@ -172,10 +197,8 @@ def train(
                     "ids": jnp.asarray(ids),
                     "mask": jnp.asarray(mask),
                 }
-                rng, sub = jax.random.split(rng)
                 t0 = time.time()
                 state, metrics = step_fn(state, frozen, batch, sub)
-                step += 1
                 metrics = {**metrics, "lr": cfg.lr, "step_time": time.time() - t0}
                 logger.log(step, metrics)
                 saved = False
@@ -196,8 +219,11 @@ def train(
 def save_checkpoint(state: TrainState, cn_cfg, output_dir: str, step: int,
                     patch=(1, 2, 2), lora: bool = False):
     """Trainable-only, reference-compatible step-K.safetensors
-    (utils.py:600-617); LoRA states export in PEFT key format
+    (utils.py:600-617) PLUS a full state-K.safetensors carrying the optimizer
+    state so resume is bit-identical (the reference drops Adam moments,
+    utils.py:786-790); LoRA states export in PEFT key format
     (lora_A.default.weight naming, utils.py:465-470)."""
+    save_train_state(state, train_state_path(output_dir, step))
     host = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), state.params)
     if lora:
         from goal_force_tpu.lora import lora_to_peft

@@ -273,6 +273,34 @@ def infer_llama_config(sd, num_heads: Optional[int] = None, prefix: str = ""):
     )
 
 
+def infer_llava_config(sd, num_heads: Optional[int] = None,
+                       image_token_id: Optional[int] = None):
+    """LlavaForConditionalGeneration checkpoint -> LlavaConfig, shapes only
+    (vision tower geometry from the embeddings, llama core via
+    infer_llama_config)."""
+    from goal_force_tpu.models.clip import CLIPConfig
+    from goal_force_tpu.models.llava import LlavaConfig
+
+    if any(k.startswith("language_model.model.") for k in sd):
+        lm, vt = "language_model.model.", "vision_tower."
+    else:
+        lm, vt = "model.language_model.", "model.vision_tower."
+    patch = _shape(sd, vt + "vision_model.embeddings.patch_embedding.weight")
+    vision_dim, _, patch_size, _ = patch
+    n_pos = _shape(sd, vt + "vision_model.embeddings.position_embedding.weight")[0]
+    image_size = int(round((n_pos - 1) ** 0.5)) * patch_size
+    vision = CLIPConfig(
+        image_size=image_size, patch_size=patch_size, vision_dim=vision_dim,
+        vision_heads=max(1, vision_dim // 64),
+        vision_layers=_max_index(sd, vt + "vision_model.encoder.layers."),
+        hidden_act="quick_gelu")
+    extra = {} if image_token_id is None else \
+        {"image_token_id": image_token_id}
+    return LlavaConfig(
+        text=infer_llama_config(sd, num_heads=num_heads, prefix=lm),
+        vision=vision, **extra)
+
+
 def infer_qwen_vl_text_config(sd, num_heads: Optional[int] = None,
                               prefix: str = "model."):
     from goal_force_tpu.models.qwen_vl import QwenVLTextConfig
@@ -464,6 +492,11 @@ def load_model(path_or_sd, kind: Optional[str] = None, config=None,
         prefix = "model." if "model.embed_tokens.weight" in sd else ""
         cfg = config or infer_llama_config(sd, prefix=prefix, **infer_kw)
         return out(cfg, llama_params_from_torch(sd, cfg, prefix=prefix))
+    if kind == "llava":
+        from goal_force_tpu.models.llava import llava_params_from_torch
+
+        cfg = config or infer_llava_config(sd, **infer_kw)
+        return out(cfg, llava_params_from_torch(sd, cfg))
     if kind == "qwen_vl_text":
         from goal_force_tpu.models.qwen_vl import qwen_vl_text_params_from_torch
 

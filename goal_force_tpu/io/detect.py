@@ -135,6 +135,9 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
         if any(k.endswith(".mix_factor") for k in keys):
             return "svd_unet"
         return "sdxl_unet"
+    if _has(sd, "multi_modal_projector.linear_1.weight") or \
+            _has(sd, "model.multi_modal_projector.linear_1.weight"):
+        return "llava"          # HunyuanVideo-I2V's LLaVA MLLM prompt tower
     if _has(sd, "model.layers.0.self_attn.q_proj.weight",
             "model.embed_tokens.weight") or \
             _has(sd, "layers.0.self_attn.q_proj.weight", "embed_tokens.weight"):

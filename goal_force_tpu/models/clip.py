@@ -150,6 +150,35 @@ def clip_encode_image(params: Dict, cfg: CLIPConfig, pixels: jnp.ndarray,
     return pooled @ params["vis_proj"]
 
 
+def clip_vision_hidden_states(params: Dict, cfg: CLIPConfig,
+                              pixels: jnp.ndarray,
+                              feature_layer: int = -2) -> jnp.ndarray:
+    """(B, H, W, 3) preprocessed pixels -> (B, 1+N, vision_dim) token features
+    from an INTERMEDIATE encoder layer, pre-ln_post — HF's
+    `output_hidden_states[feature_layer]`. LLaVA conditions on the penultimate
+    layer (-2) and drops the CLS token (vision_feature_select_strategy
+    "default"); the CLS drop is the caller's job."""
+    p = params["vision"]
+    b = pixels.shape[0]
+    patches = jax.lax.conv_general_dilated(
+        pixels, p["patch_w"],
+        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = patches.reshape(b, -1, cfg.vision_dim)
+    cls = jnp.broadcast_to(p["cls_emb"], (b, 1, cfg.vision_dim))
+    x = jnp.concatenate([cls, x], axis=1) + p["pos_emb"][:x.shape[1] + 1]
+    x = _ln(p["ln_pre"], x, cfg.eps)
+    # hidden_states = [embeds, layer1, ..., layerL]; index -2 -> run L-1 blocks
+    n_blocks = cfg.vision_layers + 1 + feature_layer if feature_layer < 0 \
+        else feature_layer
+    if not 0 <= n_blocks <= cfg.vision_layers:
+        raise ValueError(f"feature_layer {feature_layer} out of range for "
+                         f"{cfg.vision_layers} vision layers")
+    blocks = jax.tree_util.tree_map(lambda a: a[:n_blocks], p["blocks"])
+    return _tower(blocks, x, cfg.vision_heads, cfg.hidden_act, cfg.eps,
+                  causal=False)
+
+
 def clip_similarity(params: Dict, cfg: CLIPConfig, pixels: jnp.ndarray,
                     input_ids: jnp.ndarray, apply_logit_scale: bool = True):
     """Cosine similarity matrix (n_text, n_image), optionally scaled by

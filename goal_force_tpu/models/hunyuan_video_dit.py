@@ -98,7 +98,9 @@ def token_refiner(params, cfg: HunyuanVideoDiTConfig, text_emb, timestep, mask):
     t_vec = _mlp(params["t_emb"],
                  timestep_embedding(timestep, cfg.freq_dim).astype(dtype))
     mf = mask.astype(jnp.float32)[..., None]
-    pooled = (text_emb.astype(jnp.float32) * mf).sum(1) / mf.sum(1)
+    # clamp: an all-masked row (empty prompt) must not poison the batch (0/0)
+    pooled = (text_emb.astype(jnp.float32) * mf).sum(1) \
+        / jnp.maximum(mf.sum(1), 1.0)
     c = t_vec + _mlp(params["c_emb"], pooled.astype(dtype))
 
     x = linear(params["input_emb"], text_emb.astype(dtype))
@@ -226,11 +228,12 @@ def _mlp_gelu(p, x):
 
 
 def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto", kv_valid=None,
-                 vec_tr=None, tr_token=None):
+                 vec_tr=None, tr_token=None, txt_len=None):
     """MMSingleStreamBlock.forward (:537-570): parallel attention + MLP on the
     same modulated input; rope on the image segment only; varlen joint
     attention (see _joint_attention). vec_tr/tr_token: I2V token replace on
-    the first-frame image tokens (:537-569)."""
+    the first-frame image tokens (:537-569). txt_len: actual text-token count
+    in x (i2v prompts carry image tokens beyond cfg.txt_len)."""
     shift, scale, gate = _mod(p["mod"], vec, 3)
     if vec_tr is not None:
         tsh, tsc, tga = _mod(p["mod"], vec_tr, 3)
@@ -243,7 +246,7 @@ def single_block(p, x, vec, cos, sin, cfg, attn_impl="auto", kv_valid=None,
     h = layer_norm(x, cfg.eps) * (1 + scale) + shift
     b, s, _ = x.shape
     n = cfg.num_heads
-    tl = cfg.txt_len
+    tl = cfg.txt_len if txt_len is None else txt_len
     q, k, v = jnp.split(linear(p["qkv"], h), 3, axis=-1)
     q = rms_norm(q.reshape(b, s, n, -1), p["norm_q"]["w"], cfg.eps)
     k = rms_norm(k.reshape(b, s, n, -1), p["norm_k"]["w"], cfg.eps)
@@ -354,11 +357,13 @@ def hunyuan_video_trunk(params, cfg, pre: Dict, remat: bool = False,
                             kv_valid=kv_valid, vec_tr=vec_tr,
                             tr_token=tr_token), None
 
+    tl = pre["txt"].shape[1]
+
     def sbody(carry, p):
         carry = constrain(carry, "dp", "sp", None)
         return single_block(p, carry, vec, cos, sin, cfg, attn_impl,
                             kv_valid=kv_valid, vec_tr=vec_tr,
-                            tr_token=tr_token), None
+                            tr_token=tr_token, txt_len=tl), None
 
     if remat:
         dbody = jax.checkpoint(dbody, prevent_cse=False)
@@ -368,7 +373,7 @@ def hunyuan_video_trunk(params, cfg, pre: Dict, remat: bool = False,
                                  params["double_blocks"])
     x = jnp.concatenate([img, txt], axis=1)
     x, _ = jax.lax.scan(sbody, x, params["single_blocks"])
-    return x[:, :-cfg.txt_len]
+    return x[:, :-tl]
 
 
 def hunyuan_video_head(params, cfg, img, vec, out_shape) -> jnp.ndarray:

@@ -24,6 +24,7 @@ segment-masked attention — static shapes, single fused kernel.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -384,6 +385,52 @@ def qwen_vl_text_decode_step(params: Dict, cfg: QwenVLTextConfig,
     return _rms(x, params["final_norm"]["w"], cfg.eps), kcache, vcache
 
 
+def qwen_vl_text_generate(params: Dict, cfg: QwenVLTextConfig, input_ids,
+                          max_new_tokens: int, eos_ids=(),
+                          cache_len: int = 0):
+    """Greedy KV-cached token generation — Qwen2ForCausalLM.generate with
+    do_sample=False, the reference's prompt-refiner decode
+    (prompt_refiners.py:94-101). input_ids (1, S) host ints; returns the list
+    of generated token ids (stops at, and excludes, any id in eos_ids).
+
+    Text-only positions: all three M-RoPE streams carry the same sequence
+    index, which reduces exactly to standard 1D RoPE — so the VL text stack
+    doubles as the plain Qwen2 LM. lm_head comes from params["lm_head"] when
+    the checkpoint has one, else the tied word embedding (Qwen2-1.5B ties)."""
+    ids = np.asarray(input_ids)
+    b, s = ids.shape
+    head_w = params["lm_head"]["w"] if "lm_head" in params \
+        else params["wte"].T
+    wte = jnp.asarray(params["wte"])
+    cache_len = cache_len or s + max_new_tokens
+    pos = jnp.broadcast_to(jnp.arange(s)[None, None],
+                           (3, b, s)).astype(jnp.int32)
+    hidden, kc, vc = qwen_vl_text_prefill(params, cfg, wte[ids], pos,
+                                          cache_len)
+    first = int(jnp.argmax(hidden[:, -1] @ head_w, -1)[0])
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def step(p_, tok, kcache, vcache, pidx):
+        posi = jnp.full((3, b, 1), pidx, jnp.int32)
+        cos, sin = mrope_tables(cfg, posi)
+        e = jnp.asarray(p_["wte"])[tok][:, None]
+        hh, kcache, vcache = qwen_vl_text_decode_step(
+            p_, cfg, e, cos, sin, kcache, vcache, pidx)
+        hw = p_["lm_head"]["w"] if "lm_head" in p_ else p_["wte"].T
+        return jnp.argmax(hh[:, 0] @ hw, -1), kcache, vcache
+
+    toks = [first]
+    cur = jnp.asarray([first] * b)
+    for i in range(max_new_tokens - 1):
+        if toks[-1] in eos_ids:
+            break
+        cur, kc, vc = step(params, cur, kc, vc, s + i)
+        toks.append(int(cur[0]))
+    if toks and toks[-1] in eos_ids:
+        toks.pop()
+    return toks
+
+
 def init_qwen_vl_text(key, cfg: QwenVLTextConfig, dtype=jnp.float32) -> Dict:
     """Random stacked-block text params in the converter's layout (tests/init)."""
     n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -460,11 +507,16 @@ def qwen_vl_text_params_from_torch(sd, cfg: QwenVLTextConfig,
         }
 
     blocks = [block(i) for i in range(cfg.num_layers)]
-    return {
+    out = {
         "wte": g("embed_tokens.weight"),
         "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
         "final_norm": {"w": g("norm.weight")},
     }
+    # untied LM head (lm_head sits OUTSIDE the `model.` prefix); absent for
+    # tied checkpoints (Qwen2-1.5B) — generate falls back to wte.T
+    if "lm_head.weight" in sd:
+        out["lm_head"] = {"w": jnp.asarray(np.asarray(sd["lm_head.weight"]).T)}
+    return out
 
 
 def qwen_vl_vision_params_from_torch(sd, cfg: QwenVLVisionConfig,

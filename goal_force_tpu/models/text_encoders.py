@@ -221,7 +221,19 @@ def llama_encode(params: Dict, cfg: LlamaConfig, input_ids: jnp.ndarray,
     """(B, S) ids + 0/1 mask -> hidden states with the LAST
     hidden_state_skip_layer layers skipped (reference forward :15-49; no
     final norm)."""
-    b, s = input_ids.shape
+    x = jnp.asarray(params["word_emb"])[input_ids]
+    return llama_layers(params, cfg, x, attention_mask,
+                        keep=cfg.num_layers - hidden_state_skip_layer)
+
+
+def llama_layers(params: Dict, cfg: LlamaConfig, x: jnp.ndarray,
+                 attention_mask: jnp.ndarray, keep: int) -> jnp.ndarray:
+    """The llama decoder stack on PRE-COMPUTED input embeddings (B, S, D) —
+    the shared core of llama_encode and the LLaVA multimodal encoder
+    (models/llava.py), which splices vision features into the embeddings
+    before the layers run. Early-exits after `keep` layers (the reference's
+    hidden_state_skip_layer semantics)."""
+    b, s = x.shape[:2]
     n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     inv_freq = 1.0 / cfg.rope_theta ** (np.arange(0, hd, 2) / hd)
     ang = np.arange(s)[:, None] * inv_freq[None]
@@ -234,8 +246,6 @@ def llama_encode(params: Dict, cfg: LlamaConfig, input_ids: jnp.ndarray,
     ok = causal[None] & (attention_mask[:, None, :] > 0)
     bias = jnp.where(ok[:, None], 0.0, jnp.finfo(jnp.float32).min)
 
-    x = jnp.asarray(params["word_emb"])[input_ids]
-    keep = cfg.num_layers - hidden_state_skip_layer
     for i in range(keep):
         p = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
         h = _rms(x, p["norm1"]["w"], cfg.eps)

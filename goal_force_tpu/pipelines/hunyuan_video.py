@@ -30,6 +30,16 @@ from goal_force_tpu.models.hunyuan_video_dit import (
 from goal_force_tpu.schedulers import flow_match as fm
 
 
+def _accepts_images(encode_prompt) -> bool:
+    """Whether an injected encode_prompt callable takes (prompt, images)."""
+    import inspect
+
+    try:
+        return len(inspect.signature(encode_prompt).parameters) >= 2
+    except (TypeError, ValueError):
+        return False
+
+
 def tiny_hunyuan_config():
     return HunyuanVideoDiTConfig(dim=144, num_double_blocks=2,
                                  num_single_blocks=2, text_dim=32,
@@ -94,9 +104,16 @@ class HunyuanVideoPipeline:
                 )
 
                 tok_clip = hunyuan_video_clip_tokenizer()
-            encode_prompt = make_llama_prompt_encoder(
-                llama, llama_cfg, clip, clip_cfg, txt_len,
-                tokenize_llama=tok_llama, tokenize_clip=tok_clip)
+            if r["kind"] == "llava":
+                # HunyuanVideo-I2V ships the LLaVA MLLM as text_encoder_2;
+                # image-conditioned prompts route through the vision tower
+                encode_prompt = make_llava_prompt_encoder(
+                    llama, llama_cfg, clip, clip_cfg, txt_len,
+                    tokenize_llama=tok_llama, tokenize_clip=tok_clip)
+            else:
+                encode_prompt = make_llama_prompt_encoder(
+                    llama, llama_cfg, clip, clip_cfg, txt_len,
+                    tokenize_llama=tok_llama, tokenize_clip=tok_clip)
 
         decode_video = encode_video = None
         if vae_decoder_path is not None:
@@ -128,8 +145,13 @@ class HunyuanVideoPipeline:
         return cls(dit=init_hunyuan_video_dit(key, dit_cfg, dtype),
                    dit_cfg=dit_cfg, dtype=dtype)
 
-    def _embed(self, prompt: str, seed: int = 0):
+    def _embed(self, prompt: str, seed: int = 0, input_images=None):
         if self.encode_prompt is not None:
+            if input_images is not None and _accepts_images(self.encode_prompt):
+                # the MLLM (LLaVA) encoder weaves the conditioning image into
+                # the prompt embedding (reference hunyuan_video.py:105-107);
+                # a text-only encoder just ignores the image here
+                return self.encode_prompt(prompt, input_images)
             return self.encode_prompt(prompt)
         from goal_force_tpu.pipelines.flux import _hash_ids
 
@@ -264,9 +286,10 @@ class HunyuanVideoPipeline:
         schedule, :173-178). input_images: HunyuanVideo-I2V — i2v_stability
         blends image latents into the init noise (:179-184) and each step
         clamps the first latent frame to the image and runs the token-replace
-        forward (:205-208 + lets_dance_hunyuan_video_i2v). Unlike the
-        reference, the conditioning image is NOT woven into the text encoding
-        here unless your injected encode_prompt does so. step_processor:
+        forward (:205-208 + lets_dance_hunyuan_video_i2v). When encode_prompt
+        is a two-arg (LLaVA MLLM) encoder, the conditioning image is also
+        woven into the prompt embedding (reference :105-107 +
+        make_llava_prompt_encoder). step_processor:
         frames -> frames applied to the rendered x0 every step (:214-224).
         tea_cache_l1_thresh: TeaCache on the positive stream."""
         cfg = self.dit_cfg
@@ -278,9 +301,19 @@ class HunyuanVideoPipeline:
             if input_video is not None else 1.0,
         )
         use_cfg = cfg_scale != 1.0
-        emb, mask, pooled = self._embed(prompt, seed)
+        emb, mask, pooled = self._embed(prompt, seed,
+                                        input_images=input_images)
         if use_cfg:
             emb_n, mask_n, pooled_n = self._embed(negative_prompt, seed)
+            # i2v rows carry 144 extra image tokens; the reference runs
+            # posi/nega as two calls — the merged batch pads to one length
+            # (masked positions are inert)
+            L = max(emb.shape[1], emb_n.shape[1])
+            pad = lambda e, m: (
+                jnp.pad(e, ((0, 0), (0, L - e.shape[1]), (0, 0))),
+                jnp.pad(m, ((0, 0), (0, L - m.shape[1]))))
+            emb, mask = pad(emb, mask)
+            emb_n, mask_n = pad(emb_n, mask_n)
             emb = jnp.concatenate([emb, emb_n], axis=0)
             mask = jnp.concatenate([mask, mask_n], axis=0)
             pooled = jnp.concatenate([pooled, pooled_n], axis=0)
@@ -389,48 +422,232 @@ class HunyuanVideoPipeline:
         return np.asarray(latents, np.float32)
 
 
+# Conditioning templates wrapped around the user prompt before the LLM runs,
+# and the token bookkeeping to crop the scaffold back out of the hidden states
+# (reference diffsynth/prompters/hunyuan_video_prompter.py:8-66 — the strings
+# and offsets are checkpoint-defined data, required for parity).
+_TPL_IMAGE = (
+    "<|start_header_id|>system<|end_header_id|>\n\nDescribe the image by "
+    "detailing the color, shape, size, texture, quantity, text, spatial "
+    "relationships of the objects and background:<|eot_id|>"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>")
+_TPL_VIDEO = (
+    "<|start_header_id|>system<|end_header_id|>\n\nDescribe the video by "
+    "detailing the following aspects: "
+    "1. The main content and theme of the video."
+    "2. The color, shape, size, texture, quantity, text, and spatial "
+    "relationships of the objects."
+    "3. Actions, events, behaviors temporal relationships, physical movement "
+    "changes of the objects."
+    "4. background environment, light, style and atmosphere."
+    "5. camera angles, movements, and transitions used in the video:<|eot_id|>"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>")
+_TPL_IMAGE_I2V = (
+    "<|start_header_id|>system<|end_header_id|>\n\n<image>\nDescribe the "
+    "image by detailing the color, shape, size, texture, quantity, text, "
+    "spatial relationships of the objects and background:<|eot_id|>"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>"
+    "<|start_header_id|>assistant<|end_header_id|>\n\n")
+_TPL_VIDEO_I2V = (
+    "<|start_header_id|>system<|end_header_id|>\n\n<image>\nDescribe the "
+    "video by detailing the following aspects according to the reference "
+    "image: "
+    "1. The main content and theme of the video."
+    "2. The color, shape, size, texture, quantity, text, and spatial "
+    "relationships of the objects."
+    "3. Actions, events, behaviors temporal relationships, physical movement "
+    "changes of the objects."
+    "4. background environment, light, style and atmosphere."
+    "5. camera angles, movements, and transitions used in the video:"
+    "<|eot_id|>\n\n"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>"
+    "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+HUNYUAN_PROMPT_TEMPLATES = {
+    "image": {"template": _TPL_IMAGE, "crop_start": 36},
+    "video": {"template": _TPL_VIDEO, "crop_start": 95},
+    "image-i2v": {"template": _TPL_IMAGE_I2V, "crop_start": 36,
+                  "image_emb_start": 5, "image_emb_end": 581,
+                  "image_emb_len": 576, "double_return_token_id": 271},
+    "video-i2v": {"template": _TPL_VIDEO_I2V, "crop_start": 103,
+                  "image_emb_start": 5, "image_emb_end": 581,
+                  "image_emb_len": 576, "double_return_token_id": 271},
+}
+
+
+def crop_mllm_hidden_states(hidden, input_ids, attention_mask, tpl,
+                            image_embed_interleave: int = 4):
+    """Reassemble the MLLM output into [image tokens ; prompt tokens]
+    (reference encode_prompt_using_mllm, hunyuan_video_prompter.py:156-236).
+
+    `hidden` is the LLaVA decoder output where the one ``<image>`` placeholder
+    has already expanded into `image_emb_len` positions; `input_ids`/`mask`
+    are the UNEXPANDED (B, S) token arrays. Crops: (a) the projected image
+    features at [image_emb_start, image_emb_end), subsampled by
+    ``::image_embed_interleave``; (b) the user text after the template
+    scaffold, minus the 4-token assistant header that follows the LAST
+    double-return token (id 271) in each row. Rows with no double-return
+    token (over-long prompts) anchor the assistant crop at the sequence end,
+    the reference's too-long fallback (:184-192)."""
+    ids = np.asarray(input_ids)
+    mask = np.asarray(attention_mask)
+    b, s = ids.shape
+    crop = tpl["crop_start"]
+    img_len = tpl["image_emb_len"]
+    text_start = crop - 1 + img_len
+    drt = tpl["double_return_token_id"]
+    img_h = hidden[:, tpl["image_emb_start"]:tpl["image_emb_end"]]
+    img_h = img_h[:, ::image_embed_interleave]
+    rows_h, rows_m = [], []
+    for i in range(b):
+        hits = np.nonzero(ids[i] == drt)[0]
+        last = int(hits[-1]) if len(hits) else s
+        a_start, a_end = last - 1 + img_len - 4, last - 1 + img_len
+        rows_h.append(jnp.concatenate(
+            [hidden[i, text_start:a_start], hidden[i, a_end:]], axis=0))
+        rows_m.append(np.concatenate(
+            [mask[i, crop:last - 4], mask[i, last:]], axis=0))
+    text_h = jnp.stack(rows_h)
+    text_m = jnp.asarray(np.stack(rows_m))
+    emb = jnp.concatenate([img_h, text_h], axis=1)
+    m = jnp.concatenate(
+        [jnp.ones((b, img_h.shape[1]), text_m.dtype), text_m], axis=1)
+    return emb, m
+
+
+def make_llava_prompt_encoder(llava_params, llava_cfg, clip_params, clip_cfg,
+                              txt_len: int, tokenize_llama=None,
+                              tokenize_clip=None, hidden_state_skip_layer=2,
+                              data_type: str = "video",
+                              image_embed_interleave: int = 4,
+                              template: Optional[dict] = None,
+                              text_template: Optional[dict] = None):
+    """encode(prompt, images=None) over the HunyuanVideo-I2V LLaVA tower
+    (reference HunyuanVideoMLLMEncoder + encode_prompt_using_mllm). With
+    `images`, the i2v template (``<image>`` in the system turn) runs through
+    models/llava.llava_encode and the scaffold is cropped out by
+    crop_mllm_hidden_states; without, the plain text template runs through the
+    tower's own llama core. (The reference crashes on that text-only branch —
+    its MLLM forward binds attention_mask to pixel_values,
+    hunyuan_video_prompter.py:147 — so the sane text fallback here is a
+    deliberate fix, reachable only with cfg_scale != 1.)"""
+    from goal_force_tpu.models.llava import clip_preprocess_image, llava_encode
+    from goal_force_tpu.models.text_encoders import llama_encode
+
+    text_enc = make_llama_prompt_encoder(
+        llava_params["llama"], llava_cfg.text, clip_params, clip_cfg, txt_len,
+        tokenize_llama=tokenize_llama, tokenize_clip=tokenize_clip,
+        hidden_state_skip_layer=hidden_state_skip_layer, data_type=data_type,
+        template=text_template)
+    pooled_fn = make_clip_pooled_encoder(clip_params, clip_cfg, tokenize_clip)
+    tpl = template or HUNYUAN_PROMPT_TEMPLATES[data_type + "-i2v"]
+
+    def encode(prompt: str, images=None):
+        if images is None:
+            return text_enc(prompt)
+        if tokenize_llama is None:
+            raise ValueError("image-conditioned prompts need a real llama "
+                             "tokenizer (pass llama_tokenizer_dir)")
+        text = tpl["template"].format(prompt)
+        length = txt_len + tpl["crop_start"]
+        raw = tokenize_llama.with_length(length)
+        ids = raw(text)[None]
+        n_real = min(len(raw.encode(text)), length)
+        mask = np.zeros((1, length), np.int32)
+        mask[:, :n_real] = 1
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        pixels = jnp.asarray(np.stack(
+            [clip_preprocess_image(im, llava_cfg.vision.image_size)
+             for im in images]))
+        hidden = llava_encode(llava_params, llava_cfg, ids, pixels,
+                              jnp.asarray(mask),
+                              hidden_state_skip_layer=hidden_state_skip_layer)
+        emb, m = crop_mllm_hidden_states(hidden, ids, mask, tpl,
+                                         image_embed_interleave)
+        pooled = pooled_fn(prompt)
+        if pooled is None:
+            pooled = jnp.zeros((1, emb.shape[-1]), emb.dtype)
+        return emb, m, pooled
+
+    return encode
+
+
 def make_llama_prompt_encoder(llama_params, llama_cfg, clip_params, clip_cfg,
                               txt_len: int, tokenize_llama=None,
-                              tokenize_clip=None, hidden_state_skip_layer=2):
+                              tokenize_clip=None, hidden_state_skip_layer=2,
+                              data_type: str = "video",
+                              template: Optional[dict] = None):
     """Build an encode_prompt callable from the HunyuanVideo text towers: the
     Llama LLM hidden states (skip-2 layers, models/text_encoders.llama_encode)
     and the CLIP pooled embedding (reference hunyuan_video_text_encoder.py:6-49
-    + the CLIP conditioner)."""
+    + the CLIP conditioner).
+
+    With a real tokenizer, the prompt is wrapped in the reference's
+    conditioning template and the scaffold prefix is cropped back out of the
+    hidden states (encode_prompt_using_llm, hunyuan_video_prompter.py:131-154);
+    the hash-id fallback skips the template (crop offsets are tokenizer
+    semantics the hash path doesn't have)."""
     import numpy as _np
 
-    from goal_force_tpu.models.sd_text_encoder import SD_TEXT_CONFIG  # noqa
     from goal_force_tpu.models.text_encoders import llama_encode
     from goal_force_tpu.pipelines.flux import _hash_ids
 
+    pooled_fn = make_clip_pooled_encoder(clip_params, clip_cfg, tokenize_clip)
+    tpl = template or HUNYUAN_PROMPT_TEMPLATES[data_type]
+
     def encode(prompt: str):
         if tokenize_llama is not None:
-            ids = _np.asarray(tokenize_llama(prompt))[None]
+            text = tpl["template"].format(prompt)
+            crop = tpl["crop_start"]
+            length = txt_len + crop
+            raw = tokenize_llama.with_length(length)
+            ids = _np.asarray(raw(text))[None]
+            n_real = min(len(raw.encode(text)), length)
+            mask = _np.zeros((1, length), _np.int32)
+            mask[:, :n_real] = 1
         else:
             ids = _hash_ids(prompt, llama_cfg.vocab, txt_len)[None]
+            crop = 0
+            mask = _np.asarray(ids > 0, _np.int32)
         ids = jnp.asarray(ids, jnp.int32)
-        mask = (ids > 0).astype(jnp.int32)
+        mask = jnp.asarray(mask)
         emb = llama_encode(llama_params, llama_cfg, ids, mask,
                            hidden_state_skip_layer=hidden_state_skip_layer)
-        if clip_params is not None:
-            cids = _np.asarray(tokenize_clip(prompt))[None] \
-                if tokenize_clip is not None else \
-                _hash_ids(prompt, clip_cfg.vocab_size, clip_cfg.max_positions)[None]
-            cids = jnp.asarray(cids, jnp.int32)
-            if "text_proj" in clip_params:
-                from goal_force_tpu.models.clip import clip_encode_text
-
-                pooled = clip_encode_text(clip_params, clip_cfg, cids)
-            else:
-                # plain CLIPTextModel pooled output (final-LN + argmax-eos),
-                # the tower HunyuanVideo conditions on (reference
-                # hunyuan_video_text_encoder.py CLIP branch)
-                from goal_force_tpu.models.sd_text_encoder import (
-                    sd3_text1_encode,
-                )
-
-                pooled, _ = sd3_text1_encode(clip_params, cids, clip_cfg)
-        else:
+        emb, mask = emb[:, crop:], mask[:, crop:]
+        pooled = pooled_fn(prompt)
+        if pooled is None:
             pooled = jnp.zeros((1, emb.shape[-1]), emb.dtype)
         return emb, mask, pooled
 
     return encode
+
+
+def make_clip_pooled_encoder(clip_params, clip_cfg, tokenize_clip=None):
+    """prompt -> pooled CLIP-L embedding (or None without clip weights) — the
+    reference's encode_prompt_using_clip over the RAW (untemplated) prompt
+    (hunyuan_video_prompter.py:119-130,264)."""
+    import numpy as _np
+
+    from goal_force_tpu.pipelines.flux import _hash_ids
+
+    def pooled_fn(prompt: str):
+        if clip_params is None:
+            return None
+        cids = _np.asarray(tokenize_clip(prompt))[None] \
+            if tokenize_clip is not None else \
+            _hash_ids(prompt, clip_cfg.vocab_size, clip_cfg.max_positions)[None]
+        cids = jnp.asarray(cids, jnp.int32)
+        if "text_proj" in clip_params:
+            from goal_force_tpu.models.clip import clip_encode_text
+
+            return clip_encode_text(clip_params, clip_cfg, cids)
+        # plain CLIPTextModel pooled output (final-LN + argmax-eos), the
+        # tower HunyuanVideo conditions on (reference
+        # hunyuan_video_text_encoder.py CLIP branch)
+        from goal_force_tpu.models.sd_text_encoder import sd3_text1_encode
+
+        pooled, _ = sd3_text1_encode(clip_params, cids, clip_cfg)
+        return pooled
+
+    return pooled_fn

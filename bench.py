@@ -314,10 +314,22 @@ def main():
         for k in ("full_depth_step_s_measured", "full_depth_step_reps_s",
                   "full_depth_dma_gb_per_step", "sec_per_clip_measured_teacache",
                   "sec_per_clip_full_composed", "teacache_thresh",
-                  "teacache_skip_fraction_measured", "pp_attn_penalty_ms_per_block",
+                  "teacache_skip_fraction_measured", "teacache_note",
+                  "pp_attn_penalty_ms_per_block", "pp_attn_xla_full_geometry",
                   "clip_stages", "status"):
             if k in m:
                 measured[k] = m[k]
+        if "full_depth_step_s_measured" in m:
+            # clip composed from the EXECUTED streaming step + this run's stage times
+            step_m = m["full_depth_step_s_measured"]
+            stages = 2 * t_vae_enc + t_txt + t_vae_dec
+            measured["sec_per_clip_from_measured_step"] = round(
+                num_steps * step_m + stages, 2)
+            sf = m.get("teacache_skip_fraction_measured")
+            if sf is not None:
+                ns = int(num_steps * sf)
+                measured["sec_per_clip_teacache_measured_schedule"] = round(
+                    (num_steps - ns) * step_m + ns * t_skip + stages, 2)
 
     print(json.dumps({
         "metric": "denoise_steps_per_sec_chip (A14B geometry, 32760 tok, merged CFG,"

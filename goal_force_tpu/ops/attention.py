@@ -65,6 +65,8 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None,
                 and k.shape[1] % sp == 0):
             return _ring_sharded(q, k, v, scale, mesh)
         impl = "auto"      # ring of 1 (or indivisible) == plain attention
+    if impl == "auto":
+        impl = _default_impl(q)
     if impl in ("pallas", "pallas_int8"):
         from goal_force_tpu.parallel.mesh import current_mesh
 

@@ -103,3 +103,47 @@ def test_int8_variant_close_to_exact():
     err = np.abs(np.asarray(got) - np.asarray(ref))
     assert err.max() < 0.05, err.max()
     assert err.mean() < 0.005, err.mean()
+
+
+def test_auto_dispatch_picks_pallas_on_tpu(monkeypatch):
+    """Regression (round-4 advisor, high): the ring branch must not swallow the
+    "auto" -> _default_impl resolution. On TPU with qualifying shapes (head dim
+    %128, seq >= 256) attention(impl="auto") must route to the Pallas kernel,
+    not the XLA einsum."""
+    import importlib
+
+    attn_mod = importlib.import_module("goal_force_tpu.ops.attention")
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+    calls = {}
+
+    import goal_force_tpu.ops.flash_attention as fa_mod
+
+    real_fa = fa_mod.flash_attention
+
+    def spy(q, k, v, **kw):
+        calls["pallas"] = True
+        with pltpu.force_tpu_interpret_mode():
+            return real_fa(q, k, v, **kw)
+
+    monkeypatch.setattr(fa_mod, "flash_attention", spy)
+    q = _rand((1, 256, 2, 128), 0)
+    got = attn_mod.attention(q, q, q, impl="auto")
+    assert calls.get("pallas"), "auto did not dispatch to the Pallas kernel on TPU"
+    ref = _xla_attention(q, q, q, 128**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_auto_dispatch_xla_for_small_or_cpu(monkeypatch):
+    import importlib
+
+    attn_mod = importlib.import_module("goal_force_tpu.ops.attention")
+    # non-TPU -> xla
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: False)
+    q = _rand((1, 256, 2, 128), 0)
+    assert attn_mod._default_impl(q) == "xla"
+    # TPU but short sequence -> xla
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+    q_short = _rand((1, 64, 2, 128), 0)
+    assert attn_mod._default_impl(q_short) == "xla"
+    # TPU + qualifying -> pallas
+    assert attn_mod._default_impl(q) == "pallas"

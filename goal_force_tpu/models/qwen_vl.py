@@ -106,9 +106,9 @@ def _text_block(p, x, mask_bias, cos, sin, cfg: QwenVLTextConfig):
     n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = _rms(x, p["norm1"]["w"], cfg.eps)
-    q = (h @ p["q"]["w"] + p["q"]["b"]).reshape(b, s, n, hd)
-    k = (h @ p["k"]["w"] + p["k"]["b"]).reshape(b, s, nk, hd)
-    v = (h @ p["v"]["w"] + p["v"]["b"]).reshape(b, s, nk, hd)
+    q = _proj(p["q"], h).reshape(b, s, n, hd)
+    k = _proj(p["k"], h).reshape(b, s, nk, hd)
+    v = _proj(p["v"], h).reshape(b, s, nk, hd)
     c = cos[:, :, None, :].astype(jnp.float32)
     si = sin[:, :, None, :].astype(jnp.float32)
     q = (q.astype(jnp.float32) * c + _rotate_half(q.astype(jnp.float32)) * si).astype(x.dtype)
@@ -303,14 +303,21 @@ def qwen_vl_vision_forward(params: Dict, cfg: QwenVLVisionConfig,
 # the cache is two stacked arrays updated inside a jitted loop)
 # ---------------------------------------------------------------------------
 
+def _proj(p, h):
+    """Linear with OPTIONAL bias: Qwen2 qkv carry biases, Llama (the Omost
+    chat models run on this same stack) does not."""
+    out = h @ p["w"]
+    return out + p["b"] if "b" in p else out
+
+
 def _block_qkv(p, x, cos, sin, cfg: QwenVLTextConfig):
     """Shared projection+rope piece: x (B, S, H) -> q (B,S,n,hd), k/v (B,S,nk,hd)."""
     b, s, _ = x.shape
     n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     h = _rms(x, p["norm1"]["w"], cfg.eps)
-    q = (h @ p["q"]["w"] + p["q"]["b"]).reshape(b, s, n, hd)
-    k = (h @ p["k"]["w"] + p["k"]["b"]).reshape(b, s, nk, hd)
-    v = (h @ p["v"]["w"] + p["v"]["b"]).reshape(b, s, nk, hd)
+    q = _proj(p["q"], h).reshape(b, s, n, hd)
+    k = _proj(p["k"], h).reshape(b, s, nk, hd)
+    v = _proj(p["v"], h).reshape(b, s, nk, hd)
     c = cos[:, :, None, :].astype(jnp.float32)
     si = sin[:, :, None, :].astype(jnp.float32)
     q = (q.astype(jnp.float32) * c + _rotate_half(q.astype(jnp.float32)) * si).astype(x.dtype)

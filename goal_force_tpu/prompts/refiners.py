@@ -69,3 +69,45 @@ def qwen_prompt(raw_prompt: str,
     conversation = [{"role": "system", "content": QWEN_PROMPT_SYSTEM},
                     {"role": "user", "content": raw_prompt}]
     return generate_chat(conversation).strip()
+
+
+class QwenPromptRefiner:
+    """The reference QwenPrompt (prompt_refiners.py:57-110) with a RUNNABLE
+    backend: chat-template application + the greedy KV-cached decode loop
+    (models/qwen_vl.py::qwen_vl_text_generate) over a converted Qwen2
+    checkpoint. ``from_checkpoint`` is the refiner-checkpoint load path."""
+
+    def __init__(self, backend):
+        self.backend = backend
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, dtype=None,
+                        max_new_tokens: int = 512) -> "QwenPromptRefiner":
+        from goal_force_tpu.prompts.lm_backends import load_qwen_chat_backend
+
+        return cls(load_qwen_chat_backend(ckpt_dir, dtype=dtype,
+                                          max_new_tokens=max_new_tokens))
+
+    def __call__(self, raw_prompt: str, positive: bool = True) -> str:
+        return qwen_prompt(raw_prompt, self.backend.generate_chat, positive)
+
+
+class OmostRefiner:
+    """The reference OmostPromter (omost.py:235-300) with a runnable Llama-3
+    chat backend on the same decode loop; returns the parsed Canvas dict."""
+
+    def __init__(self, backend):
+        self.backend = backend
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, dtype=None,
+                        max_new_tokens: int = 4096) -> "OmostRefiner":
+        from goal_force_tpu.prompts.lm_backends import load_omost_backend
+
+        return cls(load_omost_backend(ckpt_dir, dtype=dtype,
+                                      max_new_tokens=max_new_tokens))
+
+    def __call__(self, raw_prompt: str):
+        from goal_force_tpu.prompts.omost import omost_compose
+
+        return omost_compose(raw_prompt, self.backend.generate_chat)

@@ -1,0 +1,258 @@
+"""Runnable prompt-refiner LM backends (VERDICT round-4 missing #1).
+
+Covers: (a) the greedy KV-cached decode loop itself vs transformers'
+generate(do_sample=False) on converted tiny Qwen2 AND Llama checkpoints,
+(b) chat-template parity vs transformers' jinja rendering of the real Qwen2 /
+Llama-3 templates, (c) the full QwenPrompt refined-prompt flow vs the
+reference QwenPrompt class (prompt_refiners.py:57-110) on identical tiny
+weights + tokenizer, (d) the loud gates for unported backbones.
+"""
+
+import ast
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ROOT, reference_available
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+QWEN2_JINJA = (
+    "{% for message in messages %}"
+    "{% if loop.first and messages[0]['role'] != 'system' %}"
+    "{{ '<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n' }}"
+    "{% endif %}"
+    "{{'<|im_start|>' + message['role'] + '\n' + message['content'] "
+    "+ '<|im_end|>' + '\n'}}{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}")
+
+LLAMA3_JINJA = (
+    "{% set loop_messages = messages %}{% for message in loop_messages %}"
+    "{% set content = '<|start_header_id|>' + message['role'] "
+    "+ '<|end_header_id|>\n\n'+ message['content'] | trim + '<|eot_id|>' %}"
+    "{% if loop.index0 == 0 %}{% set content = bos_token + content %}"
+    "{% endif %}{{ content }}{% endfor %}"
+    "{% if add_generation_prompt %}"
+    "{{ '<|start_header_id|>assistant<|end_header_id|>\n\n' }}{% endif %}")
+
+
+def _byte_level_tokenizer(tmp_path, specials, chat_template, eos_token,
+                          bos_token=None):
+    """A byte-level BPE tokenizer (encodes ANY text) + HF config files."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+
+    alphabet = pre_tokenizers.ByteLevel.alphabet()
+    vocab = {ch: i for i, ch in enumerate(sorted(alphabet))}
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    tok.add_special_tokens(list(specials))
+    d = tmp_path / "ckpt"
+    d.mkdir(exist_ok=True)
+    tok.save(str(d / "tokenizer.json"))
+    cfg = {"tokenizer_class": "PreTrainedTokenizerFast",
+           "chat_template": chat_template, "eos_token": eos_token}
+    if bos_token:
+        cfg["bos_token"] = bos_token
+    with open(d / "tokenizer_config.json", "w") as f:
+        json.dump(cfg, f)
+    return d, tok.get_vocab_size()
+
+
+def _tiny_qwen2(vocab):
+    cfg = transformers.Qwen2Config(
+        vocab_size=vocab, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=1e6,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    return transformers.Qwen2ForCausalLM(cfg).eval().float(), cfg
+
+
+def _tiny_llama(vocab):
+    cfg = transformers.LlamaConfig(
+        vocab_size=vocab, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=5e5, attention_bias=False,
+        tie_word_embeddings=False)
+    torch.manual_seed(1)
+    return transformers.LlamaForCausalLM(cfg).eval().float(), cfg
+
+
+def _convert(model, num_heads):
+    from goal_force_tpu.io.auto import infer_qwen_vl_text_config
+    from goal_force_tpu.models.qwen_vl import qwen_vl_text_params_from_torch
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = infer_qwen_vl_text_config(sd, num_heads=num_heads)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, rope_theta=float(model.config.rope_theta))
+    return qwen_vl_text_params_from_torch(sd, cfg), cfg
+
+
+@pytest.mark.parametrize("family", ["qwen2", "llama"])
+def test_generate_loop_matches_transformers(family):
+    """The greedy KV-cached decode loop (qwen_vl_text_generate) produces the
+    exact token sequence transformers' generate(do_sample=False) does —
+    for Qwen2 (qkv biases) AND Llama (no biases: the Omost stack)."""
+    from goal_force_tpu.models.qwen_vl import qwen_vl_text_generate
+
+    model, _ = _tiny_qwen2(300) if family == "qwen2" else _tiny_llama(300)
+    params, cfg = _convert(model, num_heads=4)
+    prompt = [[5, 17, 91, 203, 44, 7]]
+    with torch.no_grad():
+        ref = model.generate(torch.tensor(prompt), max_new_tokens=12,
+                             do_sample=False, eos_token_id=None,
+                             pad_token_id=0)
+    ref_new = ref[0, len(prompt[0]):].tolist()
+    got = qwen_vl_text_generate(params, cfg, np.asarray(prompt), 12)
+    assert got == ref_new, (got, ref_new)
+
+
+def test_generate_loop_stops_at_eos():
+    from goal_force_tpu.models.qwen_vl import qwen_vl_text_generate
+
+    model, _ = _tiny_qwen2(300)
+    params, cfg = _convert(model, num_heads=4)
+    prompt = [[5, 17, 91, 203, 44, 7]]
+    full = qwen_vl_text_generate(params, cfg, np.asarray(prompt), 12)
+    # use the 3rd generated token as a pretend-eos: output must stop before it
+    eos = full[2]
+    got = qwen_vl_text_generate(params, cfg, np.asarray(prompt), 12,
+                                eos_ids=(eos,))
+    assert got == full[:2]
+
+
+def test_qwen2_chat_template_matches_transformers(tmp_path):
+    from goal_force_tpu.prompts.lm_backends import qwen2_chat_template
+
+    d, _ = _byte_level_tokenizer(tmp_path, ["<|im_start|>", "<|im_end|>"],
+                                 QWEN2_JINJA, "<|im_end|>")
+    tok = transformers.AutoTokenizer.from_pretrained(str(d))
+    for messages in (
+        [{"role": "system", "content": "You translate."},
+         {"role": "user", "content": "一只猫"}],
+        [{"role": "user", "content": "hello there"}],
+    ):
+        ref = tok.apply_chat_template(messages, tokenize=False,
+                                      add_generation_prompt=True)
+        assert qwen2_chat_template(messages) == ref
+
+
+def test_llama3_chat_template_matches_transformers(tmp_path):
+    from goal_force_tpu.prompts.lm_backends import llama3_chat_template
+
+    d, _ = _byte_level_tokenizer(
+        tmp_path, ["<|begin_of_text|>", "<|start_header_id|>",
+                   "<|end_header_id|>", "<|eot_id|>"],
+        LLAMA3_JINJA, "<|eot_id|>", bos_token="<|begin_of_text|>")
+    tok = transformers.AutoTokenizer.from_pretrained(str(d))
+    messages = [{"role": "system", "content": "  compose images\n"},
+                {"role": "user", "content": "a cat in a forest"}]
+    ref = tok.apply_chat_template(messages, tokenize=False,
+                                  add_generation_prompt=True)
+    assert llama3_chat_template(messages) == ref
+
+
+def _load_reference_qwen_prompt():
+    """ast-extract the reference QwenPrompt class (its module imports
+    modelscope/xfuser-era deps at top level)."""
+    path = os.path.join(REFERENCE_ROOT, "diffsynth/prompters/prompt_refiners.py")
+    tree = ast.parse(open(path).read())
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "QwenPrompt")
+    ns = {"torch": torch, "AutoTokenizer": transformers.AutoTokenizer,
+          "ModelManager": object}
+    mod = ast.Module(body=[cls], type_ignores=[])
+    exec(compile(mod, "ref_prompt_refiners", "exec"), ns)
+    return ns["QwenPrompt"]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_qwen_refined_prompt_parity_vs_reference(tmp_path):
+    """End-to-end refiner parity: same tiny Qwen2 weights + tokenizer ->
+    QwenPromptRefiner (chat template + greedy decode loop) returns the same
+    refined prompt the reference QwenPrompt.__call__ does."""
+    from goal_force_tpu.io.safetensors_io import save_safetensors
+    from goal_force_tpu.prompts.refiners import QwenPromptRefiner, qwen_prompt
+
+    d, vocab = _byte_level_tokenizer(
+        tmp_path, ["<|im_start|>", "<|im_end|>", "<|endoftext|>"],
+        QWEN2_JINJA, "<|im_end|>")
+    model, hf_cfg = _tiny_qwen2(vocab)
+
+    # reference flow
+    RefQwenPrompt = _load_reference_qwen_prompt()
+    ref = RefQwenPrompt(tokenizer_path=str(d), model=model,
+                        system_prompt="You are an English image describer.")
+    tok = transformers.AutoTokenizer.from_pretrained(str(d))
+    # the reference relies on the model's generation_config eos; pin it to
+    # the tokenizer's so both sides stop on the same ids
+    model.generation_config.eos_token_id = tok.convert_tokens_to_ids("<|im_end|>")
+    model.generation_config.pad_token_id = 0
+    model.generation_config.do_sample = False
+    ref_out = ref("一只猫在月光下奔跑", positive=True)
+
+    # our flow over a real checkpoint dir (refiner-checkpoint load path)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    save_safetensors(sd, str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump({"num_attention_heads": hf_cfg.num_attention_heads,
+                   "rope_theta": hf_cfg.rope_theta}, f)
+    refiner = QwenPromptRefiner.from_checkpoint(str(d))
+    # reference system prompt differs from ours above — drive the same one
+    got = qwen_prompt("一只猫在月光下奔跑",
+                      lambda msgs: refiner.backend.generate_chat(
+                          [{"role": "system",
+                            "content": "You are an English image describer."},
+                           msgs[-1]]),
+                      positive=True)
+    assert got == ref_out.strip()
+    # negative prompts pass through unchanged (reference :106-108)
+    assert refiner("neg", positive=False) == "neg"
+
+
+def test_omost_backend_runs_llama_checkpoint(tmp_path):
+    """load_omost_backend: tiny Llama checkpoint dir -> generate_chat runs the
+    llama3 template + bos + greedy decode and matches transformers."""
+    from goal_force_tpu.io.safetensors_io import save_safetensors
+    from goal_force_tpu.prompts.lm_backends import load_omost_backend
+
+    d, vocab = _byte_level_tokenizer(
+        tmp_path, ["<|begin_of_text|>", "<|start_header_id|>",
+                   "<|end_header_id|>", "<|eot_id|>", "<|end_of_text|>"],
+        LLAMA3_JINJA, "<|eot_id|>", bos_token="<|begin_of_text|>")
+    model, hf_cfg = _tiny_llama(vocab)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    save_safetensors(sd, str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump({"num_attention_heads": hf_cfg.num_attention_heads,
+                   "rope_theta": hf_cfg.rope_theta}, f)
+    backend = load_omost_backend(str(d), max_new_tokens=10)
+
+    messages = [{"role": "system", "content": "compose images"},
+                {"role": "user", "content": "a cat"}]
+    tok = transformers.AutoTokenizer.from_pretrained(str(d))
+    ids = tok.apply_chat_template(messages, return_tensors="pt",
+                                  add_generation_prompt=True)
+    with torch.no_grad():
+        ref = model.generate(ids, max_new_tokens=10, do_sample=False,
+                             eos_token_id=tok.convert_tokens_to_ids("<|eot_id|>"),
+                             pad_token_id=0)
+    ref_text = tok.batch_decode(ref[:, ids.shape[1]:],
+                                skip_special_tokens=True)[0]
+    assert backend.generate_chat(messages) == ref_text
+
+
+def test_unported_backbones_gate_loudly():
+    from goal_force_tpu.prompts.lm_backends import (
+        load_beautiful_prompt_backend, load_translator_backend)
+
+    with pytest.raises(NotImplementedError, match="BLOOM"):
+        load_beautiful_prompt_backend("/nonexistent")
+    with pytest.raises(NotImplementedError, match="Marian"):
+        load_translator_backend("/nonexistent")

@@ -72,6 +72,10 @@ def _timed(fn, *args, reps=3):
 def main():
     import numpy as np
 
+    from goal_force_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from goal_force_tpu.configs import ControlNetConfig, WanDiTConfig
     from goal_force_tpu.models import controlnet as cnm
     from goal_force_tpu.models import wan_dit
@@ -298,49 +302,75 @@ def main():
     # embarrassingly parallel inference fleet
     vs_baseline_per_dollar = vs_baseline * (3.67 / 1.20)
 
-    # Round-4: EXECUTED full-scale numbers (scripts/measure_north_star.py ran the
-    # real 40+10-block step with per-step pinned_host weight streaming on one 16 GB
-    # chip, plus one contiguous threshold-driven TeaCache clip in a single process).
-    # Reported verbatim next to the fits: the streaming step is the true
-    # single-16GB-chip cost; the resident-weights fit above is the per-chip cost
-    # when a pod shards the weights. Keys absent if the artifact is missing.
+    # EXECUTED full-scale numbers (scripts/measure_north_star.py runs the real
+    # 40+10-block step with per-step pinned_host weight streaming on one 16 GB
+    # chip, plus one contiguous clip — full and threshold-driven-TeaCache — in
+    # a single process). The newest MEASURED_r*.json is consumed (VERDICT
+    # round-4 item 6) and, when it carries an executed step, its numbers ARE
+    # the headline (item 2): `value`/`mfu`/`sec_per_clip` mean "what ran". The
+    # resident-weights depth-series fit — the per-chip cost when a pod shards
+    # the weights so nothing streams — is demoted to *_fit diagnostics.
+    import glob
     import os
+    import re
 
     measured = {}
-    mp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "MEASURED_r04.json")
-    if os.path.exists(mp):
-        with open(mp) as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(glob.glob(os.path.join(here, "MEASURED_r*.json")),
+                  key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    arts = [p for p in arts if "full_depth_step_s_measured"
+            in open(p).read()]
+    if arts:
+        with open(arts[-1]) as fh:
             m = json.load(fh)
-        for k in ("full_depth_step_s_measured", "full_depth_step_reps_s",
-                  "full_depth_dma_gb_per_step", "sec_per_clip_measured_teacache",
+        measured["artifact"] = os.path.basename(arts[-1])
+        for k in ("full_depth_step_s_measured", "full_depth_step_s_mean",
+                  "full_depth_step_reps_s",
+                  "full_depth_dma_gb_per_step", "sec_per_clip_measured_full",
+                  "sec_per_clip_measured_teacache",
+                  "sec_per_clip_composed_from_steps",
                   "sec_per_clip_full_composed", "teacache_thresh",
                   "teacache_skip_fraction_measured", "teacache_note",
                   "pp_attn_penalty_ms_per_block", "pp_attn_xla_full_geometry",
                   "clip_stages", "status"):
             if k in m:
                 measured[k] = m[k]
-        if "full_depth_step_s_measured" in m:
-            # clip composed from the EXECUTED streaming step + this run's stage times
-            step_m = m["full_depth_step_s_measured"]
-            stages = 2 * t_vae_enc + t_txt + t_vae_dec
-            measured["sec_per_clip_from_measured_step"] = round(
-                num_steps * step_m + stages, 2)
-            sf = m.get("teacache_skip_fraction_measured")
-            if sf is not None:
-                ns = int(num_steps * sf)
-                measured["sec_per_clip_teacache_measured_schedule"] = round(
-                    (num_steps - ns) * step_m + ns * t_skip + stages, 2)
 
-    print(json.dumps({
-        "metric": "denoise_steps_per_sec_chip (A14B geometry, 32760 tok, merged CFG,"
-                  " extrapolated 40+10 blocks)" if on_tpu else "denoise_steps_per_sec (cpu smoke)",
-        "value": round(steps_per_sec, 5),
+    step_measured = measured.get("full_depth_step_s_measured")
+    if step_measured and on_tpu:
+        metric = ("denoise_steps_per_sec_chip (A14B geometry, 32760 tok, merged"
+                  " CFG, EXECUTED 40+10-block step, per-step host->HBM weight"
+                  " streaming on one 16GB chip)")
+        value = 1.0 / step_measured
+        mfu_headline = total_flops / step_measured / peak_tflops
+        vs_headline = a100_time / step_measured
+        clip_headline = measured.get(
+            "sec_per_clip_measured_full",
+            measured.get("sec_per_clip_composed_from_steps",
+                         num_steps * step_measured))
+        clip_tc_headline = measured.get("sec_per_clip_measured_teacache")
+    else:
+        metric = ("denoise_steps_per_sec_chip (A14B geometry, 32760 tok, merged"
+                  " CFG, extrapolated 40+10 blocks)" if on_tpu
+                  else "denoise_steps_per_sec (cpu smoke)")
+        value = steps_per_sec
+        mfu_headline = mfu
+        vs_headline = vs_baseline
+        clip_headline = sec_per_clip
+        clip_tc_headline = None
+
+    out = {
+        "metric": metric,
+        "value": round(value, 5),
         "unit": "steps/s",
-        "vs_baseline": round(vs_baseline, 3),
-        "vs_baseline_per_dollar": round(vs_baseline_per_dollar, 2),
-        "mfu": round(mfu, 4),
-        "sec_per_clip": round(sec_per_clip, 2),
-        "sec_per_clip_teacache@0.4skip": round(sec_per_clip_tc, 2),
+        "vs_baseline": round(vs_headline, 3),
+        "vs_baseline_per_dollar": round(vs_headline * (3.67 / 1.20), 2),
+        "mfu": round(mfu_headline, 4),
+        "sec_per_clip": round(clip_headline, 2),
+        "steps_per_sec_fit": round(steps_per_sec, 5),
+        "mfu_fit": round(mfu, 4),
+        "sec_per_clip_fit": round(sec_per_clip, 2),
+        "sec_per_clip_teacache_fit@0.4skip": round(sec_per_clip_tc, 2),
         "step_prod_s": round(step_prod, 3),
         "per_block_ms": round(per_block * 1e3, 2),
         "per_cn_block_ms": round(per_cn_block * 1e3, 2),
@@ -358,7 +388,13 @@ def main():
         "fit_residual_ms": round(resid * 1e3, 2),
         "depth_points_ms": {str(k): round(v * 1e3, 1) for k, v in times.items()},
         "measured_full_scale": measured,
-    }))
+    }
+    if clip_tc_headline is not None:
+        out["sec_per_clip_teacache"] = round(clip_tc_headline, 2)
+        sf = measured.get("teacache_skip_fraction_measured")
+        if sf is not None:
+            out["teacache_skip_fraction_measured"] = sf
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

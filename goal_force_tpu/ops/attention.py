@@ -86,6 +86,35 @@ def attention(q, k, v, impl: str = "auto", scale: float | None = None,
     return _xla_attention(q, k, v, scale, kv_len=kv_len)
 
 
+def _shard_map_nestable(f, mesh, in_specs, out_specs):
+    """shard_map that also works INSIDE a partially-manual region.
+
+    pp_run_blocks runs its stage bodies under a shard_map that is manual over
+    "pp" only (wan_dit.py) — the kernel dispatch here must then nest as an
+    inner shard_map over the remaining (auto) axes. Passing the concrete mesh
+    in that context is an error ("context mesh should match"), so detect
+    manual axes on the ambient abstract mesh and switch to the axis_names
+    form. At top level the classic full-manual form is used unchanged."""
+    manual_axes = set()
+    try:
+        from jax.sharding import AxisType
+
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and am.axis_names:
+            manual_axes = {n for n, t in zip(am.axis_names, am.axis_types)
+                           if t == AxisType.Manual}
+    except Exception:
+        manual_axes = set()
+    if manual_axes:
+        names = set(mesh.axis_names) - manual_axes
+        return jax.shard_map(f, in_specs=in_specs, out_specs=out_specs,
+                             axis_names=names, check_vma=False)
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
+
+
 def _ring_sharded(q, k, v, scale, mesh):
     """impl="ring": tokens STAY sequence-sharded over "sp" and KV blocks rotate
     the ring via ppermute (parallel/ring_attention.py) — the alternative the
@@ -95,7 +124,6 @@ def _ring_sharded(q, k, v, scale, mesh):
     meshes where sp exceeds the head count's divisibility. Heads additionally
     split over "tp" when divisible; batch over "dp". Point-to-point ppermute
     traffic rides neighbor ICI links instead of all-to-alls."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from goal_force_tpu.parallel.ring_attention import ring_attention
@@ -111,8 +139,7 @@ def _ring_sharded(q, k, v, scale, mesh):
     def local(q, k, v):
         return ring_attention(q, k, v, scale, "sp", sp)
 
-    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+    return _shard_map_nestable(local, mesh, (spec, spec, spec), spec)(q, k, v)
 
 
 def _pallas_sharded(q, k, v, scale, mesh, impl, bounded=False, kv_len=None):
@@ -120,7 +147,6 @@ def _pallas_sharded(q, k, v, scale, mesh, impl, bounded=False, kv_len=None):
     own batch rows) — the GSPMD equivalent of xfuser's Ulysses all-to-all attention
     (/root/reference/diffsynth/distributed/xdit_context_parallel.py:121-126); XLA
     inserts the token<->head all-to-alls to satisfy the in/out specs."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     b, _, n, _ = q.shape
@@ -145,9 +171,8 @@ def _pallas_sharded(q, k, v, scale, mesh, impl, bounded=False, kv_len=None):
             return fa(q, k, v, scale=scale,
                       dispatch="nomax" if bounded else "auto", kv_len=kv_len)
 
-        fn = shard_map(local_varlen, mesh=mesh,
-                       in_specs=(spec, spec, spec, P(bspec)),
-                       out_specs=spec, check_rep=False)
+        fn = _shard_map_nestable(local_varlen, mesh,
+                                 (spec, spec, spec, P(bspec)), spec)
         return fn(q, k, v, kv_arr)
 
     def local(q, k, v):
@@ -160,8 +185,7 @@ def _pallas_sharded(q, k, v, scale, mesh, impl, bounded=False, kv_len=None):
         return fa(q, k, v, scale=scale,
                   dispatch="nomax" if bounded else "auto")
 
-    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-                   check_rep=False)
+    fn = _shard_map_nestable(local, mesh, (spec, spec, spec), spec)
     return fn(q, k, v)
 
 

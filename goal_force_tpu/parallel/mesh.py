@@ -65,8 +65,34 @@ def current_mesh() -> Optional[Mesh]:
 
 
 def constrain(x, *spec):
-    """with_sharding_constraint against the ambient mesh; no-op without one."""
+    """with_sharding_constraint against the ambient mesh; no-op without one.
+
+    Inside a partially-manual shard_map region (pp_run_blocks is manual over
+    "pp" only) the constraint must be typed with the ABSTRACT context mesh —
+    a concrete-mesh NamedSharding carries all-Auto axis types, which the
+    region rejects, and its grad transpose creates zeros typed with the Auto
+    mesh ("Context mesh ... should match the mesh of sharding"). Spec entries
+    naming manual axes are dropped (the data has no such dimension there)."""
     mesh = current_mesh()
     if mesh is None:
         return x
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and not am.empty and not am.are_all_axes_auto:
+            from jax.sharding import AxisType
+
+            manual = {n for n, t in zip(am.axis_names, am.axis_types)
+                      if t == AxisType.Manual}
+            if manual:
+                def scrub(e):
+                    if isinstance(e, (tuple, list)):
+                        kept = tuple(a for a in e if a not in manual)
+                        return kept if kept else None
+                    return None if e in manual else e
+
+                spec = tuple(scrub(e) for e in spec)
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(am, P(*spec)))
+    except Exception:
+        pass
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))

@@ -96,10 +96,14 @@ def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15,
     pin_pp_layers: pin stacked layer axes to "pp" on pipeline meshes (the
     pp_run_blocks stage-major layout). Pass False for stacks that are NOT
     pipelined (e.g. the ControlNet side-stack, which runs before the trunk)."""
+    axes_full = tuple(axes)                      # non-pipelined leaves FSDP here
     axes = tuple(a for a in axes if a != "pp")   # "pp" is the layer axis, below
     n = 1
     for a in axes:
         n *= mesh.shape[a]
+    n_full = 1
+    for a in axes_full:
+        n_full *= mesh.shape[a]
 
     def spec(kp, leaf):
         if leaf.size < min_size or leaf.ndim == 0:
@@ -141,6 +145,16 @@ def fsdp_specs(params, mesh: Mesh, axes=("dp", "sp"), min_size: int = 2**15,
             if not pp_stage_fsdp:
                 return P(*out)
         best = max(dims, key=lambda d: leaf.shape[d])
+        if out[0] != "pp" and "pp" in axes_full:
+            # NON-pipelined leaf on a pipeline mesh (ControlNet side-stack,
+            # T5/VAE, the DiT embeds/head): FSDP over ALL devices including
+            # the pp groups — it runs as a plain scan outside the manual
+            # region, so this is the ordinary pp=1 FSDP situation. Leaving
+            # "pp" out replicates it per stage group (measured +3.25 GB/chip
+            # for the 10-block ControlNet at pp4 x sp2).
+            if leaf.shape[best] % n_full == 0:
+                out[best] = axes_full
+                return P(*out)
         if leaf.shape[best] % n != 0:
             return P(*out) if out[0] else P()
         out[best] = axes

@@ -486,9 +486,11 @@ def crop_mllm_hidden_states(hidden, input_ids, attention_mask, tpl,
     features at [image_emb_start, image_emb_end), subsampled by
     ``::image_embed_interleave``; (b) the user text after the template
     scaffold, minus the 4-token assistant header that follows the LAST
-    double-return token (id 271) in each row. Rows with no double-return
-    token (over-long prompts) anchor the assistant crop at the sequence end,
-    the reference's too-long fallback (:184-192)."""
+    double-return token (id 271) in each row. Truncated (over-long) prompts
+    lose the trailing assistant "\\n\\n" but keep the scaffold double-returns
+    (which all sit BEFORE the user text at crop_start), so a row whose last
+    hit is <= crop_start anchors the assistant crop at the sequence end —
+    the reference's 3-of-4-hits fallback (:184-192)."""
     ids = np.asarray(input_ids)
     mask = np.asarray(attention_mask)
     b, s = ids.shape
@@ -502,6 +504,10 @@ def crop_mllm_hidden_states(hidden, input_ids, attention_mask, tpl,
     for i in range(b):
         hits = np.nonzero(ids[i] == drt)[0]
         last = int(hits[-1]) if len(hits) else s
+        if last <= crop:
+            # truncation cut the assistant turn: only scaffold double-returns
+            # (all before the user text) survive — anchor at sequence end
+            last = s
         a_start, a_end = last - 1 + img_len - 4, last - 1 + img_len
         rows_h.append(jnp.concatenate(
             [hidden[i, text_start:a_start], hidden[i, a_end:]], axis=0))

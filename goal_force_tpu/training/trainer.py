@@ -87,6 +87,11 @@ class TrainerConfig:
     lora_rank: int = 32
     # pipeline-parallel microbatches (mesh must have a "pp" axis > 1)
     pp_microbatches: Optional[int] = None
+    # full state-K.safetensors files (params + Adam moments, ~3x trainable
+    # size) kept on disk; older ones are pruned after each successful save.
+    # The reference-format step-K.safetensors files are never pruned. <= 0
+    # keeps everything.
+    keep_last_states: int = 2
     use_wandb: bool = False
     wandb_project: Optional[str] = None
     run_name: Optional[str] = None
@@ -204,26 +209,42 @@ def train(
                 saved = False
                 if step % cfg.save_steps == 0:
                     save_checkpoint(state, cn_cfg, cfg.output_dir, step,
-                                    dit_cfg.patch_size, lora=cfg.train_lora)
+                                    dit_cfg.patch_size, lora=cfg.train_lora,
+                                    keep_states=cfg.keep_last_states)
                     saved = True
                 if max_steps is not None and step - start_step >= max_steps:
                     if not saved:
                         save_checkpoint(state, cn_cfg, cfg.output_dir, step,
-                                        dit_cfg.patch_size, lora=cfg.train_lora)
+                                        dit_cfg.patch_size, lora=cfg.train_lora,
+                                        keep_states=cfg.keep_last_states)
                     return state
     save_checkpoint(state, cn_cfg, cfg.output_dir, step, dit_cfg.patch_size,
-                    lora=cfg.train_lora)
+                    lora=cfg.train_lora, keep_states=cfg.keep_last_states)
     return state
 
 
 def save_checkpoint(state: TrainState, cn_cfg, output_dir: str, step: int,
-                    patch=(1, 2, 2), lora: bool = False):
+                    patch=(1, 2, 2), lora: bool = False, keep_states: int = 2):
     """Trainable-only, reference-compatible step-K.safetensors
     (utils.py:600-617) PLUS a full state-K.safetensors carrying the optimizer
     state so resume is bit-identical (the reference drops Adam moments,
     utils.py:786-790); LoRA states export in PEFT key format
-    (lora_A.default.weight naming, utils.py:465-470)."""
+    (lora_A.default.weight naming, utils.py:465-470). After a successful
+    save, state-K files older than the newest `keep_states` are pruned (they
+    are ~3x trainable size and exist only for resume); step-K files keep."""
     save_train_state(state, train_state_path(output_dir, step))
+    if keep_states and keep_states > 0:
+        import re
+
+        pat = re.compile(r"state-(\d+)\.safetensors$")
+        steps = sorted(
+            int(m.group(1)) for f in os.listdir(output_dir)
+            if (m := pat.match(f)))
+        for old in steps[:-keep_states]:
+            try:
+                os.remove(train_state_path(output_dir, old))
+            except OSError:
+                pass
     host = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), state.params)
     if lora:
         from goal_force_tpu.lora import lora_to_peft

@@ -82,8 +82,10 @@ def _report(name, compiled, hbm_bytes):
     return rec
 
 
-def check_inference(mesh, dit_cfg, cn_cfg, hbm_bytes, attn_impl):
+def check_inference(mesh, dit_cfg, cn_cfg, hbm_bytes, attn_impl,
+                    pp_microbatches=None, name="inference_denoise_step"):
     key = jax.random.PRNGKey(0)
+    stage_fsdp = pp_microbatches is not None
     dit_shapes = jax.eval_shape(
         lambda k: wan_dit.init_wan_dit(k, dit_cfg, jnp.bfloat16), key)
     cn_shapes = jax.eval_shape(
@@ -93,10 +95,15 @@ def check_inference(mesh, dit_cfg, cn_cfg, hbm_bytes, attn_impl):
     # ControlNet fit a v5e-8 (TP-only leaves 14 GB/chip at tp=2). XLA all-gathers
     # one block's weights per scan iteration (~700 MB) over ICI.
     all_axes = tuple(mesh.axis_names)
-    dit_abs = _with_shardings(dit_shapes, fsdp_specs(dit_shapes, mesh, axes=all_axes),
-                              mesh)
-    cn_abs = _with_shardings(cn_shapes, fsdp_specs(cn_shapes, mesh, axes=all_axes),
-                             mesh)
+    dit_abs = _with_shardings(
+        dit_shapes,
+        fsdp_specs(dit_shapes, mesh, axes=all_axes, pp_stage_fsdp=stage_fsdp),
+        mesh)
+    cn_abs = _with_shardings(
+        cn_shapes,
+        fsdp_specs(cn_shapes, mesh, axes=all_axes, pp_stage_fsdp=stage_fsdp,
+                   pin_pp_layers=False),
+        mesh)
 
     f, h2, w2 = 21, 60, 104  # latent geometry for 81 frames @ 832x480
     bf = jnp.bfloat16
@@ -117,7 +124,8 @@ def check_inference(mesh, dit_cfg, cn_cfg, hbm_bytes, attn_impl):
         t2 = jnp.concatenate([timestep, timestep], axis=0)
         v = denoise_forward(dit_p, dit_cfg, x2, t2, ctx2, y=y2,
                             controlnet_params=cn_p, controlnet_cfg=cn_cfg,
-                            control_latents=cl2, attn_impl=attn_impl)
+                            control_latents=cl2, attn_impl=attn_impl,
+                            pp_microbatches=pp_microbatches)
         v = v[b:] + 5.0 * (v[:b] - v[b:])
         return fm.euler_step(latents, v.astype(latents.dtype), sigma, sigma_next)
 
@@ -125,7 +133,7 @@ def check_inference(mesh, dit_cfg, cn_cfg, hbm_bytes, attn_impl):
         compiled = (jax.jit(step, donate_argnums=(2,))
                     .lower(dit_abs, cn_abs, lat, ts, sig, sig, ctx, y2, cl2)
                     .compile())
-    return _report("inference_denoise_step", compiled, hbm_bytes)
+    return _report(name, compiled, hbm_bytes)
 
 
 def check_training(mesh, dit_cfg, t5_cfg, vae_cfg, cn_cfg, hbm_bytes, attn_impl,
@@ -210,6 +218,12 @@ def main():
                          "16 GB v5e chips, e.g. --pp 4 --train-topology "
                          "v5e:4x4 --train-hbm-gb 16)")
     ap.add_argument("--pp-microbatches", type=int, default=2)
+    ap.add_argument("--pp-inference", type=int, default=0,
+                    help="ALSO check the merged-CFG inference step pipelined "
+                         "over a pp mesh (pp stages x sp) at full A14B "
+                         "geometry — the flash kernel dispatches INSIDE the "
+                         "stages via the nested shard_map (VERDICT r4 item 3); "
+                         "e.g. --pp-inference 4 --topology v5e:2x4")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -233,6 +247,15 @@ def main():
         mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp,
                          devices=list(topo.devices))
         records.append(check_inference(mesh, dit_cfg, cn_cfg, hbm, args.attn))
+    if args.pp_inference > 1:
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name=args.topology)
+        n_rest = max(1, len(topo.devices) // args.pp_inference)
+        pmesh = make_mesh(dp=1, sp=n_rest, tp=1, pp=args.pp_inference,
+                          devices=list(topo.devices))
+        records.append(check_inference(
+            pmesh, dit_cfg, cn_cfg, hbm, args.attn, pp_microbatches=2,
+            name=f"inference_denoise_step_pp{args.pp_inference}"))
     if not args.skip_train:
         # without pp, training targets the v5p tier (95 GB HBM — the
         # A100-80GB-class pod the reference trains on); with --pp the trunk is

@@ -128,3 +128,49 @@ def test_pp_composes_with_sp_tp_and_denoise_forward():
         got = jax.jit(lambda: fwd(2))()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_pp_runs_pallas_kernel_inside_stages(monkeypatch):
+    """VERDICT round-4 item 3: the flash kernel must dispatch INSIDE the pp
+    stages (nested shard_map over the auto axes within the manual-"pp"
+    region) — the previous vmap(spmd_axis_name) pipeline could not, and its
+    XLA fallback OOMs at compile at A14B geometry. On the CPU mesh the kernel
+    entry is spied and substituted with the exact XLA math (interpret-mode
+    pallas inside scan-in-shard_map trips a jax-internal OrderedIOEffect
+    lowering bug on CPU); the REAL Mosaic compile of this path at full A14B
+    geometry is covered by scripts/aot_memcheck.py --pp-inference. Verified:
+    (a) numerics vs the sequential scan, (b) the kernel entry point is
+    actually reached inside the stages."""
+    import goal_force_tpu.ops.flash_attention as fa_mod
+    from goal_force_tpu.ops.attention import _xla_attention
+    from goal_force_tpu.ops.rope import assemble_rope, rope_tables_3d
+
+    cfg2 = configs.WanDiTConfig(
+        dim=128, in_dim=12, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        num_heads=1, num_layers=2, rope_max_len=256)
+    p2 = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg2, jnp.float32)
+    k = jax.random.PRNGKey(1)
+    x2 = jax.random.normal(jax.random.fold_in(k, 5), (2, 256, cfg2.dim), jnp.float32)
+    ctx2 = jax.random.normal(jax.random.fold_in(k, 6), (2, 6, cfg2.dim), jnp.float32)
+    tm2 = jax.random.normal(jax.random.fold_in(k, 7), (2, 6, cfg2.dim),
+                            jnp.float32) * 0.1
+    cos2, sin2 = assemble_rope(rope_tables_3d(cfg2.head_dim, cfg2.rope_max_len),
+                               4, 8, 8)
+    want, _ = wan_dit.run_blocks(p2["blocks"], x2, ctx2, tm2, cos2, sin2, cfg2,
+                                 attn_impl="xla")
+
+    calls = {}
+
+    def spy(q, k_, v, scale=None, **kw):
+        calls["pallas"] = True
+        return _xla_attention(q, k_, v, scale)
+
+    monkeypatch.setattr(fa_mod, "flash_attention", spy)
+    mesh = make_mesh(dp=1, sp=1, tp=1, pp=2)
+    with use_mesh(mesh):
+        got = jax.jit(lambda p, xx, cc, tt: wan_dit.pp_run_blocks(
+            p, xx, cc, tt, cos2, sin2, cfg2, n_micro=2,
+            attn_impl="pallas"))(p2["blocks"], x2, ctx2, tm2)
+    assert calls.get("pallas"), "flash kernel did not dispatch inside pp stages"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)

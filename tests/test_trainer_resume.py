@@ -167,3 +167,20 @@ def test_trainer_lora_mode_saves_peft_and_resumes(setup, tmp_path):
     state2 = train(cfg, dit_cfg, t5_cfg, vae_cfg, None, frozen, None, dataset,
                    tok, resume=True, max_steps=1)
     assert int(state2.step) == 3
+
+
+def test_state_checkpoint_retention_prunes_old_files(setup, tmp_path):
+    """ADVICE r4 item 3: full state-K files (3x trainable size) are pruned to
+    keep_last_states after each save; reference-format step-K files keep."""
+    dit_cfg, t5_cfg, vae_cfg, cn_cfg, frozen, cn0, dataset = setup
+    tok = HashTokenizer(t5_cfg.vocab, t5_cfg.text_len)
+    cfg = TrainerConfig(output_dir=str(tmp_path), num_epochs=10, save_steps=1,
+                        log_every=1, num_frames=5, height=32, width=32,
+                        lr=1e-3, keep_last_states=2)
+    train(cfg, dit_cfg, t5_cfg, vae_cfg, cn_cfg, frozen, cn0, dataset, tok,
+          max_steps=4)
+    states = sorted(glob.glob(os.path.join(str(tmp_path), "state-*.safetensors")))
+    steps = sorted(glob.glob(os.path.join(str(tmp_path), "step-*.safetensors")))
+    assert len(states) == 2, states          # only the 2 newest full states
+    assert os.path.basename(states[-1]) == "state-4.safetensors"
+    assert len(steps) == 4, steps            # every reference-format ckpt kept

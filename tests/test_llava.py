@@ -384,3 +384,102 @@ def test_clip_preprocess_matches_hf_processor():
     got = clip_preprocess_image(img, size=28)                  # (28, 28, 3)
     np.testing.assert_allclose(got.transpose(2, 0, 1), want, rtol=2e-5,
                                atol=2e-5)
+
+
+# 4-double-return analogue of the real i2v templates: 3 scaffold <ret> tokens
+# BEFORE the user text + the assistant <ret> at the end (the real templates'
+# structure: system \n\n, eot \n\n, user \n\n, assistant \n\n)
+TINY_TPL_4RET = {
+    "template": "sysA <ret> sysB <image> sysC <ret> sysD <ret> {} hdrA hdrB hdrC hdrD <ret>",
+    "crop_start": 8,
+    "image_emb_start": 3,
+    "image_emb_end": 7,
+    "image_emb_len": 4,
+    "double_return_token_id": 42,
+}
+
+
+def test_mllm_crop_truncated_prompt_matches_reference():
+    """ADVICE r4 item 2: an over-long prompt truncates away the assistant
+    '\\n\\n' but keeps the 3 scaffold double-returns; the reference detects
+    3-of-4 hits and anchors the assistant crop at sequence end
+    (hunyuan_video_prompter.py:184-192) — the crop must not anchor at the
+    last scaffold token."""
+    import torch
+
+    from goal_force_tpu.models.llava import llava_params_from_torch
+    from goal_force_tpu.pipelines.hunyuan_video import make_llava_prompt_encoder
+
+    ref = _ref_prompter_module()
+    m = _tiny_torch_llava()
+    cfg = _tiny_jax_cfg()
+    n_img = cfg.num_image_tokens
+    txt_len = 12
+    # 20 words >> txt_len: tokenization truncates inside the user text
+    prompt = " ".join(f"w{i}" for i in range(20))
+    rng = np.random.default_rng(7)
+    pixels = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+
+    class FakeHFTokenizer:
+        def __call__(self, text, return_tensors, padding, max_length,
+                     truncation):
+            ids = _word_ids(text)[:max_length]
+            mask = [1] * len(ids) + [0] * (max_length - len(ids))
+            ids = ids + [0] * (max_length - len(ids))
+            import types as _t
+
+            return _t.SimpleNamespace(
+                input_ids=torch.tensor([ids]),
+                attention_mask=torch.tensor([mask]))
+
+    def shim_encoder(input_ids, attention_mask, hidden_state_skip_layer,
+                     pixel_values):
+        ids = input_ids[0].tolist()
+        pos = ids.index(IMG_TOKEN)
+        ids2 = ids[:pos] + [IMG_TOKEN] * n_img + ids[pos + 1:]
+        mask2 = attention_mask[0].tolist()
+        mask2 = mask2[:pos] + [1] * n_img + mask2[pos + 1:]
+        with torch.no_grad():
+            out = m(input_ids=torch.tensor([ids2]),
+                    attention_mask=torch.tensor([mask2]),
+                    pixel_values=pixel_values,
+                    output_hidden_states=True)
+        return out.hidden_states[-(hidden_state_skip_layer + 1)]
+
+    import types as _types
+
+    fake_self = _types.SimpleNamespace(
+        tokenizer_2=FakeHFTokenizer(),
+        text_encoder_2=shim_encoder,
+        processor=lambda images, return_tensors: {
+            "pixel_values": torch.from_numpy(pixels)},
+        prompt_template_video=TINY_TPL_4RET,
+    )
+    formated = TINY_TPL_4RET["template"].format(prompt)
+    # precondition: the truncated ids really contain exactly the 3 scaffold
+    # double-returns (the reference's fallback trigger)
+    ids_chk = _word_ids(formated)[:txt_len + TINY_TPL_4RET["crop_start"]]
+    assert ids_chk.count(42) == 3
+    want_emb, want_mask = ref.HunyuanVideoPrompter.encode_prompt_using_mllm(
+        fake_self, formated, ["img"], txt_len, "cpu",
+        TINY_TPL_4RET["crop_start"], hidden_state_skip_layer=2,
+        image_embed_interleave=1)
+
+    import goal_force_tpu.models.llava as L
+
+    orig = L.clip_preprocess_image
+    L.clip_preprocess_image = lambda im, size: pixels[0].transpose(1, 2, 0)
+    try:
+        enc = make_llava_prompt_encoder(
+            params := llava_params_from_torch(
+                {k: v.numpy() for k, v in m.state_dict().items()}, cfg),
+            cfg, None, None, txt_len,
+            tokenize_llama=_fake_text_tokenizer(txt_len),
+            template=TINY_TPL_4RET, image_embed_interleave=1)
+        emb, mask, _ = enc(prompt, images="img")
+    finally:
+        L.clip_preprocess_image = orig
+
+    np.testing.assert_array_equal(np.asarray(mask)[0], want_mask[0].numpy())
+    np.testing.assert_allclose(np.asarray(emb), want_emb.numpy(),
+                               rtol=3e-4, atol=3e-4)

@@ -87,7 +87,7 @@ def cond_layer_apply(p: Dict, image: jnp.ndarray) -> jnp.ndarray:
 
 
 def _run_controlnet_plan(params, plan, x, temb, text_emb, groups,
-                         tile_ctx=None):
+                         tile_ctx=None, ctx_len=None):
     stack: List[jnp.ndarray] = [x]
     for spec, p in zip(plan, params["blocks"]):
         kind = spec[0]
@@ -95,7 +95,7 @@ def _run_controlnet_plan(params, plan, x, temb, text_emb, groups,
             x = _resnet(p, x, temb, groups)
         elif kind == "attn":
             x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups,
-                            tile_ctx=tile_ctx)
+                            tile_ctx=tile_ctx, ctx_len=ctx_len)
         elif kind == "push":
             stack.append(x)
         elif kind == "down":
@@ -115,6 +115,7 @@ def sd_controlnet_apply(
     groups: int = 32,
     global_pool: bool = False,
     tile_ctx=None,
+    ctx_len=None,
 ) -> List[jnp.ndarray]:
     """Returns the 13 zero-conv residuals (reference SDControlNet.forward :96-141)."""
     temb = timestep_embedding(jnp.reshape(timestep, (-1,)),
@@ -125,7 +126,8 @@ def sd_controlnet_apply(
 
     x = conv2d(params["conv_in"], sample) + cond_layer_apply(params["cond_in"],
                                                              cond_image)
-    stack = _run_controlnet_plan(params, plan, x, temb, text_emb, groups)
+    stack = _run_controlnet_plan(params, plan, x, temb, text_emb, groups,
+                                 ctx_len=ctx_len)
     out = [conv2d(p, s) for p, s in zip(params["controlnet_blocks"], stack)]
     if global_pool:
         out = [o.mean(axis=(1, 2), keepdims=True) for o in out]
@@ -257,6 +259,7 @@ def sdxl_controlnet_apply(
     groups: int = 32,
     global_pool: bool = False,
     tile_ctx=None,
+    ctx_len=None,
 ) -> List[jnp.ndarray]:
     """SDXLControlNetUnion.forward (:151-219). Returns 10 zero-conv residuals."""
     b = sample.shape[0]
@@ -289,7 +292,7 @@ def sdxl_controlnet_apply(
     x = x + (cond + alpha[:, None, None, :])
 
     stack = _run_controlnet_plan(params, plan, x, temb, text_emb, groups,
-                                 tile_ctx=tile_ctx)
+                                 tile_ctx=tile_ctx, ctx_len=ctx_len)
     out = [conv2d(p, s) for p, s in zip(params["controlnet_blocks"], stack)]
     if global_pool:
         out = [o.mean(axis=(1, 2), keepdims=True) for o in out]

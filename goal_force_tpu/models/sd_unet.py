@@ -123,7 +123,13 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 
 def _attention(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
-               num_heads: int, ip=None) -> jnp.ndarray:
+               num_heads: int, ip=None, ctx_len=None) -> jnp.ndarray:
+    """ctx_len: optional (B,) natural context lengths. The merged-CFG batch
+    pads a shorter prompt's context to the longest row with extra all-pad
+    77-token sentences (pipelines/sd.py::_long_ids); masking keys past the
+    row's natural length makes the padded row compute EXACTLY what the
+    reference's separate natural-length call computes (sd_unet.py:325-345
+    never sees the pad sentences because posi/nega run as separate calls)."""
     b, s, _ = x.shape
     t = ctx.shape[1]
     q = x @ p["q_w"] + p["q_b"] if "q_b" in p else x @ p["q_w"]
@@ -134,6 +140,11 @@ def _attention(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
     v = v.reshape(b, t, num_heads, -1)
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * scale
+    if ctx_len is not None:
+        col = jnp.arange(t)
+        keep = col[None, None, None, :] < jnp.asarray(
+            ctx_len, jnp.int32)[:, None, None, None]
+        logits = jnp.where(keep, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhc->bqhc", probs, v).reshape(b, s, -1)
     if ip is not None:
@@ -152,11 +163,11 @@ def _attention(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
 
 
 def _transformer_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray,
-                       num_heads: int, ip=None) -> jnp.ndarray:
+                       num_heads: int, ip=None, ctx_len=None) -> jnp.ndarray:
     x = x + _attention(p["attn1"], layer_norm(p["norm1"], x),
                        layer_norm(p["norm1"], x), num_heads)
     x = x + _attention(p["attn2"], layer_norm(p["norm2"], x), ctx, num_heads,
-                       ip=ip)
+                       ip=ip, ctx_len=ctx_len)
     y = layer_norm(p["norm3"], x) @ p["geglu_w"] + p["geglu_b"]
     y, gate = jnp.split(y, 2, axis=-1)
     y = y * jax.nn.gelu(gate, approximate=False)
@@ -179,7 +190,8 @@ def _resnet(p: Dict, x: jnp.ndarray, temb, groups: int = 32,
 def _attn_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray, num_heads: int,
                 groups: int = 32, eps: float = 1e-6, ip=None,
                 cross_frame: bool = False,
-                tile_ctx: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+                tile_ctx: Optional[Tuple[int, int]] = None,
+                ctx_len=None) -> jnp.ndarray:
     """cross_frame: flatten all frames into ONE sequence so self-attention
     spans the whole video, with the batch-mean text context (reference
     sd_unet.py:164-166,198-199).
@@ -200,16 +212,21 @@ def _attn_block(p: Dict, x: jnp.ndarray, ctx: jnp.ndarray, num_heads: int,
         for tp in p["transformer_blocks"]:
             fn = lambda xt: _transformer_block(
                 tp, xt.reshape(xt.shape[0], -1, c), ctx, num_heads,
+                ctx_len=ctx_len,
             ).reshape(xt.shape)
             t = tiled_forward_2d(fn, t.reshape(b, h, w, c), ts, tile_ctx[1]
                                  ).astype(t.dtype).reshape(b, h * w, c)
     else:
         if cross_frame:
+            # AnimateDiff cross-frame path mixes the batch contexts by mean;
+            # per-row natural lengths don't apply there
             t = t.reshape(1, b * h * w, c)
             ctx = ctx.mean(axis=0, keepdims=True)
+            ctx_len = None
         for di, tp in enumerate(p["transformer_blocks"]):
             t = _transformer_block(tp, t, ctx, num_heads,
-                                   ip=None if ip is None else ip.get(di))
+                                   ip=None if ip is None else ip.get(di),
+                                   ctx_len=ctx_len)
         if cross_frame:
             t = t.reshape(b, h * w, c)
     t = t @ p["proj_out_w"] + p["proj_out_b"]
@@ -224,7 +241,8 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
                   video_batch: int = 1,
                   ipadapter: Optional[Dict] = None,
                   cross_frame_attention: bool = False,
-                  tile_ctx: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+                  tile_ctx: Optional[Tuple[int, int]] = None,
+                  ctx_len=None) -> jnp.ndarray:
     """sample (B, H, W, 4) NHWC latents + (B,) timestep + (B, 77, ctx) text
     embeddings -> predicted noise (B, H, W, 4)
     (reference: sd_unet.py:325-345 SDUNet.forward).
@@ -257,7 +275,7 @@ def sd_unet_apply(params: Dict, plan: Sequence[BlockSpec], sample: jnp.ndarray,
             x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups,
                             ip=None if ipadapter is None else ipadapter.get(i),
                             cross_frame=cross_frame_attention,
-                            tile_ctx=tile_ctx)
+                            tile_ctx=tile_ctx, ctx_len=ctx_len)
         elif kind == "push":
             stack.append(x)
         elif kind == "pop":

@@ -76,7 +76,8 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
                     motion: Dict = None,
                     video_batch: int = 1,
                     cross_frame_attention: bool = False,
-                    tile_ctx=None) -> jnp.ndarray:
+                    tile_ctx=None,
+                    ctx_len=None) -> jnp.ndarray:
     """sample (B, H, W, 4), timestep (B,), text_emb (B, S, 2048),
     add_time_id (6,) or (B*6,), add_text_embeds (B, 1280) -> (B, H, W, 4).
 
@@ -114,7 +115,7 @@ def sdxl_unet_apply(params: Dict, plan: Sequence[BlockSpec],
             x = _attn_block(p, x, text_emb, num_heads=spec[1], groups=groups,
                             ip=None if ipadapter is None else ipadapter.get(i),
                             cross_frame=cross_frame_attention,
-                            tile_ctx=tile_ctx)
+                            tile_ctx=tile_ctx, ctx_len=ctx_len)
         elif kind == "push":
             stack.append(x)
         elif kind == "pop":

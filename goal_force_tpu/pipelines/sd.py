@@ -77,7 +77,7 @@ class SDPipeline:
     def _denoise_cfg(self, unet, latents, t, ctx_pos, ctx_neg, cfg_scale,
                      w_x, w_e, ipadapter=None, tile_ctx=None,
                      ctx_locals=None, local_w=None, cn=None, cn_cond=None,
-                     cn_plan=None):
+                     cn_plan=None, ctx_len=None):
         b = latents.shape[0]
         rows = [ctx_pos, ctx_neg]
         if ctx_locals is not None:
@@ -86,6 +86,8 @@ class SDPipeline:
         n = ctx.shape[0] // b
         x2 = jnp.concatenate([latents] * n, axis=0)
         tfull = jnp.full((n * b,), t, latents.dtype)
+        if ctx_len is not None:
+            ctx_len = jnp.repeat(jnp.asarray(ctx_len, jnp.int32), b)
         cn_res = None
         if cn is not None:
             from goal_force_tpu.models.sd_controlnet import sd_controlnet_apply
@@ -93,11 +95,13 @@ class SDPipeline:
             cond = jnp.concatenate([cn_cond] * n, axis=0)
             cn_kwargs = {} if cn_plan is None else {"plan": cn_plan}
             cn_res = sd_controlnet_apply(cn, x2, tfull, ctx, cond,
-                                         groups=self.groups, **cn_kwargs)
+                                         groups=self.groups, ctx_len=ctx_len,
+                                         **cn_kwargs)
         eps = sd_unet_apply(self.unet if unet is None else unet, self.plan,
                             x2, tfull, ctx,
                             groups=self.groups, ipadapter=ipadapter,
-                            controlnet_res=cn_res, tile_ctx=tile_ctx)
+                            controlnet_res=cn_res, tile_ctx=tile_ctx,
+                            ctx_len=ctx_len)
         eps_pos, eps_neg = eps[:b], eps[b:2 * b]
         if ctx_locals is not None:
             from goal_force_tpu.pipelines.regional import (
@@ -118,21 +122,28 @@ class SDPipeline:
         ids = np.asarray(self.tokenize(prompt)).reshape(1, -1)
         return jnp.asarray(ids.astype(np.int32))
 
-    def _long_ids(self, prompts: Sequence[str]) -> list:
+    def _long_ids(self, prompts: Sequence[str]) -> tuple:
         """Tokenize each prompt into (num_sentence, 77) chunks with a SHARED
         sentence count (reference sd_prompter.py:69 via tokenize_long_prompt;
         the shared count is ours — the merged-CFG batch needs equal context
-        lengths where the reference runs posi/nega as separate calls)."""
+        lengths where the reference runs posi/nega as separate calls).
+
+        Also returns each prompt's NATURAL context length in tokens: the
+        denoise step masks cross-attention keys past it (sd_unet._attention
+        ctx_len), so a padded row computes exactly the reference's separate
+        natural-length call — the pad sentences are never attended."""
         from goal_force_tpu.prompters import tokenize_long_prompt
 
         if self.tokenize is None or not hasattr(self.tokenize, "encode"):
-            return [self._ids(p) for p in prompts]
+            ids = [self._ids(p) for p in prompts]
+            return ids, [i.shape[-1] for i in ids]
         chunked = [tokenize_long_prompt(self.tokenize, p) for p in prompts]
+        nat_len = [c.size for c in chunked]
         ns = max(c.shape[0] for c in chunked)
         if ns > 1:
             chunked = [tokenize_long_prompt(self.tokenize, p, num_sentences=ns)
                        for p in prompts]
-        return [jnp.asarray(c) for c in chunked]
+        return [jnp.asarray(c) for c in chunked], nat_len
 
     def _ctx(self, ids: jnp.ndarray, clip_skip: int) -> jnp.ndarray:
         """(num_sentence, 77) ids -> (1, num_sentence*77, dim) context
@@ -210,8 +221,11 @@ class SDPipeline:
         else:
             latents = noise
 
-        all_ids = self._long_ids([prompt, negative_prompt,
-                                  *(local_prompts or [])])
+        all_ids, nat_len = self._long_ids([prompt, negative_prompt,
+                                           *(local_prompts or [])])
+        ctx_len = None
+        if len(set(nat_len)) > 1:
+            ctx_len = jnp.asarray(nat_len, jnp.int32)
         ctx_pos = self._ctx(all_ids[0], clip_skip).astype(self.dtype)
         ctx_neg = self._ctx(all_ids[1], 1).astype(self.dtype)
         ctx_locals = local_w = None
@@ -258,7 +272,7 @@ class SDPipeline:
                                  if tiled else None,
                                  ctx_locals=ctx_locals, local_w=local_w,
                                  cn=cn_params, cn_cond=cn_cond,
-                                 cn_plan=cn_plan)
+                                 cn_plan=cn_plan, ctx_len=ctx_len)
         if return_latents:
             return np.asarray(latents, np.float32)
         if tiled:

@@ -92,7 +92,7 @@ class SDXLPipeline:
                      pool_neg, add_ids, cfg_scale, w_x, w_e, tile_ctx=None,
                      ipadapter=None, ctx_locals=None, pool_locals=None,
                      local_w=None, cn=None, cn_cond=None, cn_plan=None,
-                     cn_task=3, cn_nhead=8):
+                     cn_task=3, cn_nhead=8, ctx_len=None):
         b = latents.shape[0]
         ctx_rows = [ctx_pos, ctx_neg]
         pool_rows = [pool_pos, pool_neg]
@@ -104,6 +104,8 @@ class SDXLPipeline:
         n = ctx.shape[0] // b
         x2 = jnp.concatenate([latents] * n, axis=0)
         tfull = jnp.full((n * b,), t, latents.dtype)
+        if ctx_len is not None:
+            ctx_len = jnp.repeat(jnp.asarray(ctx_len, jnp.int32), b)
         cn_res = None
         if cn is not None:
             from goal_force_tpu.models.sd_controlnet import (
@@ -119,11 +121,12 @@ class SDXLPipeline:
             cn_res = sdxl_controlnet_apply(
                 cn, x2, tfull, ctx, jnp.concatenate([cn_cond] * n, axis=0),
                 jnp.tile(add_ids, n * b), pool, task_id=cn_task,
-                groups=self.groups, **cn_kwargs)
+                groups=self.groups, ctx_len=ctx_len, **cn_kwargs)
         eps = sdxl_unet_apply(unet, self.plan, x2, tfull, ctx,
                               jnp.tile(add_ids, n * b), pool,
                               groups=self.groups, controlnet_res=cn_res,
-                              ipadapter=ipadapter, tile_ctx=tile_ctx)
+                              ipadapter=ipadapter, tile_ctx=tile_ctx,
+                              ctx_len=ctx_len)
         eps_pos, eps_neg = eps[:b], eps[b:2 * b]
         if ctx_locals is not None:
             from goal_force_tpu.pipelines.regional import (
@@ -161,16 +164,24 @@ class SDXLPipeline:
         if (self.tokenize is None or not hasattr(self.tokenize, "encode")
                 or self.tokenize_2 is None
                 or not hasattr(self.tokenize_2, "encode")):
-            return [(self._ids(p), self._ids2(p)) for p in prompts]
+            ids = [(self._ids(p), self._ids2(p)) for p in prompts]
+            return ids, [i[0].shape[-1] for i in ids]
         c1 = [tokenize_long_prompt(self.tokenize, p) for p in prompts]
         c2 = [tokenize_long_prompt(self.tokenize_2, p) for p in prompts]
+        # each prompt's NATURAL context length = the reference's min-of-the-
+        # two-encoders trim (sdxl_prompter.py:52-56) at its natural counts;
+        # the denoise step masks cross-attention keys past it (ctx_len) so
+        # the shared-count padding is never attended
+        nat_len = [min(a.shape[0], b.shape[0]) * a.shape[1]
+                   for a, b in zip(c1, c2)]
         ns = max(c.shape[0] for c in c1 + c2)
         if ns > 1:
             c1 = [tokenize_long_prompt(self.tokenize, p, num_sentences=ns)
                   for p in prompts]
             c2 = [tokenize_long_prompt(self.tokenize_2, p, num_sentences=ns)
                   for p in prompts]
-        return [(jnp.asarray(a), jnp.asarray(b)) for a, b in zip(c1, c2)]
+        return [(jnp.asarray(a), jnp.asarray(b)) for a, b in zip(c1, c2)], \
+            nat_len
 
     def __call__(self, prompt: str, negative_prompt: str = "",
                  height: int = 1024, width: int = 1024,
@@ -220,8 +231,11 @@ class SDXLPipeline:
                                      int(sched.timesteps[0])).astype(self.dtype)
         else:
             latents = noise
-        all_ids = self._long_ids([prompt, negative_prompt,
-                                  *(local_prompts or [])])
+        all_ids, nat_len = self._long_ids([prompt, negative_prompt,
+                                           *(local_prompts or [])])
+        ctx_len = None
+        if len(set(nat_len)) > 1:
+            ctx_len = jnp.asarray(nat_len, jnp.int32)
         ctx_p, pool_p = self._encode(self.text_encoder, self.text_encoder_2,
                                      all_ids[0][0], all_ids[0][1],
                                      clip_skip, clip_skip_2)
@@ -285,7 +299,8 @@ class SDXLPipeline:
                                  ctx_locals=ctx_l, pool_locals=pool_l,
                                  local_w=local_w, cn=cn_params,
                                  cn_cond=cn_cond, cn_plan=cn_plan,
-                                 cn_task=cn_task, cn_nhead=cn_nhead)
+                                 cn_task=cn_task, cn_nhead=cn_nhead,
+                                 ctx_len=ctx_len)
         if return_latents:
             return np.asarray(latents, np.float32)
         if tiled:

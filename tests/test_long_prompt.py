@@ -120,7 +120,7 @@ def test_sd_long_prompt_context_golden():
                          clip_skip=clip_skip)
         ref_ctx = ref_emb.reshape(1, ref_emb.shape[0] * ref_emb.shape[1],
                                   -1).numpy()
-        (ids,) = pipe._long_ids([text])
+        (ids,), _ = pipe._long_ids([text])
         got = np.asarray(pipe._ctx(ids, clip_skip), np.float32)
         assert got.shape == ref_ctx.shape
         np.testing.assert_allclose(got, ref_ctx, rtol=2e-4, atol=2e-4)
@@ -191,7 +191,7 @@ def test_sdxl_long_prompt_context_golden():
                               -1).numpy()
     ref_pool = add_text[0:1].numpy()
 
-    ((ids1, ids2),) = pipe._long_ids([LONG])
+    ((ids1, ids2),), _ = pipe._long_ids([LONG])
     ctx, pool = pipe._encode(pipe.text_encoder, pipe.text_encoder_2,
                              ids1, ids2, 1, 2)
     np.testing.assert_allclose(np.asarray(ctx, np.float32), ref_ctx,
@@ -214,4 +214,74 @@ def test_sd_pipeline_long_prompt_end_to_end():
         warnings.simplefilter("error")   # must NOT hit the truncation warning
         img = pipe(LONG, "blurry", height=32, width=32,
                    num_inference_steps=2, seed=0)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
+def test_ctx_len_mask_equals_separate_natural_length_call():
+    """ADVICE r4 item 4: the merged-CFG batch pads the shorter prompt's
+    context with all-pad sentences; with ctx_len the padded row must compute
+    EXACTLY what the reference's separate natural-length call computes
+    (sd_unet cross-attention never attends the pad sentences)."""
+    from goal_force_tpu.models.sd_unet import init_sd_unet, sd_unet_apply
+    from tests.test_sd_unet import tiny_sd_plan
+
+    plan = tiny_sd_plan()
+    params = init_sd_unet(jax.random.PRNGKey(0), plan, model_dim=8,
+                          time_dim=16)
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(2, 16, 16, 4)).astype(np.float32))
+    t = jnp.zeros((2,))
+    # row 0 natural = 21 tokens (3 chunks of 7), row 1 natural = 7 (1 chunk),
+    # padded with ENCODED GARBAGE in [7, 21)
+    ctx = jnp.asarray(rng.normal(size=(2, 21, 24)).astype(np.float32))
+    out = sd_unet_apply(params, plan, lat, t, ctx, groups=4,
+                        ctx_len=jnp.asarray([21, 7], jnp.int32))
+    want_r1 = sd_unet_apply(params, plan, lat[1:], t[1:], ctx[1:, :7],
+                            groups=4)
+    want_r0 = sd_unet_apply(params, plan, lat[:1], t[:1], ctx[:1], groups=4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(want_r1[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want_r0[0]),
+                               rtol=1e-5, atol=1e-5)
+    # and WITHOUT ctx_len the garbage pad rows shift the output (the drift
+    # the mask eliminates)
+    out_nomask = sd_unet_apply(params, plan, lat, t, ctx, groups=4)
+    assert not np.allclose(np.asarray(out_nomask[1]), np.asarray(want_r1[0]),
+                           rtol=1e-5, atol=1e-5)
+
+
+def test_ctx_len_mask_sdxl_unet():
+    from goal_force_tpu.models.sdxl_unet import init_sdxl_unet, sdxl_unet_apply
+    from tests.test_sdxl_unet import TINY_PLAN
+
+    params = init_sdxl_unet(jax.random.PRNGKey(1), TINY_PLAN, model_dim=8,
+                            time_dim=16, add_embed_in=8 + 6 * 256)
+    rng = np.random.default_rng(1)
+    lat = jnp.asarray(rng.normal(size=(2, 16, 16, 4)).astype(np.float32))
+    t = jnp.zeros((2,))
+    add_ids = jnp.zeros((12,))
+    pool = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(2, 14, 24)).astype(np.float32))
+    out = sdxl_unet_apply(params, TINY_PLAN, lat, t, ctx, add_ids, pool,
+                          groups=4, ctx_len=jnp.asarray([14, 7], jnp.int32))
+    want = sdxl_unet_apply(params, TINY_PLAN, lat[1:], t[1:], ctx[1:, :7],
+                           jnp.zeros((6,)), pool[1:], groups=4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sd_pipeline_long_prompt_masks_negative_padding():
+    """Pipeline-level: with a long positive and short negative, the merged
+    step must pass the natural lengths through (the negative's pad sentences
+    are masked) — output changes vs the unmasked round-4 behavior but the
+    run stays finite and shaped."""
+    from goal_force_tpu.pipelines.sd import SDPipeline
+
+    pipe = SDPipeline.init_random(tiny=True)
+    pipe.tokenize = P.sd_clip_tokenizer(length=pipe.text_cfg.max_positions)
+    ids, nat = pipe._long_ids([LONG, "blurry"])
+    assert nat[0] > nat[1]                      # unequal natural lengths
+    assert ids[0].shape == ids[1].shape         # padded to a shared count
+    img = pipe(LONG, "blurry", height=32, width=32,
+               num_inference_steps=2, seed=0)
     assert img.shape == (32, 32, 3) and np.isfinite(img).all()

@@ -45,16 +45,22 @@ def int8_linear(qp: Dict, x: jnp.ndarray, bias: jnp.ndarray | None = None) -> jn
 
 def quantize_linear_tree(params: Dict, paths=("ffn",)) -> Dict:
     """Replace {'w','b'} leaves under matching sub-paths with int8 packs (weight-only
-    transform; apply with int8_linear at the call site)."""
-    def walk(node, in_target):
+    transform; apply with int8_linear at the call site).
+
+    norm* nodes are never quantized: on a STACKED block tree their weight is
+    (L, dim) — 2-D like a linear, but the leading axis is layers, and
+    quantizing it would reduce the scales over the layer axis."""
+    def walk(node, in_target, name=""):
         if isinstance(node, dict):
-            if set(node) >= {"w"} and in_target and node["w"].ndim >= 2:
+            if (set(node) >= {"w"} and in_target and node["w"].ndim >= 2
+                    and not name.startswith("norm")):
                 qp = quantize_weight_int8(node["w"])
                 out = dict(qp)
                 if "b" in node:
                     out["b"] = node["b"]
                 return out
-            return {k: walk(v, in_target or k in paths) for k, v in node.items()}
+            return {k: walk(v, in_target or k in paths, k)
+                    for k, v in node.items()}
         return node
 
     return walk(params, False)

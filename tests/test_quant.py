@@ -57,3 +57,37 @@ def test_fp8_tree_transform_and_dit_linear():
     got = linear(q["ffn"]["fc0"], x)
     rel = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
     assert rel < 0.05, rel
+
+
+def test_quantize_linear_tree_stacked_blocks():
+    """STACKED per-layer trees (L, in, out): scales keep the layer axis and
+    norm* weights — (L, dim), 2-D like a linear but layer-leading — are NEVER
+    quantized (regression: they were, collapsing scales over layers)."""
+    from goal_force_tpu.configs import WanDiTConfig
+    from goal_force_tpu.models import wan_dit as wd
+
+    cfg = WanDiTConfig(dim=32, in_dim=36, ffn_dim=64, out_dim=16, text_dim=24,
+                       freq_dim=16, num_heads=4, num_layers=2)
+    key = jax.random.PRNGKey(0)
+    blocks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[wd.init_block(k, cfg, jnp.float32) for k in jax.random.split(key, 2)])
+    qb = quantize_linear_tree(blocks, paths=("self_attn", "cross_attn", "ffn"))
+    assert qb["self_attn"]["q"]["w_i8"].shape == (2, 32, 32)
+    assert qb["self_attn"]["q"]["w_scale"].shape == (2, 32)
+    assert "w_i8" not in qb["self_attn"]["norm_q"]
+    assert "w_i8" not in qb["norm3"]
+
+    from goal_force_tpu.ops.rope import assemble_rope, rope_tables_3d
+
+    cos, sin = assemble_rope(rope_tables_3d(cfg.head_dim, cfg.rope_max_len),
+                             2, 2, 2)
+    x = jax.random.normal(key, (2, 8, 32), jnp.float32)
+    ctxv = jax.random.normal(key, (2, 5, 32), jnp.float32)
+    tmod = jax.random.normal(key, (2, 6, 32), jnp.float32) * 0.02
+    out_bf, _ = wd.run_blocks(blocks, x, ctxv, tmod, cos, sin, cfg,
+                              attn_impl="xla")
+    out_q, _ = wd.run_blocks(qb, x, ctxv, tmod, cos, sin, cfg, attn_impl="xla")
+    err = float(jnp.abs(out_q - out_bf).max()
+                / (jnp.abs(out_bf).max() + 1e-9))
+    assert err < 0.05, err

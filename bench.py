@@ -394,6 +394,17 @@ def main():
         sf = measured.get("teacache_skip_fraction_measured")
         if sf is not None:
             out["teacache_skip_fraction_measured"] = sf
+    # W8A8 streaming-step diagnostics (scripts/measure_int8_step.py): the
+    # beyond-parity option — int8 MXU at 2x bf16 peak, half the DMA bytes.
+    # Diagnostic, not headline: the reference baseline is bf16-quality.
+    i8_path = os.path.join(here, "MEASURED_r05_INT8.json")
+    if os.path.exists(i8_path):
+        with open(i8_path) as fh:
+            i8 = json.load(fh)
+        diag = {k: i8[k] for k in i8 if k.endswith("_step_s")
+                or k in ("dma_gb_per_step", "status")}
+        if diag:
+            out["int8_streaming_step"] = diag
     print(json.dumps(out))
 
 

@@ -377,8 +377,15 @@ if not aborted:
     vae_p = stage_to_device(vae_host)
     frames = vaem.decode_video_tiled(vae_p, vae_cfg, lat_c.astype(jnp.bfloat16),
                                      tile_size=(30, 52), tile_stride=(15, 26))
-    sync(frames)
+    # barrier via HOST materialization (the clip's real ending — frames must
+    # reach host memory to be written). sync()'s on-device reshape is a
+    # layout bomb here: a (..., 832, 3) f32 tensor relayouts to T(8,128)
+    # tiling with the channel dim padded 3->128 — a 42.7x, 15.4 GB copy that
+    # OOMs the 16 GB chip.
+    fr = np.asarray(frames)
+    assert np.isfinite(fr.reshape(-1)[0])
     stage["vae_decode_s"] = round(time.time() - t1, 2)
+    del fr
     del vae_p, frames
     gc.collect()
     RES["sec_per_clip_measured_full"] = round(time.time() - clip_t0, 2)

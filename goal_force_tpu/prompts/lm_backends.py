@@ -17,8 +17,11 @@ Omost Llama-3 chat model). This module provides the TPU-side equivalents:
   against transformers' rendering in tests/test_refiner_backends.py).
 * ``load_qwen_chat_backend`` / ``load_omost_backend`` — checkpoint-dir
   loaders (safetensors + tokenizer.json).
-* BeautifulPrompt's BLOOM and the Translator's Marian backbones are NOT
-  ported; their loaders raise loudly (see ``load_beautiful_prompt_backend``).
+* ``load_beautiful_prompt_backend`` — BeautifulPrompt's BLOOM backbone
+  (models/bloom.py: ALiBi attention, fused per-head QKV) with the reference's
+  sampling recipe (prompt_refiners.py:37-45).
+* ``load_translator_backend`` — the Translator's Marian encoder-decoder
+  (models/marian.py: opus-mt, beam search) (prompt_refiners.py:113-133).
 """
 
 from __future__ import annotations
@@ -202,24 +205,169 @@ def load_omost_backend(ckpt_dir: str, dtype=None,
                            max_new_tokens=max_new_tokens, bos_id=bos)
 
 
-def load_beautiful_prompt_backend(*_a, **_k):
-    """BeautifulPrompt runs a BLOOM-based LM (reference
-    prompt_refiners.py:6-54) — the BLOOM backbone (ALiBi attention, fused
-    dense layout) is not ported. Pass a host-side ``generate`` callable to
-    prompts.refiners.beautiful_prompt instead."""
-    raise NotImplementedError(
-        "BeautifulPrompt's BLOOM backbone is not ported to the qwen_vl text "
-        "stack (ALiBi attention). Supply generate= to "
-        "goal_force_tpu.prompts.refiners.beautiful_prompt — e.g. a host-side "
-        "transformers pipeline — or use the Qwen chat refiner.")
+class BloomBackend:
+    """BeautifulPrompt completion backend over the BLOOM KV-cached decode
+    loop (models/bloom.py).  ``generate`` mirrors the reference call
+    (prompt_refiners.py:36-49): max_new_tokens=384, do_sample=True,
+    temperature=0.9, top_k=50, top_p=0.95, repetition_penalty=1.1 — with
+    ``sample=False`` for the deterministic parity surface."""
+
+    def __init__(self, params: Dict, cfg, encode, decode,
+                 eos_ids: Sequence[int], max_new_tokens: int = 384,
+                 sample: bool = True, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.encode = encode
+        self.decode = decode
+        self.eos_ids = tuple(eos_ids)
+        self.max_new_tokens = max_new_tokens
+        self.sample = sample
+        self.seed = seed
+
+    def generate(self, text: str, max_new_tokens: Optional[int] = None) -> str:
+        from goal_force_tpu.models.bloom import bloom_generate
+
+        ids = bloom_generate(
+            self.params, self.cfg, np.asarray([self.encode(text)], np.int32),
+            max_new_tokens or self.max_new_tokens, eos_ids=self.eos_ids,
+            sample=self.sample, temperature=0.9, top_k=50, top_p=0.95,
+            repetition_penalty=1.1, seed=self.seed)
+        return self.decode(ids)
 
 
-def load_translator_backend(*_a, **_k):
-    """The Translator runs a Marian encoder-decoder (opus-mt-zh-en, reference
-    prompt_refiners.py:113-133) — a seq2seq architecture this framework's
-    decoder-only loop cannot serve."""
-    raise NotImplementedError(
-        "Translator's Marian (opus-mt) encoder-decoder backbone is not "
-        "ported. Use the Qwen chat refiner for zh->en prompts "
-        "(QWEN_PROMPT_SYSTEM performs styled translation), or supply a "
-        "host-side generate callable.")
+def load_beautiful_prompt_backend(ckpt_dir: str, dtype=None,
+                                  max_new_tokens: int = 384,
+                                  sample: bool = True,
+                                  seed: int = 0) -> BloomBackend:
+    """BLOOM checkpoint dir (safetensors + tokenizer.json) -> BeautifulPrompt
+    backend (reference prompt_refiners.py:6-54; the pai-bloom-1b1-text2prompt
+    resources registered in diffsynth/configs/model_config.py)."""
+    import glob as _glob
+
+    from goal_force_tpu.io.safetensors_io import load_safetensors
+    from goal_force_tpu.models.bloom import (bloom_params_from_torch,
+                                             infer_bloom_config)
+
+    files = sorted(_glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {ckpt_dir!r}")
+    sd = load_safetensors(files)
+    cfg = infer_bloom_config(sd)
+    cfg_file = os.path.join(ckpt_dir, "config.json")
+    eos_ids: List[int] = []
+    if os.path.exists(cfg_file):
+        with open(cfg_file) as f:
+            hf = json.load(f)
+        n_head = hf.get("n_head") or hf.get("num_attention_heads")
+        if n_head and n_head != cfg.num_heads:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, num_heads=int(n_head))
+        if hf.get("eos_token_id") is not None:
+            eos_ids.append(int(hf["eos_token_id"]))
+    params = bloom_params_from_torch(sd, cfg, dtype=dtype)
+    encode, decode, token_to_id = _raw_fast_tokenizer(ckpt_dir)
+    if not eos_ids:
+        eos_ids = [i for i in (token_to_id("</s>"),) if i is not None]
+    return BloomBackend(params, cfg, encode, decode, eos_ids,
+                        max_new_tokens=max_new_tokens, sample=sample,
+                        seed=seed)
+
+
+class MarianBackend:
+    """Translator backend over the Marian encoder-decoder
+    (models/marian.py). ``generate`` mirrors the reference Translator call
+    (prompt_refiners.py:128-133): ``model.generate(input_ids)`` under the
+    checkpoint's own generation defaults (beam search for opus-mt)."""
+
+    def __init__(self, params: Dict, cfg, encode, decode, gen_cfg: Dict):
+        self.params = params
+        self.cfg = cfg
+        self.encode = encode
+        self.decode = decode
+        self.gen_cfg = gen_cfg
+
+    def generate(self, text: str,
+                 max_new_tokens: Optional[int] = None) -> str:
+        from goal_force_tpu.models.marian import marian_generate
+
+        g = self.gen_cfg
+        ids = self.encode(text) + [g["eos_token_id"]]
+        out = marian_generate(
+            self.params, self.cfg, np.asarray([ids], np.int32),
+            max_length=(max_new_tokens or g.get("max_length", 512)),
+            num_beams=g.get("num_beams", 1),
+            decoder_start_token_id=g["decoder_start_token_id"],
+            eos_token_id=g["eos_token_id"],
+            pad_token_id=g["pad_token_id"],
+            bad_words_ids=g.get("bad_words_ids"),
+            length_penalty=g.get("length_penalty", 1.0),
+            early_stopping=g.get("early_stopping", False))
+        return self.decode(out)
+
+
+def load_translator_backend(ckpt_dir: str, dtype=None) -> MarianBackend:
+    """Marian (opus-mt) checkpoint dir -> Translator backend (reference
+    prompt_refiners.py:113-133; the opus-mt-zh-en resource in
+    diffsynth/configs/model_config.py)."""
+    import glob as _glob
+
+    from goal_force_tpu.io.safetensors_io import load_safetensors
+    from goal_force_tpu.models.marian import (infer_marian_config,
+                                              marian_params_from_torch)
+
+    files = sorted(_glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {ckpt_dir!r}")
+    sd = load_safetensors(files)
+    hf: Dict = {}
+    for name in ("config.json", "generation_config.json"):
+        p = os.path.join(ckpt_dir, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                hf.update(json.load(f))
+    cfg = infer_marian_config(sd, hf)
+    params = marian_params_from_torch(sd, cfg, dtype=dtype)
+    gen_cfg = {
+        "decoder_start_token_id": hf.get("decoder_start_token_id",
+                                         hf.get("pad_token_id", 0)),
+        "eos_token_id": hf.get("eos_token_id", 0),
+        "pad_token_id": hf.get("pad_token_id", 0),
+        "max_length": hf.get("max_length", 512),
+        "num_beams": hf.get("num_beams", 1),
+        "bad_words_ids": hf.get("bad_words_ids"),
+        "length_penalty": hf.get("length_penalty", 1.0),
+        "early_stopping": hf.get("early_stopping", False),
+    }
+    # opus-mt SentencePiece checkpoints ship source.spm/vocab.json rather
+    # than tokenizer.json; serve either.
+    if os.path.exists(os.path.join(ckpt_dir, "tokenizer.json")):
+        encode, decode, _ = _raw_fast_tokenizer(ckpt_dir)
+    else:
+        encode, decode = _marian_spm_tokenizer(ckpt_dir, gen_cfg)
+    return MarianBackend(params, cfg, encode, decode, gen_cfg)
+
+
+def _marian_spm_tokenizer(ckpt_dir: str, gen_cfg: Dict):
+    """MarianTokenizer-style encode/decode from source.spm + vocab.json (the
+    layout opus-mt checkpoints actually ship): spm pieces are mapped through
+    the SHARED vocab.json (transformers MarianTokenizer._convert_token_to_id)."""
+    from goal_force_tpu.models.spm import SentencePieceTokenizer
+
+    with open(os.path.join(ckpt_dir, "vocab.json")) as f:
+        vocab = json.load(f)
+    inv = {v: k for k, v in vocab.items()}
+    src = SentencePieceTokenizer.from_file(os.path.join(ckpt_dir, "source.spm"))
+    unk = vocab.get("<unk>", 1)
+    special_pieces = {"<pad>", "</s>", "<unk>"}
+
+    def encode(text: str) -> List[int]:
+        pieces = [src.id_to_piece[i] for i in src.encode(text)]
+        return [vocab.get(p, unk) for p in pieces]
+
+    def decode(ids: Sequence[int]) -> str:
+        pieces = [inv.get(int(i), "") for i in ids]
+        text = "".join(p for p in pieces if p not in special_pieces)
+        return text.replace("▁", " ").strip()
+
+    return encode, decode

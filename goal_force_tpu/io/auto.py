@@ -503,6 +503,26 @@ def load_model(path_or_sd, kind: Optional[str] = None, config=None,
         prefix = "model." if "model.embed_tokens.weight" in sd else ""
         cfg = config or infer_qwen_vl_text_config(sd, prefix=prefix, **infer_kw)
         return out(cfg, qwen_vl_text_params_from_torch(sd, cfg, prefix=prefix))
+    if kind == "bloom":
+        from goal_force_tpu.models.bloom import (
+            bloom_params_from_torch,
+            infer_bloom_config,
+        )
+
+        cfg = config or infer_bloom_config(sd)
+        if infer_kw.get("num_heads"):
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, num_heads=infer_kw["num_heads"])
+        return out(cfg, bloom_params_from_torch(sd, cfg))
+    if kind == "marian":
+        from goal_force_tpu.models.marian import (
+            infer_marian_config,
+            marian_params_from_torch,
+        )
+
+        cfg = config or infer_marian_config(sd, infer_kw.get("hf"))
+        return out(cfg, marian_params_from_torch(sd, cfg))
     if kind == "step1_llm":
         from goal_force_tpu.models.text_encoders import (
             Step1Config,

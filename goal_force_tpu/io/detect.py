@@ -154,6 +154,17 @@ def _detect_zoo(sd: Mapping, keys: set) -> Optional[str]:
     if _has(sd, "embeddings.word_embeddings.weight",
             "embeddings.token_type_embeddings.weight"):
         return "bert"
+    if "word_embeddings_layernorm.weight" in keys or \
+            "transformer.word_embeddings_layernorm.weight" in keys:
+        # the post-embedding LayerNorm is unique to BLOOM (BeautifulPrompt
+        # refiner backbone, reference prompt_refiners.py:6-28)
+        return "bloom"
+    if _has(sd, "shared.weight", "encoder.layers.0.self_attn.k_proj.weight") \
+            or _has(sd, "model.shared.weight",
+                    "model.encoder.layers.0.self_attn.k_proj.weight"):
+        # MarianMT opus-mt (Translator refiner backbone,
+        # reference prompt_refiners.py:31-54)
+        return "marian"
     if _has(sd, "tok_embeddings.word_embeddings.weight",
             "transformer.layers.0.attention_norm.weight"):
         return "step1_llm"

@@ -112,6 +112,16 @@ def test_detects_misc_families():
         {"visual.conv1.weight": 0, "token_embedding.weight": 0}) == "open_clip"
     assert detect_model_kind({"blip.visual_encoder.cls_token": 0}) == "image_reward"
     assert detect_model_kind({"body.0.rdb1.conv1.weight": 0}) == "esrgan"
+    assert detect_model_kind(
+        {"transformer.word_embeddings_layernorm.weight": 0,
+         "transformer.word_embeddings.weight": 0}) == "bloom"
+    assert detect_model_kind(
+        {"word_embeddings_layernorm.weight": 0,
+         "word_embeddings.weight": 0}) == "bloom"
+    assert detect_model_kind(
+        {"model.shared.weight": 0,
+         "model.encoder.layers.0.self_attn.k_proj.weight": 0,
+         "model.decoder.layers.0.self_attn.k_proj.weight": 0}) == "marian"
     assert detect_model_kind({"block0.conv0.0.0.weight": 0}) == "rife"
     assert detect_model_kind(
         {"linear.0.weight": 0, "linear.0.bias": 0, "linear.2.weight": 0,

@@ -318,6 +318,44 @@ def test_bloom_sampling_recipe_runs():
     assert all(0 <= t < 300 for t in a)
 
 
+def test_load_model_detects_refiner_backbones():
+    """io.auto.load_model structurally detects + converts the refiner LM
+    checkpoints (the reference routes these through ModelManager's MD5 hash
+    table; here the BLOOM post-embedding LayerNorm and the Marian shared
+    seq2seq layout are the signatures)."""
+    from goal_force_tpu.io.auto import load_model
+    from goal_force_tpu.models.bloom import bloom_forward
+    from goal_force_tpu.models.marian import marian_decode, marian_encode
+
+    model, _ = _tiny_bloom(300)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    got = load_model(sd, num_heads=model.config.n_head)
+    assert got["kind"] == "bloom"
+    ids = [[5, 17, 91, 203]]
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(
+        np.asarray(bloom_forward(got["params"], got["config"],
+                                 np.asarray(ids))), ref, atol=2e-4, rtol=2e-4)
+
+    mmodel, _ = _tiny_marian(120, pad=117)
+    msd = {k: v.detach().numpy() for k, v in mmodel.state_dict().items()}
+    hf = {"encoder_attention_heads": mmodel.config.encoder_attention_heads,
+          "max_position_embeddings": mmodel.config.max_position_embeddings,
+          "scale_embedding": mmodel.config.scale_embedding}
+    mgot = load_model(msd, hf=hf)
+    assert mgot["kind"] == "marian"
+    src, dec = [[5, 17, 91, 0]], [[117, 8, 23]]
+    with torch.no_grad():
+        mref = mmodel(input_ids=torch.tensor(src),
+                      decoder_input_ids=torch.tensor(dec)).logits.numpy()
+    enc = marian_encode(mgot["params"], mgot["config"], np.asarray(src))
+    np.testing.assert_allclose(
+        np.asarray(marian_decode(mgot["params"], mgot["config"],
+                                 np.asarray(dec), enc)),
+        mref, atol=2e-4, rtol=2e-4)
+
+
 def _load_reference_refiner(name):
     """ast-extract a reference prompt_refiners class (the module imports
     modelscope/xfuser-era deps at top level)."""

@@ -405,6 +405,26 @@ def main():
                 or k in ("dma_gb_per_step", "status")}
         if diag:
             out["int8_streaming_step"] = diag
+    # the executed int8+TeaCache contiguous clip (scripts/measure_int8_clip.py)
+    i8c_path = os.path.join(here, "MEASURED_r05_INT8_CLIP.json")
+    if os.path.exists(i8c_path):
+        with open(i8c_path) as fh:
+            i8c = json.load(fh)
+        diag = {k: i8c[k] for k in (
+            "sec_per_clip_measured_int8_teacache", "int8_step_s_measured",
+            "teacache_skip_fraction_measured",
+            "sec_per_clip_int8_full_composed", "status") if k in i8c}
+        mean_s = (i8c.get("clip_stages") or {}).get("int8_exec_step_mean_s")
+        if mean_s is not None:
+            diag["int8_exec_step_mean_s"] = mean_s
+            best = diag.get("int8_step_s_measured")
+            if best is not None and mean_s > 2 * best:
+                diag["note"] = (
+                    "clip ran in a window of ambient machine slowdown: best "
+                    "exec step %.2fs reproduces the isolated W8A8 step, mean "
+                    "%.2fs is interference-inflated" % (best, mean_s))
+        if diag:
+            out["int8_teacache_clip"] = diag
     print(json.dumps(out))
 
 

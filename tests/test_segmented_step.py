@@ -22,28 +22,9 @@ B, F, H, W = 2, 3, 8, 12
 GRID = (F, H // 2, W // 2)
 
 
-def test_segmented_step_matches_monolithic():
-    key = jax.random.PRNGKey(0)
-    dit = wd.init_wan_dit(key, CFG, jnp.float32)
-    cn = init_controlnet(jax.random.PRNGKey(1), CFG, CN_CFG, jnp.float32)
-    # non-zero zero-convs so the injections actually participate
-    cn["zero_convs"]["w"] = 0.1 * jax.random.normal(
-        jax.random.PRNGKey(2), cn["zero_convs"]["w"].shape)
-    cn["zero_convs"]["b"] = 0.1 * jax.random.normal(
-        jax.random.PRNGKey(3), cn["zero_convs"]["b"].shape)
-
-    kk = jax.random.split(key, 4)
-    lat2 = jnp.tile(jax.random.normal(kk[0], (1, F, H, W, 16)), (B, 1, 1, 1, 1))
-    y2 = jax.random.normal(kk[1], (B, F, H, W, 20))
-    cl2 = jax.random.normal(kk[2], (B, F, H, W, 16))
-    ctx_raw = jax.random.normal(kk[3], (B, 16, CFG.text_dim))
-    ts = jnp.full((B,), 900.0, jnp.float32)
-
-    ref = denoise_forward(dit, CFG, lat2, ts, ctx_raw, y=y2,
-                          controlnet_params=cn, controlnet_cfg=CN_CFG,
-                          control_latents=cl2, attn_impl="xla")
-
-    # --- segmented composition (mirrors measure_north_star.full_step) ---
+def _run_segmented(dit, cn, lat2, y2, cl2, ctx_raw, ts):
+    """The segmented composition (mirrors measure_north_star/measure_int8_clip
+    full_step): CN chunk -> injections -> matching DiT chunk, then plain trunk."""
     small = {k: v for k, v in dit.items() if k != "blocks"}
     cos, sin = assemble_rope(rope_tables_3d(CFG.head_dim, CFG.rope_max_len), *GRID)
     sl = lambda tr, a, b: jax.tree_util.tree_map(lambda x: x[a:b], tr)
@@ -73,7 +54,61 @@ def test_segmented_step_matches_monolithic():
     for k in range(N_CN_SEG, N_DIT_SEG):
         tokens, _ = wd.run_blocks(dit_segs[k], tokens, ctx, t_mod, cos, sin, CFG,
                                   attn_impl="xla")
-    out = wd.unpatchify(wd.head(small["head"], tokens, t, CFG.eps),
-                        GRID, CFG.patch_size, CFG.out_dim)
+    return wd.unpatchify(wd.head(small["head"], tokens, t, CFG.eps),
+                         GRID, CFG.patch_size, CFG.out_dim)
 
+
+def _inputs(key):
+    kk = jax.random.split(key, 4)
+    lat2 = jnp.tile(jax.random.normal(kk[0], (1, F, H, W, 16)), (B, 1, 1, 1, 1))
+    y2 = jax.random.normal(kk[1], (B, F, H, W, 20))
+    cl2 = jax.random.normal(kk[2], (B, F, H, W, 16))
+    ctx_raw = jax.random.normal(kk[3], (B, 16, CFG.text_dim))
+    ts = jnp.full((B,), 900.0, jnp.float32)
+    return lat2, y2, cl2, ctx_raw, ts
+
+
+def _model(key):
+    dit = wd.init_wan_dit(key, CFG, jnp.float32)
+    cn = init_controlnet(jax.random.PRNGKey(1), CFG, CN_CFG, jnp.float32)
+    # non-zero zero-convs so the injections actually participate
+    cn["zero_convs"]["w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(2), cn["zero_convs"]["w"].shape)
+    cn["zero_convs"]["b"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(3), cn["zero_convs"]["b"].shape)
+    return dit, cn
+
+
+def test_segmented_step_matches_monolithic():
+    dit, cn = _model(jax.random.PRNGKey(0))
+    lat2, y2, cl2, ctx_raw, ts = _inputs(jax.random.PRNGKey(0))
+
+    ref = denoise_forward(dit, CFG, lat2, ts, ctx_raw, y=y2,
+                          controlnet_params=cn, controlnet_cfg=CN_CFG,
+                          control_latents=cl2, attn_impl="xla")
+    out = _run_segmented(dit, cn, lat2, y2, cl2, ctx_raw, ts)
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+def test_int8_segmented_step_matches_monolithic_int8():
+    """The W8A8 streaming step (scripts/measure_int8_{step,clip}.py) quantizes the
+    block-stack linears with quantize_linear_tree and streams them in segments; the
+    segmented int8 composition must equal the SAME quantized model run monolithically,
+    so the measured 22.3 s step is an execution of the quantized denoiser, not a
+    lookalike. (Quantization error vs f32 is bounded separately in test_quant.py.)"""
+    from goal_force_tpu.ops.quant import quantize_linear_tree
+
+    dit, cn = _model(jax.random.PRNGKey(0))
+    qpaths = ("self_attn", "cross_attn", "ffn")
+    dit = dict(dit, blocks=quantize_linear_tree(dit["blocks"], paths=qpaths))
+    cn = dict(cn, blocks=quantize_linear_tree(cn["blocks"], paths=qpaths))
+    lat2, y2, cl2, ctx_raw, ts = _inputs(jax.random.PRNGKey(0))
+
+    ref = denoise_forward(dit, CFG, lat2, ts, ctx_raw, y=y2,
+                          controlnet_params=cn, controlnet_cfg=CN_CFG,
+                          control_latents=cl2, attn_impl="xla")
+    out = _run_segmented(dit, cn, lat2, y2, cl2, ctx_raw, ts)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+    # and the quantization actually took: int8 packs present in both stacks
+    assert "w_i8" in dit["blocks"]["ffn"]["fc0"]
+    assert "w_i8" in cn["blocks"]["self_attn"]["q"]

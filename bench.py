@@ -335,6 +335,14 @@ def main():
                   "clip_stages", "status"):
             if k in m:
                 measured[k] = m[k]
+        # the artifact records the raw compile failure verbatim (machine-written
+        # evidence that XLA attention cannot compile pp stages at full geometry);
+        # the bench line only needs the conclusion, not the ANSI-laden traceback
+        if "pp_attn_xla_full_geometry" in measured:
+            measured["pp_attn_xla_full_geometry"] = (
+                "compile fails (f32 score matrix ~343 GB at A14B geometry) — pp"
+                " stages require the Pallas flash kernel; full error in "
+                + measured["artifact"])
 
     step_measured = measured.get("full_depth_step_s_measured")
     if step_measured and on_tpu:
